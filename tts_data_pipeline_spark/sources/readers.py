@@ -26,7 +26,19 @@ from tts_data_pipeline_spark import schemas
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one driver test table (TESTDATA.md)."""
+    """Parquet scan of one driver test table (TESTDATA.md).
+
+    The ``events`` table stores ``TIMESTAMP(NANOS)`` which Spark's vectorized
+    parquet reader rejects; we read nanos as long (runtime legacy conf) and
+    rebuild a proper TimestampType column.  The driver data carries whole
+    microseconds only, so ``ts div 1000`` is lossless.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
