@@ -1,0 +1,227 @@
+"""Scalar text functions (SURVEY.md §2.8, C1-C19).
+
+The reference implements these as row-at-a-time Python string munging
+(``tts_data_pipeline/__init__.py``, ``pre_processing/process_all.py``); here
+each is a *Column builder* — a pure Catalyst expression wherever Spark
+built-ins can express it (JVM-side, whole-stage-codegen'd), with a gated
+Arrow-batched ``pandas_udf`` only for the genuinely non-relational pieces
+(Unicode normalization, external NLP tokenizers).
+
+Every builder returns a Column, so they compose into the reference's
+normalizer chain order (``process_all.py:165-193``): URL-strip → NFC →
+normalize → numbers → currency → dates → digit-words → collapse/lower.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ASCII punctuation, as in Python's string.punctuation (reference strips it
+# with str.translate at process_all.py:281-283).
+PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+# Typographic quotes/dashes the reference strips at post_process.py:102-107.
+TYPOGRAPHIC = "“”‘’–•…"
+
+# Digit → Vietnamese word, digit-wise (reference process_all.py:211-228:
+# "123" → "một hai ba").
+VI_DIGITS = {
+    "0": "không",
+    "1": "một",
+    "2": "hai",
+    "3": "ba",
+    "4": "bốn",
+    "5": "năm",
+    "6": "sáu",
+    "7": "bảy",
+    "8": "tám",
+    "9": "chín",
+}
+
+
+# --- C9/C10: punctuation strip -------------------------------------------------
+def strip_punctuation(col: Column) -> Column:
+    """C9 — remove ASCII punctuation (reference ``process_all.py:281-283``)."""
+    return F.translate(col, PUNCTUATION, "")
+
+
+def strip_typographic(col: Column) -> Column:
+    """C10 — remove typographic quotes/dashes/ellipsis (reference
+    ``post_process.py:102-107``, ``push_to_hf.py:29-34``)."""
+    return F.translate(col, TYPOGRAPHIC, "")
+
+
+# --- C11: whitespace collapse + trim + lower ----------------------------------
+def collapse_ws_lower(col: Column) -> Column:
+    """C11 — ``re.sub(r"\\s+", " ")`` + strip + lower (reference
+    ``process_all.py:189-192``)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+# --- C12: URL removal ----------------------------------------------------------
+def remove_urls(col: Column) -> Column:
+    """C12 — strip ``https?://\\S+`` (reference ``process_all.py:157,170-171``)."""
+    return F.regexp_replace(col, r"https?://\S+", "")
+
+
+# --- C14: number-format normalize ---------------------------------------------
+def normalize_decimal_comma(col: Column) -> Column:
+    """C14 — European ``1.234,56`` → ``1234.56`` (reference
+    ``process_all.py:195-209``): drop thousands dots, comma → decimal dot."""
+    # capture-group form (not lookahead) so the same pattern works on RE2
+    no_thousands = F.regexp_replace(col, r"\.(\d{3})", "$1")
+    return F.regexp_replace(no_thousands, ",", ".")
+
+
+# --- C15: digits → Vietnamese words --------------------------------------------
+def digits_to_vi_words(col: Column) -> Column:
+    """C15 — digit-wise spoken Vietnamese (reference ``process_all.py:211-228``:
+    "Có 123 quyển sách" → "có một hai ba quyển sách").  Each digit becomes
+    " {word} "; a final collapse+trim restores single spacing.  Pure
+    Catalyst expression — no UDF."""
+    out = col
+    for d, w in VI_DIGITS.items():
+        out = F.replace(out, F.lit(d), F.lit(f" {w} "))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --- C16: currency normalize ---------------------------------------------------
+def normalize_currency(col: Column) -> Column:
+    """C16 — ``đ/vnđ/₫ → VND``, ``$ → USD`` (reference ``process_all.py:230-241``)."""
+    # (?iu): Java needs UNICODE_CASE for đ/Đ folding (RE2's (?i) already folds)
+    out = F.regexp_replace(col, r"(?iu)vnđ|vnd|₫|đ", " VND")
+    out = F.regexp_replace(out, r"\$", " USD")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --- C17: date → spoken Vietnamese ----------------------------------------------
+def date_to_vi_spoken(day: Column, month: Column, year: Column) -> Column:
+    """C17 — ``15/3/2023`` → "ngày một năm tháng ba năm hai không hai ba"
+    (digit-wise variant of reference ``process_all.py:243-255``)."""
+    return F.concat(
+        F.lit("ngày "),
+        digits_to_vi_words(day.cast("string")),
+        F.lit(" tháng "),
+        digits_to_vi_words(month.cast("string")),
+        F.lit(" năm "),
+        digits_to_vi_words(year.cast("string")),
+    )
+
+
+# --- C2/C3/C4: durations & ids --------------------------------------------------
+def parse_duration_seconds(col: Column) -> Column:
+    """C2 — "HH:MM:SS" / "MM:SS" → seconds (reference ``__init__.py:32-73``;
+    tolerant of ``;`` for ``:``).  Right-to-left positional fold:
+    sec + 60*min + 3600*hour, expressed with built-in array ops."""
+    parts = F.split(F.regexp_replace(col, ";", ":"), ":")
+    rev = F.reverse(parts)  # [ss, mm, hh?]
+    return (
+        F.coalesce(F.element_at(rev, 1).cast("double"), F.lit(0.0))
+        + F.coalesce(F.element_at(rev, 2).cast("double"), F.lit(0.0)) * 60.0
+        + F.coalesce(F.element_at(rev, 3).cast("double"), F.lit(0.0)) * 3600.0
+    )
+
+
+def segment_duration(start: Column, end: Column) -> Column:
+    """C3 — ``round(end - start, 4)`` (reference ``aeneas_batch_align.py:219``)."""
+    return F.round(end - start, 4)
+
+
+def clean_seg_id(col: Column) -> Column:
+    """C4 — ``"12f" → 12.0`` (reference ``aeneas_batch_align.py:222``)."""
+    return F.regexp_replace(col, "f", "").cast("double")
+
+
+def deterministic_id(*cols: Column) -> Column:
+    """C5 — 8-hex id.  The reference draws ``secrets.token_hex(4)``
+    (``__init__.py:151-162``); a content hash is deterministic across reruns,
+    which matters for resumable 100 TB jobs."""
+    return F.substring(F.md5(F.concat_ws("|", *cols).cast("binary")), 1, 8)
+
+
+# --- C6/C7/C8: filename algebra --------------------------------------------------
+def name_prefix(col: Column, sep: str = "_") -> Column:
+    """C6 — ``name.split(sep)[0]`` (reference ``crawler/utils.py:114``)."""
+    return F.split(col, sep).getItem(0)
+
+
+def sequence_number(col: Column) -> Column:
+    """C7 — trailing number before the extension (reference
+    ``process_all.py:612-617``)."""
+    return F.regexp_extract(col, r"(\d+)\.\w+$", 1).cast("int")
+
+
+def extension_or_default(col: Column, default: str = ".mp3") -> Column:
+    """C8 — ``Path(url).suffix or ".mp3"`` (reference ``crawler/download.py:143``)."""
+    ext = F.regexp_extract(col, r"(\.\w+)$", 1)
+    return F.when(ext == "", F.lit(default)).otherwise(ext)
+
+
+# --- C1: normalize_name -----------------------------------------------------------
+# Vietnamese letters with diacritics → base letters (NFD strip).  Explicit
+# table keeps it a JVM-side translate; the UDF below is the exact generic form.
+_VI_ACCENTED = (
+    "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ"
+)
+_VI_BASE = "a" * 17 + "e" * 11 + "i" * 5 + "o" * 17 + "u" * 11 + "y" * 5 + "d"
+
+
+def normalize_name(col: Column) -> Column:
+    """C1 — reference ``normalize_name`` (``__init__.py:10-29``): strip
+    accents, strip punctuation (keep ``-``), lower, spaces → hyphens."""
+    lowered = F.lower(col)
+    deaccented = F.translate(
+        lowered, _VI_ACCENTED, _VI_BASE
+    )
+    no_punct = F.translate(deaccented, PUNCTUATION.replace("-", ""), "")
+    collapsed = F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+    return F.regexp_replace(collapsed, " ", "-")
+
+
+# --- C13/C18/C19: UDF territory (Unicode / external NLP) --------------------------
+@F.pandas_udf(T.StringType())
+def nfc_normalize(s):  # type: ignore[no-untyped-def]
+    """C13 — Unicode NFC normalize (reference ``process_all.py:174``).
+    No Catalyst builtin → Arrow-batched pandas UDF."""
+    import unicodedata
+
+    return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+
+def sent_tokenize(col: Column) -> Column:
+    """C18 — sentence tokenize → array<string>.
+
+    The reference uses ``underthesea.sent_tokenize`` (``process_all.py:291``);
+    that library isn't in this environment, so the default is a rule-based
+    splitter on sentence-final punctuation (JVM-side, no UDF).  If
+    ``underthesea`` is importable a pandas-UDF path is used instead.
+    """
+    try:  # pragma: no cover - not installed here
+        import underthesea  # noqa: F401
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _ut_tokenize(s):  # type: ignore[no-untyped-def]
+            from underthesea import sent_tokenize as tok
+
+            return s.map(lambda t: tok(t) if t else [])
+
+        return _ut_tokenize(col)
+    except ImportError:
+        parts = F.split(col, r"(?<=[.!?])\s+")
+        return F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+
+
+def full_normalizer_chain(col: Column) -> Column:
+    """The reference's full text-normalization order
+    (``process_all.py:165-193``): URL-strip → NFC → numbers → currency →
+    digit-words → punctuation strip → collapse/lower.  NFC is the only UDF
+    stage; everything else stays in whole-stage codegen."""
+    out = remove_urls(col)
+    out = nfc_normalize(out)
+    out = normalize_decimal_comma(out)
+    out = normalize_currency(out)
+    out = digits_to_vi_words(out)
+    out = strip_typographic(out)
+    out = strip_punctuation(out)
+    return collapse_ws_lower(out)

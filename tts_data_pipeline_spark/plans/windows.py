@@ -1,0 +1,230 @@
+"""Window-function and time-window queries (SURVEY.md §2.9-2.10).
+
+The reference has no window functions — its sequential folds (running word
+count X1, per-group sampling O4) become ``Window.partitionBy(key).orderBy(seq)``
+here.  Time windows use the same ``window()`` expression Structured Streaming
+uses, so batch results are bit-identical to what the streaming runtime would
+emit after watermark close (streaming/ module reuses these builders).
+
+Every ordered window carries a unique tiebreak column — at 100 TB a
+non-total order makes results run-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+
+
+@query(
+    "w1_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def w1_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per key in event order — the windowed form of the
+    reference's X1 sequential accumulator (``process_all.py:305-335``)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w2_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — one shuffle on the group key, no global sort
+    (at scale: rank inside partitions, never collect-and-slice)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "w3_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session, cumulative sum
+    numbers them.  Classic Spark idiom (guide 'Common OLAP patterns')."""
+    e = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(running).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "w4_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def w4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window over events — batch ``window()`` with the exact
+    semantics Structured Streaming uses (SURVEY.md §2.10)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "w5_sliding_window",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 10, 20]) AS off_min),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts - to_minutes(off_min))
+               + to_minutes(off_min) AS win_start,
+             value
+      FROM events, offsets
+      WHERE time_bucket(INTERVAL '30 minutes', ts - to_minutes(off_min))
+               + to_minutes(off_min) <= ts
+    )
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM assigned
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def w5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min window, 10 min slide): each event lands in 3
+    windows — ``window()`` replicates rows exactly like the streaming
+    runtime.  Oracle replays the replication with an explicit offset unnest."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "n", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "x1_running_bucket",
+    oracle="""
+    WITH running AS (
+      SELECT user_id, event_id, value,
+             SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    )
+    SELECT user_id,
+           CAST(FLOOR((cum - value) / 500.0) AS BIGINT) AS bucket_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS bucket_value
+    FROM running
+    GROUP BY 1, 2
+    ORDER BY user_id, bucket_id
+    """,
+)
+def x1_running_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (SQL approximation) — the reference's sequential threshold grouping
+    (``process_all.py:305-335``) via running-sum bucketing: a row starts a new
+    bucket once the *prior* cumulative value crosses a 500-unit boundary.
+    Slightly different boundary semantics than the exact fold (SURVEY.md §7
+    de-risk note); the exact ``applyInPandas`` version lives in
+    operators/grouping.py with rows-only checks."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("value").over(w)
+    return (
+        e.withColumn("cum", cum)
+        .withColumn(
+            "bucket_id",
+            F.floor((F.col("cum") - F.col("value")) / 500.0).cast("long"),
+        )
+        .groupBy("user_id", "bucket_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("bucket_value"),
+        )
+        .orderBy("user_id", "bucket_id")
+    )
