@@ -82,7 +82,12 @@ def main() -> int:
         if name not in oracles:
             print(f"  rows-only {name}: {len(spdf)} rows [{time.time() - t0:.1f}s]")
             continue
-        opdf = con.execute(oracles[name]).fetchdf()
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"  FAIL {name}: oracle error: {ex}")
+            failed.append(name)
+            continue
         ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
         ok_rows = len(spdf) == len(opdf)
         hs, ho = value_hash(spdf), (value_hash(opdf) if ok_cols else "n/a")

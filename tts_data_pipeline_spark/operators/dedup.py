@@ -1,0 +1,216 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Not in the reference (it never dedups); mandated by the driver as core
+training-data-pipeline capability.  Design point is 100 TB:
+
+- exact dedup is a hash-groupBy (one shuffle on the content hash, map-side
+  partial aggregation);
+- near-dup goes through MinHash-LSH banding so candidate generation is a
+  shuffle on band keys (O(n·bands)) instead of an O(n²) similarity join;
+- verification (true Jaccard) runs only on within-bucket candidate pairs.
+
+Everything below is pure DataFrame expressions (JVM-side, codegen'd) except
+SimHash, which is an Arrow-batched pandas UDF doing numpy bit-votes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Stable content hash for exact dedup (md5 here; sha2 for prod)."""
+    return F.md5(col.cast("binary"))
+
+
+def normalized_tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens — the canonical token set for dedup."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(tokens: Column, n: int = 5) -> Column:
+    """n-gram word shingles as strings: ['a','b','c'] (n=2) → ['a b','b c'].
+    Empty array when the document is shorter than ``n``."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed j, ``min over shingles of xxhash64(j, s)``.
+
+    xxhash64 is a JVM intrinsic, so the whole signature is one codegen'd
+    projection — no Python in the loop.  Documents with no shingles get a
+    per-seed sentinel (max long) signature.
+    """
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s))
+                ),
+                F.lit(2**63 - 1),
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to one bucket key.
+    Two docs agreeing on any band collide in that band's bucket."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[signature[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+
+    Pipeline: tokens → shingles → minhash signature → band buckets →
+    within-bucket self-join (candidates) → exact Jaccard on distinct token
+    sets → threshold filter.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    tokens = normalized_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens).alias("_tokset"),
+        band_keys(
+            minhash_signature(word_shingles(tokens, shingle_n), num_hashes),
+            bands,
+            rows_per_band,
+        ).alias("_bands"),
+    )
+    # explode to (bucket, id); bucket key includes the band index so bands
+    # can't cross-collide. One shuffle on bucket.
+    bucketed = base.select(
+        "_id", "_tokset", F.explode("_bands").alias("_bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._tokset").alias("tok_a"),
+            F.col("b._tokset").alias("tok_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    return (
+        candidates.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over bucketed candidate pairs.
+
+    ``bucket_cols`` bound the pair space (equi-join keys) — at 100 TB you
+    never do an unbucketed self-join; LSH (above) is the general bucketing,
+    this operator is the verify-everything-in-a-partition variant.
+    """
+    tokens = F.array_distinct(normalized_tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a._tokset"), F.col("b._tokset")))
+    union = F.size(F.col("a._tokset")) + F.size(F.col("b._tokset")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts):  # type: ignore[no-untyped-def]
+    """64-bit SimHash (Arrow-batched, numpy bit votes).
+
+    Token hashes vote ±1 per bit; the sign vector is the fingerprint.
+    Near-dups differ in few bits → group by rotated prefixes or compare
+    hamming distance within LSH buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def one(t: str | None) -> int:
+        if not t:
+            return 0
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        # stable 64-bit token hashes without Python's randomized hash()
+        hs = np.array(
+            [int.from_bytes(__import__("hashlib").blake2b(w.encode(), digest_size=8).digest(), "big") for w in set(toks)],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        return int(sig.astype(np.int64))
+
+    return pd.Series([one(t) for t in texts])
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative per distinct content.
+    One shuffle on the content hash; never a driver-side set."""
+    return (
+        df.groupBy(content_fingerprint(F.col(content_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

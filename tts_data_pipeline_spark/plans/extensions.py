@@ -1,0 +1,184 @@
+"""Driver-mandated extension queries (SURVEY.md §2.11): deduplication and
+embedding similarity search over the ``documents`` / ``embeddings`` tables.
+
+Oracle-backed where the computation is engine-portable (exact dedup,
+fingerprints, bucketed Jaccard, brute-force cosine); hash-seeded operators
+(xxhash64 MinHash, hyperplane LSH) have no DuckDB equivalent and are
+rows-only checked, with their exact-verification stage covered by the
+oracle-backed variants."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.operators import dedup as D
+from tts_data_pipeline_spark.operators import similarity as S
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — one shuffle on the content hash; keeps the min-id
+    representative per distinct text."""
+    d = table(spark, sf_dir, "documents")
+    return D.exact_dedup(d).orderBy("fp")
+
+
+@query(
+    "dedup_drop_duplicates",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """,
+)
+def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup applied: the surviving rows (deterministic min-id survivor,
+    unlike ``dropDuplicates`` whose survivor is partition-order-dependent)."""
+    d = table(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        d.join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_bucketed",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS inter,
+             len(a.tokset) + len(b.tokset)
+               - len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS uni
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / greatest(uni, 1), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / greatest(uni, 1) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification stage: exact token-set Jaccard over (lang,
+    size-bucket) candidate pairs — the bounded-pair-space pattern; LSH
+    (below) replaces the bucketing at scale."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.floor(F.col("n_chars") / 100.0).cast("long")
+    )
+    return D.ngram_jaccard_pairs(
+        d, bucket_cols=("lang", "size_bucket"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64 seeds have no
+    DuckDB equivalent; the Jaccard verify stage is oracle-covered above).
+    shingle→minhash→band→bucket-join: O(n·bands) shuffle, never O(n²)."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only): 64-bit bit-vote signature per doc;
+    near-dups are low-hamming-distance pairs within prefix buckets."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", D.simhash64(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "sim_bruteforce_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 8
+    ), e AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nvec
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, e.neighbor_id,
+             ROUND(
+               list_dot_product(q.qvec, e.nvec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.nvec, e.nvec))), 6) AS cosine_sim
+      FROM e, q
+      WHERE q.query_id <> e.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact cosine top-5 for query vectors (vec_id < 8) —
+    broadcast queries × full scan, codegen'd fold dot product, row_number
+    top-k on rounded similarity (engine-reproducible ranking)."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    return S.brute_force_topk(em, q, k=5).orderBy("query_id", "rank")
+
+
+@query("sim_lsh_ann_topk")
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN (rows-only): random-hyperplane bucket join + exact
+    cosine within bucket.  Recall vs the brute-force baseline is measured in
+    tests/test_extensions.py."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    return S.lsh_ann_topk(em, q, k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "emb_norm_stats_by_label",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(ROUND(sqrt(list_dot_product(
+             CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene stats: L2-norm distribution per label (catches
+    unnormalized inputs before a cosine index build)."""
+    em = table(spark, sf_dir, "embeddings")
+    norm = F.round(S.l2_norm(F.col("embedding")), 6)
+    return (
+        em.select("label", norm.alias("_norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("_norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )

@@ -1,0 +1,285 @@
+"""Text-analysis queries (driver-mandated extension + reference text stack):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting, normalizer-chain application, and the exact X1 sentence
+grouping (rows-only — its SQL approximation is ``x1_running_bucket``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.functions import vi_text as V
+from tts_data_pipeline_spark.operators.grouping import sentence_group_by_threshold
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+
+# Tiny English stopword list for the n-gram/stopword-ratio language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+@query(
+    "ta_lang_stopword_ratio",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             ROUND(
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN {_SW_SQL})) AS DOUBLE)
+               / greatest(len(string_split(lower(text), ' ')), 1), 4) AS sw_ratio
+      FROM documents
+    )
+    SELECT lang, ROUND(AVG(sw_ratio), 4) AS avg_stopword_ratio, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ta_lang_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal: English stopword ratio per document, aggregated by
+    labeled lang.  The classify step is ``sw_ratio > t ⇒ 'en'``; the ratio
+    is all JVM-side array ops (no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    sw = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    ratio = F.round(
+        sw.cast("double") / F.greatest(F.size(words), F.lit(1)), 4
+    )
+    return (
+        d.select("lang", ratio.alias("sw_ratio"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("sw_ratio"), 4).alias("avg_stopword_ratio"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "ta_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, word_count,
+           ROUND(CAST(n_chars - word_count + 1 AS DOUBLE) / word_count, 4)
+             AS avg_word_len,
+           ROUND(least(word_count / 100.0, 1.0) * 0.5
+                 + CASE WHEN word_count >= 20 THEN 0.5 ELSE 0.0 END, 4)
+             AS quality_score
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length + density heuristics — the reference's
+    qualified-gate F4 generalized to text): word count, average word length,
+    composite score in [0,1]."""
+    d = table(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", wc.alias("word_count"), "n_chars")
+        .select(
+            "doc_id",
+            "word_count",
+            F.round(
+                (F.col("n_chars") - F.col("word_count") + 1).cast("double")
+                / F.col("word_count"),
+                4,
+            ).alias("avg_word_len"),
+            F.round(
+                F.least(F.col("word_count") / 100.0, F.lit(1.0)) * 0.5
+                + F.when(F.col("word_count") >= 20, 0.5).otherwise(0.0),
+                4,
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ta_token_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language — whitespace tokenization
+    (the BPE-ish regex variant is ``ta_bpe_token_count``)."""
+    d = table(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("lang", wc.alias("_wc"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.sum("_wc").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "ta_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+           + length(text)
+           - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_pieces
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: whitespace tokens + one piece per
+    non-alphanumeric character — a cheap, deterministic proxy for subword
+    token counts (budgeting LLM training data without a tokenizer dep).
+    Pure arithmetic so it stays lookahead-free (RE2-portable)."""
+    d = table(spark, sf_dir, "documents")
+    n_pieces = (
+        F.size(F.split("text", r"\s+")).cast("long")
+        + F.length("text")
+        - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    )
+    return d.select("doc_id", n_pieces.alias("n_pieces")).orderBy("doc_id")
+
+
+@query(
+    "ta_doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(words) >= 5 THEN
+             list_min(list_transform(generate_series(1, len(words) - 4),
+                      i -> md5(array_to_string(words[i:i+4], ' '))))
+           ELSE md5(array_to_string(words, ' ')) END AS fingerprint
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def ta_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash-of-5-gram-shingles (winnowing-style
+    selection with window = whole doc) — stable under small appends, unlike
+    a full-content hash."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 4),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5)).cast("binary")),
+    )
+    fp = F.when(F.size(words) >= 5, F.array_min(shingle_hashes)).otherwise(
+        F.md5(F.concat_ws(" ", words).cast("binary"))
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def _digits_chain_sql(col_sql: str) -> str:
+    """DuckDB replica of vi_text.digits_to_vi_words."""
+    out = col_sql
+    for d, w in V.VI_DIGITS.items():
+        out = f"replace({out}, '{d}', ' {w} ')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_TX_CHAIN_ORACLE = (
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'Xem https://vd.vn/' || source || ' giá 1.234,56đ ngày ' ||
+             CAST(1 + doc_id % 28 AS VARCHAR) || '/' ||
+             CAST(1 + doc_id % 12 AS VARCHAR) || '/2023: "' ||
+             substring(text, 1, 40) || '…"' AS t
+      FROM documents
+    ), step1 AS (  -- C12 url strip, C14 decimal comma
+      SELECT doc_id,
+             replace(regexp_replace(regexp_replace(t, 'https?://\\S+', '', 'g'),
+                     '\\.(\\d{3})', '\\1', 'g'), ',', '.') AS t
+      FROM raw
+    ), step2 AS (  -- C16 currency
+      SELECT doc_id,
+             regexp_replace(regexp_replace(t, '(?i)vnđ|vnd|₫|đ', ' VND', 'g'),
+                            '\\$', ' USD', 'g') AS t
+      FROM step1
+    ), step3 AS (  -- C15 digit words
+      SELECT doc_id, """
+    + _digits_chain_sql("t")
+    + """ AS t FROM step2
+    ), step4 AS (  -- C10+C9 punctuation strip
+      SELECT doc_id,
+             translate(translate(t, '“”‘’–•…', ''),
+                       '!"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~', '') AS t
+      FROM step3
+    )
+    SELECT doc_id,
+           lower(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS normalized
+    FROM step4
+    ORDER BY doc_id
+    """
+)
+
+
+@query("tx_normalizer_chain", oracle=_TX_CHAIN_ORACLE)
+def tx_normalizer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full normalizer chain (``process_all.py:165-193``
+    order) applied to synthesized messy Vietnamese-ish strings: URL strip →
+    decimal-comma → currency → digit-words → punctuation strip → collapse/
+    lower.  NFC stage skipped here (inputs are already NFC; the UDF is
+    covered in tests/test_functions_vi.py)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Xem https://vd.vn/"),
+        F.col("source"),
+        F.lit(" giá 1.234,56đ ngày "),
+        (1 + F.col("doc_id") % 28).cast("string"),
+        F.lit("/"),
+        (1 + F.col("doc_id") % 12).cast("string"),
+        F.lit("/2023: \""),
+        F.substring("text", 1, 40),
+        F.lit("…\""),
+    )
+    out = V.remove_urls(raw)
+    out = V.normalize_decimal_comma(out)
+    out = V.normalize_currency(out)
+    out = V.digits_to_vi_words(out)
+    out = V.strip_typographic(out)
+    out = V.strip_punctuation(out)
+    out = V.collapse_ws_lower(out)
+    return d.select("doc_id", out.alias("normalized")).orderBy("doc_id")
+
+
+@query("tx_sentence_grouping_exact")
+def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact (rows-only): sentences derived from documents (sentence =
+    10-word slices), folded per-doc until ≥20 words per group via
+    applyInPandas.  Invariants property-tested in tests/test_grouping.py."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sentences = (
+        d.select(
+            F.col("doc_id").cast("string").alias("book_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.size(words) - 1) / 10).cast("int")),
+                    lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+                )
+            ).alias("seq", "sentence"),
+        )
+        .filter(F.length("sentence") > 0)
+    )
+    return sentence_group_by_threshold(sentences, threshold=20).orderBy(
+        "group_key", "group_idx"
+    )
