@@ -1,0 +1,153 @@
+"""Ingest readers (S1-S6 shapes), multimodal audio plumbing (S8, X2-X4, X6′),
+and the Structured Streaming windowed aggregation (memory-sink drive)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tts_data_pipeline_spark.multimodal import audio as A
+from tts_data_pipeline_spark.sources import (
+    read_alignment_tsv,
+    read_books_csv,
+    read_delimited_urls,
+)
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def test_read_books_csv_parses_python_literals(spark, tmp_path):
+    p = tmp_path / "metadata_book.csv"
+    p.write_text(
+        "id,name,narrator,duration,audio_download_url,sample_rate,word_count,"
+        "num_sentences,audio_size,text_size\n"
+        "ab12,da-lat,\"{'id': 'n1', 'name': 'Mai', 'age': None}\",4.5728,"
+        "\"['http://a/1.mp3', 'http://a/2.mp3']\",22050,1000,50,123,456\n"
+        "cd34,hue,\"[{'id': 'n2', 'name': 'Lan', 'age': 30}]\",2.25,"
+        "\"['http://b/1.mp3']\",16000,500,25,99,88\n"
+    )
+    df = read_books_csv(spark, str(p))
+    rows = {r.id: r for r in df.collect()}
+    # dict-or-list narrator polymorphism normalized to always-array (U3/U4)
+    assert rows["ab12"].narrator[0].name == "Mai"
+    assert rows["ab12"].narrator[0].age is None
+    assert rows["cd34"].narrator[0].age == 30
+    assert rows["ab12"].audio_download_url == ["http://a/1.mp3", "http://a/2.mp3"]
+    assert rows["ab12"].duration == pytest.approx(4.5728)
+    assert rows["cd34"].sample_rate == 16000
+
+
+def test_read_alignment_tsv(spark, tmp_path):
+    p = tmp_path / "book7.tsv"
+    p.write_text("0.0\t2.5\t1f\n2.5\t6.0\t2f\n6.0\t30.0\t3f\n")
+    df = read_alignment_tsv(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r.seg_id)
+    assert [r.seg_id for r in rows] == [1.0, 2.0, 3.0]
+    assert rows[0].duration == 2.5
+    assert rows[2].duration == 24.0
+    assert rows[0].book_id == "book7"
+    # F5 range filter composes: outliers = duration outside [3, 12]
+    kept = df.filter(F.col("duration").between(3.0, 12.0)).count()
+    assert kept == 1
+
+
+def test_read_delimited_urls(spark, tmp_path):
+    p = tmp_path / "valid_book_urls.txt"
+    p.write_text(
+        "https://a/x, https://t/x, thuviensach\n"
+        "https://a/y, https://t/y, invalid\n"
+    )
+    df = read_delimited_urls(spark, str(p))
+    rows = df.collect()
+    assert rows[0].audio_url == "https://a/x"
+    assert {r.source for r in rows} == {"thuviensach", "invalid"}
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def _audio_parts(spark):
+    rows = [
+        ("b1", 2, bytes([10, 200, 30, 250]), 16000),
+        ("b1", 1, bytes([0, 64, 128, 192]), 8000),
+        ("b2", 1, bytes(range(100)), 24000),
+    ]
+    df = spark.createDataFrame(rows, ["book_id", "seq", "payload", "sr_meta"])
+    return df
+
+
+def test_decode_audio_shapes(spark):
+    df = A.decode_audio(_audio_parts(spark))
+    rows = {(r.book_id, r.seq): r for r in df.collect()}
+    w = rows[("b1", 1)].samples
+    assert len(w) == 16  # 4 bytes × 4 tile
+    assert all(-1.0 <= x < 1.0 for x in w)
+    # deterministic: same payload -> same waveform
+    again = {(r.book_id, r.seq): r for r in A.decode_audio(_audio_parts(spark)).collect()}
+    assert again[("b1", 1)].samples == w
+
+
+def test_peak_normalize_column(spark):
+    df = spark.createDataFrame(
+        [([0.1, -0.5, 0.25],), ([0.0, 0.0],)], ["samples"]
+    ).withColumn("samples", F.col("samples").cast("array<float>"))
+    out = df.select(A.peak_normalize(F.col("samples")).alias("s")).collect()
+    assert max(abs(x) for x in out[0].s) == pytest.approx(0.95, abs=1e-6)
+    assert out[1].s == [0.0, 0.0]  # silent stays silent
+
+
+def test_slice_segment(spark):
+    df = spark.createDataFrame(
+        [([float(x) for x in range(100)], 10)], ["samples", "sr"]
+    ).withColumn("samples", F.col("samples").cast("array<float>"))
+    out = df.select(
+        A.slice_segment(
+            F.col("samples"), F.col("sr"), F.lit(2.0), F.lit(1.5)
+        ).alias("seg")
+    ).collect()[0]
+    assert out.seg == [float(x) for x in range(20, 35)]
+
+
+def test_concat_book_audio_order_and_resample(spark):
+    parts = A.decode_audio(_audio_parts(spark)).withColumnRenamed("sr", "sr")
+    out = {r.book_id: r for r in A.concat_book_audio(parts, target_sr=16000).collect()}
+    b1 = out["b1"]
+    assert b1.n_parts == 2
+    assert b1.sr == 16000
+    # part with sr=8000 (seq 1, 16 samples) resamples to 32; seq 2 stays 16
+    assert len(b1.samples) == 32 + 16
+    peak = max(abs(x) for x in b1.samples)
+    assert peak == pytest.approx(0.95, abs=1e-5)
+
+
+def test_pdf_extract_raises_without_pymupdf(spark):
+    df = spark.createDataFrame([(b"%PDF-fake",)], ["content"])
+    with pytest.raises(NotImplementedError):
+        A.extract_pdf_text(df)
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_matches_batch_window_agg(spark):
+    from tts_data_pipeline_spark.plans.windows import w4_tumbling_window
+    from tts_data_pipeline_spark.streaming.events import run_stream_to_memory
+
+    stream_rows = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in run_stream_to_memory(spark, SF_DIR, "t_stream_check").collect()
+    }
+    batch_rows = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in w4_tumbling_window(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows

@@ -117,9 +117,10 @@ def parse_duration_seconds(col: Column) -> Column:
     parts = F.split(F.regexp_replace(col, ";", ":"), ":")
     rev = F.reverse(parts)  # [ss, mm, hh?]
     return (
-        F.coalesce(F.element_at(rev, 1).cast("double"), F.lit(0.0))
-        + F.coalesce(F.element_at(rev, 2).cast("double"), F.lit(0.0)) * 60.0
-        + F.coalesce(F.element_at(rev, 3).cast("double"), F.lit(0.0)) * 3600.0
+        F.coalesce(F.try_element_at(rev, F.lit(1)).cast("double"), F.lit(0.0))
+        + F.coalesce(F.try_element_at(rev, F.lit(2)).cast("double"), F.lit(0.0)) * 60.0
+        + F.coalesce(F.try_element_at(rev, F.lit(3)).cast("double"), F.lit(0.0))
+        * 3600.0
     )
 
 

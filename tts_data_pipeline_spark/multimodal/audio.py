@@ -1,0 +1,195 @@
+"""Multimodal audio column stack (SURVEY.md §1.1, §2.9 X2-X4, X6).
+
+Convention: media is an opaque ``binary`` payload plus typed metadata
+(schemas.AUDIO_BLOB); decode/resample/normalize/concat run as Arrow-batched
+UDFs over ``array<float>`` columns.  The reference does the same work
+row-at-a-time with librosa/soundfile (``process_all.py:382-438``); here the
+Spark-side plumbing (schemas, partitioning, batch shapes) is real while the
+codec itself is pluggable:
+
+- ``librosa``/``soundfile`` are NOT in this container, so the default codec
+  is a clearly-marked deterministic fake (bytes → float32 ramp) that
+  exercises identical shapes and dtypes; swap ``decode_fn`` for the real
+  library in production.  Real-codec call sites raise NotImplementedError
+  rather than silently faking.
+
+Scale notes: everything is per-row or per-group (book) bounded; audio
+arrays for one book stay under executor memory (the reference holds whole
+books in RAM too — at 100 TB you'd segment first, X6′, then process
+segments, which is exactly what slice_segment does).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fake_decode_bytes(payload: bytes, sample_rate: int = 16000):
+    """Deterministic fake codec: payload bytes → float32 waveform in [-1, 1).
+
+    Stands in for ``librosa.load`` (reference ``process_all.py:382-391``).
+    Deterministic in the payload so tests are stable: sample i is
+    ``(byte[i % n] - 128) / 128``, length = 4 × n_bytes.
+    """
+    if payload is None or len(payload) == 0:
+        return np.zeros(0, dtype=np.float32), sample_rate
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    wave = np.tile((b - 128.0) / 128.0, 4)
+    return wave.astype(np.float32), sample_rate
+
+
+def real_decode_bytes(payload: bytes):  # pragma: no cover - needs librosa
+    """Real codec hook — requires librosa/soundfile (not in this image)."""
+    try:
+        import io
+
+        import librosa  # type: ignore
+
+        y, sr = librosa.load(io.BytesIO(payload), sr=None, mono=True)
+        return y.astype(np.float32), int(sr)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real audio decode requires librosa; use fake_decode_bytes in "
+            "this environment"
+        ) from exc
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", sr_col: str = "sr_meta"
+) -> DataFrame:
+    """S8 — binary payload → (samples array<float>, sr int) via mapInPandas.
+
+    mapInPandas (not a scalar UDF) so one Arrow batch amortizes codec setup
+    and output rows could be re-batched/split if decoded audio is large.
+    If ``sr_col`` exists it supplies the native sample rate per row (the
+    real codec reads it from the container header; the fake honors the
+    metadata column), mirroring ``librosa.load(sr=None)``.
+    """
+    out_schema = (
+        df.schema.simpleString()
+        .removeprefix("struct<")
+        .removesuffix(">")
+        + ",samples:array<float>,sr:int"
+    )
+    has_sr = sr_col in df.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs = pdf[sr_col] if has_sr else [16000] * len(pdf)
+            decoded = [
+                fake_decode_bytes(p, int(sr))
+                for p, sr in zip(pdf[payload_col], srs)
+            ]
+            pdf = pdf.copy()
+            pdf["samples"] = [d[0] for d in decoded]
+            pdf["sr"] = [d[1] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+# --- X3: peak normalization — pure array expression, no UDF -------------------
+def peak_normalize(samples: Column, peak: float = 0.95) -> Column:
+    """X3 — ``y / max(|y|) * peak`` (reference ``process_all.py:400-407``)
+    as a codegen'd transform over the array column."""
+    absmax = F.array_max(F.transform(samples, lambda x: F.abs(x)))
+    return F.when(absmax > 0, F.transform(
+        samples, lambda x: (x / absmax * peak).cast("float")
+    )).otherwise(samples)
+
+
+# --- X6′: segment slice — array ops instead of ffmpeg ------------------------
+def slice_segment(samples: Column, sr: Column, start_s: Column, dur_s: Column) -> Column:
+    """X6′ — cut [start, start+dur) out of a waveform column.  The reference
+    shells out to ffmpeg ``-ss/-t`` per segment (``aeneas_batch_align.py:261-288``);
+    once audio is columnar it's a pure ``slice`` (1-based)."""
+    start_idx = (start_s * sr).cast("int") + 1
+    length = (dur_s * sr).cast("int")
+    return F.slice(samples, start_idx, length)
+
+
+# --- X2+X4: ordered concat with resample (grouped map) ------------------------
+def resample_linear(y: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """X4 — linear-interpolation resample (librosa.resample stand-in,
+    reference ``process_all.py:394-398``); deterministic, library-free."""
+    if sr == target_sr or len(y) == 0:
+        return y.astype(np.float32)
+    n_out = int(round(len(y) * target_sr / sr))
+    x_old = np.linspace(0.0, 1.0, num=len(y), endpoint=False)
+    x_new = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
+    return np.interp(x_new, x_old, y).astype(np.float32)
+
+
+CONCAT_SCHEMA = "book_id string, samples array<float>, sr int, n_parts long"
+
+
+def concat_book_audio(
+    parts: DataFrame,
+    target_sr: int = 24000,
+    book_col: str = "book_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """X2 — ordered per-book concat: decode parts (already columnar), sort by
+    sequence number, resample each to target_sr, peak-normalize, concatenate
+    (reference ``process_all.py:409-438``).  ``applyInPandas`` per book: the
+    shuffle key is the book id, per-group state is one book's audio."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        waves = [
+            resample_linear(np.asarray(s, dtype=np.float32), int(sr), target_sr)
+            for s, sr in zip(pdf["samples"], pdf["sr"])
+        ]
+        y = np.concatenate(waves) if waves else np.zeros(0, dtype=np.float32)
+        peak = np.abs(y).max() if len(y) else 0.0
+        if peak > 0:
+            y = (y / peak * 0.95).astype(np.float32)
+        return pd.DataFrame(
+            {
+                "book_id": [pdf[book_col].iloc[0]],
+                "samples": [y],
+                "sr": [target_sr],
+                "n_parts": [len(pdf)],
+            }
+        )
+
+    return parts.groupBy(book_col).applyInPandas(fold, CONCAT_SCHEMA)
+
+
+def extract_pdf_text(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """S7 — PDF → text.  pymupdf isn't in this image: with it installed this
+    runs per-page ``get_text`` inside mapInPandas (reference
+    ``process_all.py:265-279``); without it, raises at plan-build time."""
+    try:  # pragma: no cover - not installed here
+        import fitz  # noqa: F401  (pymupdf)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PDF extraction requires pymupdf (not in this environment); "
+            "the plumbing path is decode_audio-shaped: binaryFile scan → "
+            "mapInPandas extract"
+        ) from exc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import fitz
+
+        for pdf in batches:
+            texts = []
+            for payload in pdf[payload_col]:
+                doc = fitz.open(stream=payload, filetype="pdf")
+                texts.append("\n".join(page.get_text() for page in doc))
+            out = pdf[[c for c in pdf.columns if c != payload_col]].copy()
+            out["text"] = texts
+            yield out
+
+    out_schema = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    ) + ",text:string"
+    return df.mapInPandas(gen, out_schema)
