@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from the catalog at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` sink (computes every
+column, no driver collect, no disk write) so the number measures the whole
+plan, not a count-star shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tts_data_pipeline_spark.plans import catalog  # noqa: E402
+from tts_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (scan-heavy aggregation, shuffle joins, windows, dedup,
+# similarity search, text normalization).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "flagship_revenue_by_nation",
+    "j1_equi_join_fact",
+    "j5_upsert_merge",
+    "a1_group_collect_sorted",
+    "w2_topk_per_group",
+    "w4_tumbling_window",
+    "x1_running_bucket",
+    "tx_normalizer_chain",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_bucketed",
+    "sim_bruteforce_cosine_topk",
+    "ta_quality_score",
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="bench")
+    queries = catalog.queries()
+
+    # JVM/codegen warmup on the smallest table so q1 isn't charged for it.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

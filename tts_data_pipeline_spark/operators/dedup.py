@@ -42,18 +42,36 @@ def word_shingles(tokens: Column, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed j, ``min over shingles of xxhash64(j, s)``.
+def shingle_hashes(tokens: Column, n: int = 5) -> Column:
+    """n-gram shingles hashed straight to longs: xxhash64 over the token
+    slice, no intermediate shingle strings (saves a concat allocation per
+    shingle — the dominant cost at scale).  Empty array below ``n`` tokens."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
-    xxhash64 is a JVM intrinsic, so the whole signature is one codegen'd
-    projection — no Python in the loop.  Documents with no shingles get a
-    per-seed sentinel (max long) signature.
+
+def minhash_signature(shingle_hash: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed j, ``min over shingles of xxhash64(j, h)``
+    where ``h`` is the shingle's long hash — per-seed mixing hashes 8 bytes,
+    not the shingle text.
+
+    xxhash64 is a JVM intrinsic, so the whole signature is one projection —
+    no Python in the loop.  IMPORTANT: pass a materialized attribute (a
+    column produced by a previous ``select``), not an inline expression —
+    Column trees are not DAGs, and an inline expression would be recomputed
+    ``num_hashes`` times per row.  Documents with no shingles get a per-seed
+    sentinel (max long) signature.
     """
     return F.array(
         *[
             F.coalesce(
                 F.array_min(
-                    F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s))
+                    F.transform(shingle_hash, lambda h, j=j: F.xxhash64(F.lit(j), h))
                 ),
                 F.lit(2**63 - 1),
             )
@@ -90,37 +108,66 @@ def minhash_lsh_pairs(
     within-bucket self-join (candidates) → exact Jaccard on distinct token
     sets → threshold filter.  Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from tts_data_pipeline_spark.sources.readers import spread
+
     rows_per_band = num_hashes // bands
     tokens = normalized_tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("_id"),
+    # Spread the INPUT before the signature projection: the projection is
+    # compute-dense (num_hashes × shingles JVM hashes per row) and a
+    # repartition placed after it would run it single-partition below the
+    # exchange.  Cache so the signature is computed once, not per consumer.
+    narrow = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    # Materialize shingles as an attribute BEFORE the 64-way signature
+    # projection: Column expressions are trees, not DAGs, so inlining the
+    # shingle expression into every per-seed array_min would recompute the
+    # shingling num_hashes times per row (~60× slower, measured).
+    shingled = narrow.select(
+        "_id",
         F.array_distinct(tokens).alias("_tokset"),
-        band_keys(
-            minhash_signature(word_shingles(tokens, shingle_n), num_hashes),
-            bands,
-            rows_per_band,
-        ).alias("_bands"),
+        shingle_hashes(tokens, shingle_n).alias("_shingles"),
     )
-    # explode to (bucket, id); bucket key includes the band index so bands
-    # can't cross-collide. One shuffle on bucket.
-    bucketed = base.select(
-        "_id", "_tokset", F.explode("_bands").alias("_bucket")
+    signed = shingled.select(
+        "_id",
+        "_tokset",
+        minhash_signature(F.col("_shingles"), num_hashes).alias("_sig"),
     )
+    base = signed.select(
+        "_id",
+        "_tokset",
+        band_keys(F.col("_sig"), bands, rows_per_band).alias("_bands"),
+    ).cache()
+    # Candidate generation shuffles ONLY (id, bucket) — never the token
+    # sets: at 100 TB the band explosion is ×bands rows, and carrying the
+    # token arrays through it would multiply shuffle bytes by the document
+    # size.  Bucket key includes the band index so bands can't cross-collide.
+    bucketed = base.select("_id", F.explode("_bands").alias("_bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+    candidate_ids = (
+        a.join(b, "_bucket")
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._tokset").alias("tok_a"),
-            F.col("b._tokset").alias("tok_b"),
         )
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verification: join token sets back (two hash joins on id), exact
+    # Jaccard only on the surviving candidate pairs.
+    toksets = base.select("_id", "_tokset")
+    candidates = (
+        candidate_ids.join(
+            toksets.select(
+                F.col("_id").alias("id_a"), F.col("_tokset").alias("tok_a")
+            ),
+            "id_a",
+        )
+        .join(
+            toksets.select(
+                F.col("_id").alias("id_b"), F.col("_tokset").alias("tok_b")
+            ),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
     union = F.size("tok_a") + F.size("tok_b") - inter
@@ -147,9 +194,11 @@ def ngram_jaccard_pairs(
     never do an unbucketed self-join; LSH (above) is the general bucketing,
     this operator is the verify-everything-in-a-partition variant.
     """
+    from tts_data_pipeline_spark.sources.readers import spread
+
     tokens = F.array_distinct(normalized_tokens(F.col(text_col)))
-    base = df.select(
-        F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols
+    base = spread(
+        df.select(F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols)
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")

@@ -104,7 +104,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only): 64-bit bit-vote signature per doc;
     near-dups are low-hamming-distance pairs within prefix buckets."""
-    d = table(spark, sf_dir, "documents")
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", D.simhash64(F.col("text")).alias("simhash")
     ).orderBy("doc_id")

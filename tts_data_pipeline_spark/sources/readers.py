@@ -42,6 +42,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the cluster's parallelism — for
+    compute-dense projections (minhash, simhash, pairwise verify) whose cost
+    is per-row CPU, not IO.
+
+    Parquet splits by file/row-group byte ranges, so a small-but-expensive
+    table (one row group) lands on ONE core no matter how many are free;
+    at 100 TB the scan already has ≥ parallelism partitions and this is a
+    no-op (we never shrink below the current partition count).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    current = df.rdd.getNumPartitions()
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
