@@ -1,0 +1,82 @@
+"""Round-trip tests for the sink operators (SURVEY.md §2.2, K1-K7)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tts_data_pipeline_spark import sinks
+
+BOOKS = [
+    (1, "book-a", "n1", ["u1", "u2"]),
+    (2, "book-b", "n1", ["u3"]),
+    (3, "book-c", "n2", []),
+]
+SCHEMA = T.StructType(
+    [
+        T.StructField("book_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("narrator_id", T.StringType()),
+        T.StructField("urls", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def test_write_csv_json_encodes_nested(spark, tmp_path):
+    df = spark.createDataFrame(BOOKS, SCHEMA)
+    out = str(tmp_path / "csv")
+    sinks.write_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    # nested column came back as JSON text; from_json restores it losslessly
+    restored = back.withColumn(
+        "urls", F.from_json("urls", T.ArrayType(T.StringType()))
+    )
+    rows = {r.book_id: r.urls for r in restored.collect()}
+    assert rows["1"] == ["u1", "u2"] and rows["3"] == []
+
+
+def test_write_json_records_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(BOOKS, SCHEMA)
+    out = str(tmp_path / "jsonl")
+    sinks.write_json_records(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 3
+    assert {r.name for r in back.collect()} == {"book-a", "book-b", "book-c"}
+
+
+def test_write_lines_one_value_per_line(spark, tmp_path):
+    df = spark.createDataFrame(BOOKS, SCHEMA)
+    out = str(tmp_path / "txt")
+    sinks.write_lines(df, "name", out)
+    lines = []
+    for f in glob.glob(os.path.join(out, "part-*")):
+        lines += open(f).read().splitlines()
+    assert sorted(lines) == ["book-a", "book-b", "book-c"]
+
+
+def test_write_partitioned_dataset_layout_and_pruning(spark, tmp_path):
+    df = spark.createDataFrame(BOOKS, SCHEMA)
+    out = str(tmp_path / "ds")
+    sinks.write_partitioned_dataset(df, out, partition_col="narrator_id")
+    # Hive-style speaker directories exist (K7 layout)
+    assert os.path.isdir(os.path.join(out, "narrator_id=n1"))
+    back = spark.read.parquet(out).filter(F.col("narrator_id") == "n1")
+    assert back.count() == 2
+    # partition filter prunes to the n1 directory only
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "n2" not in plan
+
+
+def test_write_hf_dataset_class_encodes_speaker(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s2", 1.0), ("s1", 2.0), ("s2", 3.0)], ["speaker", "duration"]
+    )
+    out = str(tmp_path / "hf")
+    sinks.write_hf_dataset(df, out, class_col="speaker")
+    back = spark.read.parquet(out)
+    got = {(r.speaker, r.speaker_label) for r in back.collect()}
+    # labels dense-ranked by sorted speaker name: s1 → 0, s2 → 1
+    assert got == {("s1", 0), ("s2", 1), ("s2", 1)}

@@ -28,6 +28,14 @@ try:
     from tts_data_pipeline_spark.plans import textops  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from tts_data_pipeline_spark.plans import coverage  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from tts_data_pipeline_spark.plans import qcops  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def queries():

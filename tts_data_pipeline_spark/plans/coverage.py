@@ -1,0 +1,412 @@
+"""Coverage queries completing the SURVEY.md §2 inventory: F3, F8, O2,
+U3/U4, C3/C4, C7, C10, C13 — plus the embedding-cosine near-dup and
+IVF-bucketed ANN extensions.
+
+Parity conventions as in plans/registry.py: computed ints → long, computed
+floats rounded on both sides, every ranked output totally ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tts_data_pipeline_spark.functions import vi_text
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+
+
+@query(
+    "f3_project_null_drop",
+    oracle="""
+    SELECT text_field
+    FROM (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS text_field,
+             doc_id
+      FROM documents
+    )
+    WHERE text_field IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def f3_project_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — project one column + drop nulls (reference
+    ``crawler/metadata.py:335-355``: ``df["audio_url"].dropna()``).
+    Nulls synthesized since the test tables are fully populated."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.when(F.col("doc_id") % 7 == 0, None)
+            .otherwise(F.col("source"))
+            .alias("text_field"),
+            "doc_id",
+        )
+        .na.drop(subset=["text_field"])
+        .orderBy("doc_id")
+        .select("text_field")
+    )
+
+
+@query(
+    "f8_pairing_predicate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+    ORDER BY o_orderkey
+    """,
+)
+def f8_pairing_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — existence/pairing predicate (reference ``post_process.py:47-75``:
+    audio kept only if a matching ``.txt`` exists).  Left-semi join: no
+    columns from the probe side, no row duplication, map-side broadcastable."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "o2_lexicographic_sort",
+    oracle="""
+    SELECT p_name, p_partkey
+    FROM part
+    ORDER BY p_name, p_partkey
+    LIMIT 100
+    """,
+)
+def o2_lexicographic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — lexicographic sort (reference sorts globs before pairing,
+    ``aeneas_batch_align.py:652-653``).  Total order via unique-key tiebreak;
+    LIMIT makes it a TakeOrdered (no full sort materialization)."""
+    p = table(spark, sf_dir, "part")
+    return p.select("p_name", "p_partkey").orderBy("p_name", "p_partkey").limit(100)
+
+
+@query(
+    "u3_u4_literal_parse_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN '{''name'': ''' || source || ''', ''id'': ' || doc_id || '}'
+               ELSE '[{''name'': ''' || source || ''', ''id'': ' || doc_id || '}, {''name'': None, ''id'': ' || (doc_id + 1) || '}]'
+             END AS lit
+      FROM documents
+    ), fixed AS (
+      SELECT doc_id,
+             CASE WHEN starts_with(trim(j), '[') THEN j ELSE '[' || j || ']' END AS arr
+      FROM (SELECT doc_id, replace(replace(lit, '''', '"'), 'None', 'null') AS j FROM raw)
+    )
+    SELECT doc_id,
+           CAST(json_array_length(arr) AS BIGINT) AS n_entries,
+           json_extract_string(arr, '$[0].name') AS first_name
+    FROM fixed
+    ORDER BY doc_id
+    """,
+)
+def u3_u4_literal_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+U4 — stringified-Python-literal parse and dict-or-list
+    normalization (reference stores narrator as a repr'd dict OR list in CSV,
+    re-parsed with ``ast.literal_eval`` at ``__init__.py:291-296``; normalized
+    to list at ``crawler/metadata.py:261-265``).  Literal strings are
+    synthesized from documents rows, then repr→JSON fixup + ``from_json`` +
+    wrap-scalar-as-array — the same path ``sources.read_books_csv`` uses."""
+    d = table(spark, sf_dir, "documents")
+    lit = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("{'name': '"), F.col("source"), F.lit("', 'id': "),
+            F.col("doc_id"), F.lit("}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("[{'name': '"), F.col("source"), F.lit("', 'id': "),
+            F.col("doc_id"), F.lit("}, {'name': None, 'id': "),
+            F.col("doc_id") + 1, F.lit("}]"),
+        )
+    )
+    j = F.regexp_replace(F.regexp_replace(lit, "'", '"'), r"\bNone\b", "null")
+    arr = F.when(F.trim(j).startswith("["), j).otherwise(
+        F.concat(F.lit("["), j, F.lit("]"))
+    )
+    entry = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("id", T.LongType())]
+    )
+    parsed = F.from_json(arr, T.ArrayType(entry))
+    return d.select(
+        "doc_id",
+        F.size(parsed).cast("long").alias("n_entries"),
+        parsed[0]["name"].alias("first_name"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c3_c4_alignment_derive",
+    oracle="""
+    SELECT event_id,
+           CAST(replace(CAST(event_id AS VARCHAR) || 'f', 'f', '') AS DOUBLE) AS seg_id,
+           ROUND(value * 1.5 - value, 4) AS duration
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def c3_c4_alignment_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+C4 — alignment-TSV derivations (reference
+    ``aeneas_batch_align.py:219-222``): segment duration ``round(end-start,4)``
+    and id cleanup ``"12f" → 12.0``.  Start/end synthesized from ``value``;
+    the same expressions back ``sources.read_alignment_tsv``."""
+    e = table(spark, sf_dir, "events")
+    raw_id = F.concat(F.col("event_id").cast("string"), F.lit("f"))
+    return e.select(
+        "event_id",
+        vi_text.clean_seg_id(raw_id).alias("seg_id"),
+        vi_text.segment_duration(F.col("value"), F.col("value") * 1.5).alias(
+            "duration"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "c7_sequence_number_extract",
+    oracle="""
+    SELECT fname,
+           CAST(regexp_extract(fname, '(\\d+)\\.\\w+$', 1) AS BIGINT) AS seq
+    FROM (
+      SELECT p_brand || '_part_' || CAST(p_partkey AS VARCHAR) || '.mp3' AS fname,
+             p_partkey
+      FROM part
+    )
+    ORDER BY p_partkey
+    """,
+)
+def c7_sequence_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — trailing sequence number from a filename (reference
+    ``process_all.py:612-617`` sorts audio parts by ``(\\d+)\\.ext``)."""
+    p = table(spark, sf_dir, "part")
+    fname = F.concat(
+        F.col("p_brand"), F.lit("_part_"), F.col("p_partkey").cast("string"),
+        F.lit(".mp3"),
+    )
+    return (
+        p.select(fname.alias("fname"), "p_partkey")
+        .select(
+            "fname",
+            vi_text.sequence_number(F.col("fname")).cast("long").alias("seq"),
+            "p_partkey",
+        )
+        .orderBy("p_partkey")
+        .select("fname", "seq")
+    )
+
+
+@query(
+    "c10_typographic_strip",
+    oracle="""
+    SELECT doc_id,
+           translate('“' || text || '”…', '“”‘’–•…', '') AS clean
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def c10_typographic_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — strip typographic quotes/dashes/ellipsis (reference
+    ``post_process.py:102-107``).  Input wrapped in the characters under test
+    since the synthetic docs are plain ASCII."""
+    d = table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("“"), F.col("text"), F.lit("”…"))
+    return d.select(
+        "doc_id", vi_text.strip_typographic(wrapped).alias("clean")
+    ).orderBy("doc_id")
+
+
+@query(
+    "c13_nfc_normalize",
+    oracle="""
+    SELECT doc_id, nfc_normalize('Vie' || chr(7879) || 't ' || text) AS nfc_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 — Unicode NFC normalization (reference ``process_all.py:174``).
+    Arrow-batched pandas UDF (no Catalyst builtin); DuckDB's nfc_normalize is
+    the oracle.  A decomposed Vietnamese prefix is prepended so the
+    normalization actually rewrites bytes."""
+    d = table(spark, sf_dir, "documents")
+    decomposed = F.concat(F.lit("Vieệt "), F.col("text"))
+    return d.select(
+        "doc_id", vi_text.nfc_normalize(decomposed).alias("nfc_text")
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_dot_product(a.v, b.v)
+               / greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6
+             ) AS cosine_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim
+    FROM pairs
+    WHERE cosine_sim >= 0.40
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets.
+
+    The bucketed-pair-space pattern at the vector layer: the label (at scale,
+    an LSH/IVF cell id) bounds the self-join, cosine verifies.  Dot products
+    are JVM-side ``aggregate(zip_with(...))`` — no Python in the loop."""
+    from tts_data_pipeline_spark.operators.similarity import cosine
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.40)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+    ), assign_ranked AS (
+      SELECT e.vec_id, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, cent.cv)
+                 / greatest(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12) DESC,
+                 cent.cid ASC) AS rn
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, cid FROM assign_ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM assign_ranked
+      WHERE vec_id < 8 AND rn <= 2
+    ), cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON p.cid = c.cid
+      WHERE c.vec_id <> p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(q.v, n.v)
+               / greatest(sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(n.v, n.v)), 1e-12), 6) AS cosine_sim
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e n ON n.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors — the scale path for ANN.
+
+    Deterministic codebook (every 50th vector), nearest-centroid cell
+    assignment, 2-cell probe per query, exact cosine re-rank within probed
+    cells.  At 100 TB: centroids broadcast (k ≪ n, the n×k assignment is a
+    broadcast nested-loop, no shuffle of the big side), cells are the
+    partition key, and each query touches nprobe cells instead of the full
+    corpus — O(n·k + q·n/k·nprobe) versus brute force O(q·n)."""
+    from tts_data_pipeline_spark.operators.similarity import cosine
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    sim_to_cent = cosine(F.col("v"), F.col("cv"))
+    assign_ranked = (
+        e.crossJoin(cent)
+        .select(
+            "vec_id",
+            "cid",
+            "v",
+            F.row_number()
+            .over(
+                W.partitionBy("vec_id").orderBy(
+                    sim_to_cent.desc(), F.col("cid").asc()
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    cells = assign_ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = assign_ranked.filter((F.col("vec_id") < 8) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.row_number()
+        .over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 5).orderBy("query_id", "rank")

@@ -1,0 +1,8 @@
+from tts_data_pipeline_spark.sinks.writers import (  # noqa: F401
+    write_csv,
+    write_hf_dataset,
+    write_json_records,
+    write_lines,
+    write_parquet,
+    write_partitioned_dataset,
+)

@@ -1,0 +1,110 @@
+"""Sink operators (SURVEY.md §2.2, K1-K7).
+
+Thin declarative wrappers over ``df.write`` — every sink is a distributed
+executor-side write (one file per partition), never a driver collect.  The
+reference writes row-at-a-time from the driver process
+(``df.to_csv`` ``crawler/metadata.py:295``, per-book JSON
+``__init__.py:331-340``, per-sentence txt ``process_all.py:354-356``,
+speaker-layout segments ``aeneas_batch_align.py:198-213``); here each maps
+to a parallel writer whose layout survives 1000 executors.
+
+Audio/binary encode (K4) lives in ``multimodal.audio`` (pandas-UDF encode →
+``write_partitioned_dataset``); the streamed HTTP download (K5) is an
+ingestion job, not a relational sink, and is intentionally out of scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — CSV write with header (reference ``df.to_csv(index=False)``,
+    ``crawler/metadata.py:295``).  Nested columns (arrays/structs) are
+    JSON-encoded first: CSV is a flat format, and the reference's
+    stringified-Python-repr round-trip (``ast.literal_eval``) is exactly the
+    bug class we avoid — JSON strings re-parse losslessly with ``from_json``.
+    """
+    flat = df
+    for name, dtype in df.dtypes:
+        if dtype.startswith(("array", "struct", "map")):
+            flat = flat.withColumn(name, F.to_json(F.col(name)))
+    flat.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json_records(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2 — JSON-lines write (reference: one JSON file per book,
+    ``__init__.py:331-340``).  JSONL shards scale where file-per-record
+    dies (100 TB = billions of records; object stores throttle on file
+    count long before byte count)."""
+    df.write.mode(mode).json(path)
+
+
+def write_lines(df: DataFrame, text_col: str, path: str, mode: str = "overwrite") -> None:
+    """K3 — line-oriented text write, one value per line (reference writes
+    one sentence per line, ``process_all.py:354-356``)."""
+    df.select(F.col(text_col).cast("string").alias("value")).write.mode(mode).text(
+        path
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """System-of-record write — columnar, compressed, statistics for
+    row-group skipping.  The engine's replacement for the reference's
+    metadata CSV."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "narrator_id",
+    mode: str = "overwrite",
+) -> None:
+    """K7 — dataset layout partitioned by speaker (reference writes
+    ``dataset/{narrator_id}/{book_id}_{seg}.*``,
+    ``aeneas_batch_align.py:198-213``).  Hive-style ``narrator_id=<v>/``
+    directories give partition pruning on speaker filters for free."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_hf_dataset(
+    df: DataFrame,
+    path: str,
+    class_col: str | None = "speaker",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """K6 — publish layout (reference pushes to HF Hub after class-encoding
+    the speaker column, ``push_to_hf.py:16-24``).
+
+    HF ``datasets`` loads parquet directories natively, so the publish step
+    is a parquet write; ``class_encode`` becomes a deterministic dense-rank
+    dimension join (label ids assigned by sorted label name — same semantics
+    as ``Dataset.class_encode_column``).  Returns the written DataFrame so
+    callers can also push the label mapping."""
+    out = df
+    if class_col is not None and class_col in df.columns:
+        from pyspark.sql import Window as W
+
+        labels = (
+            df.select(class_col)
+            .distinct()
+            .select(
+                F.col(class_col),
+                (F.dense_rank().over(W.orderBy(class_col)) - 1).alias(
+                    f"{class_col}_label"
+                ),
+            )
+        )
+        out = df.join(F.broadcast(labels), class_col, "left")
+    out.write.mode(mode).parquet(path)
+    return out
