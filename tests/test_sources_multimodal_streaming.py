@@ -151,3 +151,57 @@ def test_streaming_matches_batch_window_agg(spark):
         for r in w4_tumbling_window(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark):
+    """The applyInPandasWithState sessionizer must produce exactly the batch
+    gap-rule sessions, minus each user's final (still-open) session."""
+    from pyspark.sql import Window as W
+    from tts_data_pipeline_spark.sources import table
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stateful_sessions_to_memory,
+    )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in run_stateful_sessions_to_memory(
+            spark, SF_DIR, "t_stateful_sessions"
+        ).collect()
+    }
+
+    # batch expectation: gap > 30 min starts a new session per user
+    e = table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    closed = sess.join(
+        last,
+        (sess.user_id == last.user_id) & (sess.sess_id == last.last_id),
+        "left_anti",
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -63,6 +63,110 @@ def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+# state rides as micros since epoch — primitive longs keep the state store
+# compact and avoid timezone ambiguity inside the executor
+SESSION_STATE_SCHEMA = (
+    "session_start long, last_ts long, n_events long, total_value double"
+)
+
+
+def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API; same semantics as
+    the batch ``w3_sessionize`` query's gap rule).
+
+    Per user key, an open session lives in the state store as four scalars
+    (bounded state: O(1) per user, not O(events)); each micro-batch folds
+    its events in ts order, emits sessions that CLOSE (a gap > gap_seconds
+    splits), and parks the still-open tail back in state.  At scale the
+    state store shards by the grouping key across executors — this is the
+    pattern for any custom incremental operator Spark lacks natively."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ss, lt, n, tv = state.get
+        else:
+            ss = lt = None
+            n, tv = 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                t = int(ts.value // 1000)  # ns → us
+                if lt is None:
+                    ss = lt = t
+                    n, tv = 1, float(v)
+                elif t - lt > gap_seconds * 1_000_000:
+                    closed.append((key[0], ss, lt, n, round(tv, 2)))
+                    ss = lt = t
+                    n, tv = 1, float(v)
+                else:
+                    lt = t
+                    n += 1
+                    tv += float(v)
+        if lt is not None:
+            state.update((int(ss), int(lt), int(n), float(tv)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
+                    "n_events": c,
+                    "total_value": t,
+                }
+                for (u, s, e, c, t) in closed
+            ],
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "total_value",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessions_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stateful_sessions",
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive the stateful sessionizer over the file stream to completion.
+    Returns CLOSED sessions (each user's open tail stays in state — with an
+    unbounded stream it would close via timeout or a later gap)."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    out = stateful_sessionize(stream, gap_seconds)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, query_name: str = "windowed_events"
 ) -> DataFrame:
