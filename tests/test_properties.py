@@ -1,0 +1,153 @@
+"""Property-based checks (SURVEY.md §5.4) for the pure operator cores —
+the invariants the reference defines, verified over generated inputs:
+duration-parse round-trip, sentence-group thresholds, WER metric laws,
+resample length law, alignment conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tts_data_pipeline_spark.multimodal.align import fake_align_book
+from tts_data_pipeline_spark.multimodal.audio import resample_linear
+from tts_data_pipeline_spark.multimodal.image import fake_decode_image, resize_nearest
+from tts_data_pipeline_spark.multimodal.video import sample_frame_indices
+from tts_data_pipeline_spark.operators.grouping import _fold_one_group
+from tts_data_pipeline_spark.operators.qc import word_error_rate
+
+
+def naive_wer(ref: list[str], hyp: list[str]) -> float:
+    """Textbook O(nm) double-loop Levenshtein — the oracle for the
+    vectorized implementation."""
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return 0.0 if m == 0 else 1.0
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ref[i - 1] != hyp[j - 1]),
+            )
+        prev = cur
+    return prev[m] / n
+
+
+words = st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), max_size=12)
+
+
+@given(ref=words, hyp=words)
+@settings(max_examples=300, deadline=None)
+def test_wer_vectorized_equals_naive(ref, hyp):
+    assert word_error_rate(ref, hyp) == pytest.approx(naive_wer(ref, hyp))
+
+
+@given(ref=words)
+@settings(max_examples=100, deadline=None)
+def test_wer_identity_and_bounds(ref):
+    assert word_error_rate(ref, ref) == 0.0
+    if ref:
+        # deleting everything costs exactly len(ref)/len(ref) = 1
+        assert word_error_rate(ref, []) == 1.0
+
+
+@given(
+    h=st.integers(0, 99), m=st.integers(0, 59), s=st.integers(0, 59),
+    sep=st.sampled_from([":", ";"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_duration_parse_round_trip(spark, h, m, s, sep):
+    """C2 invariant (reference __init__.py:32-73): HH:MM:SS → seconds, and
+    the tolerant ';' variant parses identically."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.functions.vi_text import parse_duration_seconds
+    raw = f"{h:02d}{sep}{m:02d}{sep}{s:02d}"
+    got = (
+        spark.range(1)
+        .select(parse_duration_seconds(F.lit(raw)).alias("sec"))
+        .head()[0]
+    )
+    assert got == pytest.approx(h * 3600 + m * 60 + s)
+
+
+@given(
+    lens=st.lists(st.integers(1, 15), min_size=0, max_size=30),
+    threshold=st.integers(2, 40),
+)
+@settings(max_examples=200, deadline=None)
+def test_sentence_grouping_invariants(lens, threshold):
+    """X1 invariants (reference process_all.py:305-335): every emitted group
+    ≥ threshold words except possibly the last; trailing group kept iff
+    ≥ threshold/2; group word counts sum to ≤ total; order preserved."""
+    sentences = [" ".join(["w"] * k) for k in lens]
+    pdf = pd.DataFrame(
+        {"book": ["b"] * len(lens), "seq": range(len(lens)), "text": sentences}
+    )
+    out = _fold_one_group(pdf, threshold, "seq", "text", "book")
+    counts = [len(t.split()) for t in out["text"]]
+    # all but the final group reach the threshold
+    for c in counts[:-1]:
+        assert c >= threshold
+    if counts:
+        assert counts[-1] >= threshold / 2
+    # concatenation order preserved: output words == prefix of input words
+    out_words = " ".join(out["text"]).split()
+    in_words = " ".join(sentences).split()
+    assert out_words == in_words[: len(out_words)]
+
+
+@given(
+    n=st.integers(0, 500), sr=st.sampled_from([8000, 16000, 44100]),
+    target=st.sampled_from([4000, 16000, 24000]),
+)
+@settings(max_examples=100, deadline=None)
+def test_resample_length_law(n, sr, target):
+    y = np.linspace(-1, 1, n, dtype=np.float32)
+    out = resample_linear(y, sr, target)
+    if sr == target or n == 0:
+        assert len(out) == n
+    else:
+        assert len(out) == int(round(n * target / sr))
+    assert out.dtype == np.float32
+
+
+@given(
+    n_lines=st.integers(1, 20), total=st.floats(0.1, 1000),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_fake_align_conservation(n_lines, total, seed):
+    rng = np.random.default_rng(seed)
+    lines = ["x" * int(k) for k in rng.integers(1, 80, n_lines)]
+    seg = fake_align_book("b", lines, total)
+    # duration conserved (to rounding), contiguous, non-negative
+    assert seg["duration"].sum() == pytest.approx(total, abs=0.01 * n_lines)
+    assert (seg["duration"] >= 0).all()
+    assert np.allclose(seg["end"].values[:-1], seg["start"].values[1:], atol=1e-3)
+
+
+@given(
+    h=st.integers(1, 16), w=st.integers(1, 16),
+    oh=st.integers(1, 16), ow=st.integers(1, 16),
+)
+@settings(max_examples=100, deadline=None)
+def test_resize_shape_and_value_domain(h, w, oh, ow):
+    img = fake_decode_image(b"payload", h, w)
+    out = resize_nearest(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    # nearest-neighbor introduces no new values
+    assert set(np.unique(out)) <= set(np.unique(img))
+
+
+@given(n=st.integers(0, 100), k=st.integers(1, 20))
+@settings(max_examples=100, deadline=None)
+def test_frame_sampling_policy(n, k):
+    idx = sample_frame_indices(n, k)
+    assert idx[0] == 0
+    assert all(b - a == k for a, b in zip(idx, idx[1:]))
+    assert all(i < max(n, 1) for i in idx)

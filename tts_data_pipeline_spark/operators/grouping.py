@@ -27,9 +27,14 @@ GROUPED_SCHEMA = (
 def _fold_one_group(
     pdf: pd.DataFrame, threshold: int, order_col: str, text_col: str, key_col: str
 ) -> pd.DataFrame:
+    out: list[tuple] = []
+    if len(pdf) == 0:  # applyInPandas never passes empty groups; direct calls may
+        return pd.DataFrame(
+            out,
+            columns=["group_key", "group_idx", "text", "word_count", "n_sentences"],
+        )
     pdf = pdf.sort_values(order_col, kind="mergesort")
     key = pdf[key_col].iloc[0]
-    out: list[tuple] = []
     buf: list[str] = []
     words = 0
     gidx = 0
