@@ -80,3 +80,33 @@ def test_write_hf_dataset_class_encodes_speaker(spark, tmp_path):
     got = {(r.speaker, r.speaker_label) for r in back.collect()}
     # labels dense-ranked by sorted speaker name: s1 → 0, s2 → 1
     assert got == {("s1", 0), ("s2", 1), ("s2", 1)}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    shuffle exchange — the co-located-join layout for 100 TB fact-fact
+    joins."""
+    from tts_data_pipeline_spark.sinks.writers import write_bucketed_table
+
+    li = spark.createDataFrame(
+        [(i % 50, i, float(i)) for i in range(500)], ["orderkey", "line", "qty"]
+    )
+    o = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(50)], ["orderkey", "status"]
+    )
+    write_bucketed_table(li, "t_li_bucketed", "orderkey", 8, sort_col="orderkey")
+    write_bucketed_table(o, "t_o_bucketed", "orderkey", 8, sort_col="orderkey")
+    try:
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_bucketed").join(
+            spark.table("t_o_bucketed"), "orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")

@@ -77,6 +77,28 @@ def write_partitioned_dataset(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout.
+
+    Two tables bucketed on the same key into the same bucket count join
+    WITHOUT a shuffle exchange (and without a sort, if also sorted): at
+    100 TB the fact-fact join's shuffle is usually the single largest cost
+    in the pipeline, and pre-bucketing the system-of-record tables amortizes
+    it across every downstream join/aggregation on that key.  Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the files)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
 def write_hf_dataset(
     df: DataFrame,
     path: str,
