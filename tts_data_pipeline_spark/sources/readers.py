@@ -34,6 +34,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds only, so ``ts div 1000`` is lossless.
     """
     if name == "events":
+        # Pin the session to UTC whenever timestamps enter a plan: the
+        # driver's session may run in any host timezone, and collected
+        # timestamps render in session-local time while DuckDB stays naive
+        # (caught by the TZ=America/New_York probe in the verify recipe).
+        from tts_data_pipeline_spark.session import ensure_utc
+
+        ensure_utc(spark)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
