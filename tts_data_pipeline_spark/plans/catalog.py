@@ -44,6 +44,10 @@ try:
     from tts_data_pipeline_spark.plans import multimodalops  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from tts_data_pipeline_spark.plans import streamingops  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def queries():

@@ -1,0 +1,52 @@
+"""Structured Streaming catalog queries — the streams run to completion
+locally (parquet file source → memory sink, ``processAllAvailable``) and
+return their result tables, so the driver checks STREAMING results, not a
+batch stand-in.
+
+``stream_tumbling_counts`` carries the SAME DuckDB oracle as the batch
+``w4_tumbling_window`` query: window()/watermark semantics are identical in
+batch and streaming by design, and this query proves it with a value-hash
+match.  The stateful sessionizer is rows-only (its state machine has no SQL
+equivalent; parity with the batch gap rule is pinned in tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.session import ensure_utc
+from tts_data_pipeline_spark.streaming.events import (
+    run_stateful_sessions_to_memory,
+    run_stream_to_memory,
+)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY THE STREAMING RUNTIME (file
+    source, watermark, incremental state) — hash-equal to the batch oracle."""
+    ensure_utc(spark)
+    out = run_stream_to_memory(spark, sf_dir, "q_stream_tumbling")
+    return out.orderBy("win_start", "event_type")
+
+
+@query("stream_stateful_sessions")
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed gap-sessions from the applyInPandasWithState operator
+    (rows-only; batch parity test in
+    tests/test_sources_multimodal_streaming.py)."""
+    ensure_utc(spark)
+    out = run_stateful_sessions_to_memory(spark, sf_dir, "q_stream_sessions")
+    return out.orderBy("user_id", "session_start")

@@ -152,6 +152,11 @@ def run_stateful_sessions_to_memory(
     """Drive the stateful sessionizer over the file stream to completion.
     Returns CLOSED sessions (each user's open tail stays in state — with an
     unbounded stream it would close via timeout or a later gap)."""
+    # state store shards = shuffle partitions; a plain session's default of
+    # 200 means 200 state stores for a local run — bound it to the core count
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
     out = stateful_sessionize(stream, gap_seconds)
     q = (
@@ -177,6 +182,9 @@ def run_stream_to_memory(
     watermark in append mode only emits closed windows — for a finite file
     source nothing would close.
     """
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     agg = windowed_counts(read_events_stream(spark, sf_dir))
     q = (
         agg.writeStream.outputMode("complete")
