@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the scale-critical plan properties the
+100 TB design depends on, asserted against `.explain` output so a future
+refactor can't silently regress them (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tts_data_pipeline_spark.plans import catalog
+
+
+def plan_of(spark, name: str) -> str:
+    df = catalog.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = catalog.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "flagship_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # all four predicates reach the reader
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any(frag in ln for ln in pushed), (frag, pushed)
+
+
+def test_q1_prunes_unread_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # projection needs 7 of 11 lineitem columns; pruned ones must not be read
+    for absent in ("l_partkey", "l_suppkey", "l_orderkey"):
+        assert not any(absent in ln for ln in read), (absent, read)
+
+
+def test_q1_aggregates_partially_before_shuffle(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # two-phase hash aggregation: partial before the exchange, final after
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in plan, plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(spark, "j6_anti_join_outliers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "o2_lexicographic_sort")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_bucket_join_shuffles_no_token_arrays(spark):
+    """The LSH candidate join must not carry token sets through the band
+    explosion — only (id, bucket)."""
+    opt = optimized_of(spark, "dedup_minhash_lsh")
+    # the explode node's output must not include the token-set column
+    explode_lines = [
+        ln for ln in opt.splitlines() if "Generate explode" in ln
+    ]
+    assert explode_lines, opt
+    assert all("_tokset" not in ln for ln in explode_lines), explode_lines
+
+
+def test_ivf_broadcasts_codebook(spark):
+    plan = plan_of(spark, "sim_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No catalog query may plan an unintended cartesian product (the IVF
+    n×k assignment is an intended broadcast nested-loop; plain
+    CartesianProduct = both sides big = death at scale)."""
+    for name, fn in catalog.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming queries execute at build time
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
