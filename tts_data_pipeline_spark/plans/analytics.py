@@ -212,3 +212,30 @@ def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("key").alias("l_orderkey"), "l_quantity", "o_orderstatus"
     ).orderBy("l_orderkey", "l_quantity", "o_orderstatus")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary subtotal combinations in one
+    shuffle (SQL form: the DataFrame API only exposes rollup/cube)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
