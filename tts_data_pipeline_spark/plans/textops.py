@@ -284,3 +284,99 @@ def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_group_by_threshold(sentences, threshold=20).orderBy(
         "group_key", "group_idx"
     )
+
+
+@query(
+    "ta_trigram_lang_id",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang, substring(lower(text), i, 3) AS tri
+      FROM documents, LATERAL unnest(range(1, greatest(length(text) - 1, 1))) AS t(i)
+    ), train AS (
+      SELECT * FROM tri WHERE doc_id % 5 < 4
+    ), profile AS (
+      SELECT lang AS profile_lang, tri FROM (
+        SELECT lang, tri, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS rn
+        FROM train GROUP BY lang, tri
+      ) WHERE rn <= 20
+    ), test_tri AS (
+      SELECT DISTINCT doc_id, lang, tri FROM tri WHERE doc_id % 5 = 4
+    ), scores AS (
+      SELECT t.doc_id, t.lang AS true_lang, p.profile_lang,
+             COUNT(*) AS overlap
+      FROM test_tri t JOIN profile p USING (tri)
+      GROUP BY t.doc_id, t.lang, p.profile_lang
+    ), predicted AS (
+      SELECT doc_id, true_lang, profile_lang AS predicted_lang
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY overlap DESC, profile_lang ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM predicted
+    GROUP BY true_lang, predicted_lang
+    ORDER BY true_lang, predicted_lang
+    """,
+)
+def ta_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-trigram profiles (the classic n-gram
+    heuristic): learn top-20 trigrams per language on a deterministic 80%
+    train split, classify held-out docs by argmax profile overlap, report
+    the confusion matrix.
+
+    All JVM-side: trigram explode (substr over a sequence), two keyed aggs,
+    a broadcast profile join (k·langs rows ≪ corpus), two window top-1s.
+    At 100 TB the profile build is one pass and the classify join broadcasts
+    the profiles — no shuffle of the corpus beyond the trigram explode."""
+    from pyspark.sql import Window as W
+
+    d = spread(table(spark, sf_dir, "documents"))
+    lowered = F.lower(F.col("text"))
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(0))),
+        lambda i: lowered.substr(i, F.lit(3)),
+    )
+    tri = d.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
+    train = tri.filter(F.col("doc_id") % 5 < 4)
+    counted = train.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+    profile = (
+        counted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "tri")
+    )
+    test_tri = (
+        tri.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", F.col("lang").alias("true_lang"), "tri")
+        .distinct()
+    )
+    scores = (
+        test_tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "true_lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    predicted = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc("overlap"), F.asc("profile_lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return (
+        predicted.groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
