@@ -239,3 +239,98 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, linestatus
         """
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition).
+    At 100 TB swap in ``percentile_approx`` (t-digest sketch, mergeable,
+    fixed memory) — exact percentile holds the whole group's values."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "w6_calendar_agg",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, hour
+    """,
+)
+def w6_calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc + hour extraction — the partition-key
+    derivation every time-partitioned 100 TB table uses (`PARTITION BY
+    date_trunc('day', ts)` prunes scans to the queried days)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day", "hour")
+    )
+
+
+@query(
+    "j9_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS k
+      FROM documents
+    ), r AS (
+      SELECT DISTINCT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+      FROM documents
+    )
+    SELECT l.doc_id, l.k
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY l.doc_id
+    """,
+)
+def j9_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — still hash-partitionable (NULL
+    is one bucket), unlike a theta join."""
+    d = table(spark, sf_dir, "documents")
+    l = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")).alias("k"),
+    )
+    r = (
+        d.select(
+            F.when(F.col("doc_id") % 5 == 0, None)
+            .otherwise(F.col("lang"))
+            .alias("k")
+        )
+        .distinct()
+    )
+    return (
+        l.join(r, l["k"].eqNullSafe(r["k"]))
+        .select(l["doc_id"], l["k"])
+        .orderBy("doc_id")
+    )
