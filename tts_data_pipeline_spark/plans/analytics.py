@@ -334,3 +334,84 @@ def j9_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(l["doc_id"], l["k"])
         .orderBy("doc_id")
     )
+
+
+@query(
+    "j10_asof_join",
+    oracle="""
+    WITH trades AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), quotes AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT t.event_id, t.user_id, t.ts,
+           ROUND(t.value, 2) AS trade_value,
+           q.event_id AS r_event_id,
+           ROUND(q.value, 2) AS r_value
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    ORDER BY t.event_id
+    """,
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase matched to the user's latest prior view.
+
+    Implemented with the union-tag + last_value(ignoreNulls) window (ONE
+    shuffle on the key, no range explosion); DuckDB's native ASOF JOIN is
+    the oracle, so the semantics equivalence is value-checked."""
+    from tts_data_pipeline_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(trades, quotes, key="user_id", ts="ts", right_cols=("event_id", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("trade_value"),
+        F.col("r_event_id"),
+        F.round("r_value", 2).alias("r_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "j11_interval_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, value AS s, value + 20 AS e FROM events
+      WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id, value AS s, value + 20 AS e FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+    FROM l JOIN r ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+    ORDER BY l_event_id, r_event_id
+    """,
+)
+def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bucket candidates + exact verify —
+    row-identical to the theta join (the oracle) without the cartesian:
+    each interval meets only intervals sharing a bucket."""
+    from tts_data_pipeline_spark.operators.asof import interval_join
+
+    e = table(spark, sf_dir, "events")
+    mk = lambda t: (
+        e.filter(F.col("event_type") == t).select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("start"),
+            (F.col("value") + 20).alias("end"),
+        )
+    )
+    out = interval_join(mk("click"), mk("error"), key="user_id", bucket_width=50.0)
+    return out.select(
+        F.col("l_event_id"), F.col("r_event_id")
+    ).orderBy("l_event_id", "r_event_id")
