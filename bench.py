@@ -45,9 +45,14 @@ HEADLINE = [
     "sim_ivf_topk",
     "ta_quality_score",
     "ta_tfidf_topterms",
+    "ta_trigram_lang_id",
     "qc_wer_gate",
     "agg_rollup",
+    "agg_percentiles",
     "j8_salted_skew_join",
+    "j10_asof_join",
+    "j11_interval_join",
+    "w7_hierarchical_rollup",
 ]
 
 

@@ -110,3 +110,12 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    df = spark.range(1000).repartition(64)
+    out = spread(df, min_partitions=32)
+    # already at/above target: same plan, no extra exchange
+    assert out is df

@@ -415,3 +415,41 @@ def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_event_id"), F.col("r_event_id")
     ).orderBy("l_event_id", "r_event_id")
+
+
+@query(
+    "w7_hierarchical_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def w7_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hour level is computed
+    FROM the minute-level rollup (sums of sums, counts of counts), not from
+    raw events — the oracle aggregates raw directly, so the hash match
+    proves re-aggregation correctness.  At 100 TB the minute table is the
+    materialized rollup; every coarser resolution derives from it without
+    touching raw data again."""
+    e = table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+    )
+    return hour.orderBy("hour", "event_type")
