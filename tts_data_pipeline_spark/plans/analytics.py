@@ -168,7 +168,9 @@ def ta_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # NO broadcast hint: the term-df table scales with vocabulary (can be
+    # 10^8 rows at 100 TB); AQE broadcasts it at small scale on its own.
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         F.round(

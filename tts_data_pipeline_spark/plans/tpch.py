@@ -88,7 +88,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE decides per run
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("o_key"), "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -281,7 +282,8 @@ def q18_large_volume_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE decides per run
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 210)
