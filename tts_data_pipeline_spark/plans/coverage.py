@@ -410,3 +410,75 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 5).orderBy("query_id", "rank")
+
+
+@query(
+    "u6_unpivot_melt",
+    oracle="""
+    SELECT doc_id, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ) UNPIVOT (val FOR metric IN (n_chars, n_words))
+    ORDER BY doc_id, metric
+    """,
+)
+def u6_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — unpivot/melt (wide metrics → long rows), the inverse of U2's
+    pivot; narrow output shuffles and aggregates by (id, metric) without a
+    per-metric query fan-out."""
+    d = table(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    return (
+        wide.unpivot(
+            ids=["doc_id"],
+            values=["n_chars", "n_words"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("doc_id", "metric")
+    )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match dedup: edit-distance pairs within nation buckets — the
+    typo-level near-dup modality (exact hash, MinHash, SimHash, embedding
+    cosine cover the other granularities).  Bucketing bounds the pair
+    space; levenshtein is a JVM builtin on both engines."""
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    c = spread(table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("id_a", "id_b")
+    )
