@@ -455,3 +455,20 @@ def w7_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour.orderBy("hour", "event_type")
+
+
+@query("agg_percentiles_sketch")
+def agg_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentiles (rows-only: sketch values are
+    implementation-defined): ``percentile_approx`` keeps a fixed-size
+    mergeable buffer per group instead of holding every value, which is
+    what survives a 100 TB group-by."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

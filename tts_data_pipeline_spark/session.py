@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch rows bound executor memory for UDFs over fat rows
+        # (binary payloads, decoded waveforms/pixels); 10k default rows ×
+        # multi-MB media = OOM at scale, 2048 keeps batches ~GB-safe
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
