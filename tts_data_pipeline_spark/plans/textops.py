@@ -336,10 +336,15 @@ def ta_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(table(spark, sf_dir, "documents"))
     lowered = F.lower(F.col("text"))
-    tri_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(0))),
-        lambda i: lowered.substr(i, F.lit(3)),
-    )
+    # guard: sequence(1, 0) steps BACKWARD in Spark ([1, 0]), so a sub-3-char
+    # text must yield an empty array, not two bogus "trigrams"
+    tri_arr = F.when(
+        F.length(lowered) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(lowered) - 2),
+            lambda i: lowered.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tri = d.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
     train = tri.filter(F.col("doc_id") % 5 < 4)
     counted = train.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
