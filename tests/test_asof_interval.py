@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 
+from pyspark.sql import functions as F
+
 from tts_data_pipeline_spark.operators.asof import asof_join, interval_join
 
 
@@ -58,3 +60,36 @@ def test_interval_join_overlap_cases(spark):
     assert pairs == [("a", "x"), ("b", "z")]
     # multi-bucket span produced exactly one row (distinct collapsed)
     assert out.count() == 2
+
+
+def test_asof_null_in_matched_right_row_stays_null(spark):
+    """The matched right row's own NULL must come through — not an older
+    row's value (right columns ride as one struct)."""
+    left = spark.createDataFrame([("k", 10, 1)], ["k", "ts", "lid"])
+    right = spark.createDataFrame(
+        [("k", 2, 3.0, 2), ("k", 8, None, 8)], ["k", "ts", "val", "rid"]
+    )
+    out = asof_join(left, right, key="k", ts="ts", right_cols=("val", "rid")).collect()
+    assert out[0].r_rid == 8
+    assert out[0].r_val is None  # NOT 3.0 leaked from the older row
+
+
+def test_interval_join_preserves_duplicate_rows(spark):
+    """Genuinely duplicate input rows must produce one output row each,
+    like the theta join (first-shared-bucket dedup, not row distinct)."""
+    left = spark.createDataFrame(
+        [("k", 0.0, 10.0, "a"), ("k", 0.0, 10.0, "a")],
+        ["key", "start", "end", "lid"],
+    )
+    right = spark.createDataFrame([("k", 5.0, 6.0, "x")], ["key", "start", "end", "rid"])
+    out = interval_join(left, right, key="key", bucket_width=3.0)
+    assert out.count() == 2  # theta join would also emit 2
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest
+    from tts_data_pipeline_spark.operators.skew import salted_join
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")

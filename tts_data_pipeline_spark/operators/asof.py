@@ -34,8 +34,14 @@ def asof_join(
     ``right.ts <= left.ts`` within ``key``.  Left rows with no prior right
     row keep NULLs (left-outer as-of semantics)."""
     lcols = [c for c in left.columns]
+    # Right-side columns ride as ONE struct so last(ignoreNulls) carries the
+    # whole matched row atomically: the struct itself is non-null exactly on
+    # right rows, so a NULL inside a right column stays NULL in the result
+    # instead of leaking an older row's value into that one field.
     tagged_left = left.select(
-        *lcols, F.lit(1).alias("_side"), *[F.lit(None).alias(f"_r_{c}") for c in right_cols]
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).alias("_r"),
     )
     tagged_right = right.select(
         *[
@@ -43,8 +49,11 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
+    # unionByName needs matching types: cast the left's NULL to the struct
+    rtype = dict(tagged_right.dtypes)["_r"]
+    tagged_left = tagged_left.withColumn("_r", F.col("_r").cast(rtype))
     unioned = tagged_left.unionByName(tagged_right)
     # right rows sort before left rows at the same timestamp, so an exact
     # ts tie matches (<= semantics, like DuckDB ASOF)
@@ -56,15 +65,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
-    for c in right_cols:
-        out = out.withColumnRenamed(f"_r_{c}", f"r_{c}")
-    return out
+    out = filled.filter(F.col("_side") == 1)
+    return out.select(
+        *lcols, *[F.col("_r")[c].alias(f"r_{c}") for c in right_cols]
+    )
 
 
 def interval_join(
@@ -77,8 +83,11 @@ def interval_join(
 ) -> DataFrame:
     """Overlapping-interval pairs within ``key``: ``l.start < r.end AND
     r.start < l.end`` — candidates via time-bucket equi-join, exact overlap
-    verify, distinct to collapse multi-bucket hits.  Expects numeric
-    start/end columns; left/right columns come back prefixed ``l_``/``r_``."""
+    verify.  A pair spanning several shared buckets is emitted only from its
+    FIRST shared bucket (max of the two start buckets), so multi-bucket hits
+    dedupe positionally and genuinely duplicate input rows still produce one
+    output row each — row-identical to the theta join.  Expects numeric
+    start/end columns; columns come back prefixed ``l_``/``r_``."""
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         b = F.explode(
@@ -86,7 +95,7 @@ def interval_join(
                 F.floor(F.col(start) / bucket_width).cast("long"),
                 F.floor(F.col(end) / bucket_width).cast("long"),
             )
-        ).alias("_bucket")
+        ).alias(f"{prefix}__bucket")
         return df.select(
             F.col(key).alias(f"{prefix}_{key}"),
             F.col(start).alias(f"{prefix}_{start}"),
@@ -103,9 +112,17 @@ def interval_join(
     rb = bucketed(right, "r")
     joined = lb.join(
         rb,
-        (lb[f"l_{key}"] == rb[f"r_{key}"]) & (lb["_bucket"] == rb["_bucket"]),
-    ).drop("_bucket")
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col("l__bucket") == F.col("r__bucket")),
+    )
     overlap = (F.col(f"l_{start}") < F.col(f"r_{end}")) & (
         F.col(f"r_{start}") < F.col(f"l_{end}")
     )
-    return joined.filter(overlap).distinct()
+    first_shared_bucket = F.greatest(
+        F.floor(F.col(f"l_{start}") / bucket_width).cast("long"),
+        F.floor(F.col(f"r_{start}") / bucket_width).cast("long"),
+    )
+    return (
+        joined.filter(overlap & (F.col("l__bucket") == first_shared_bucket))
+        .drop("l__bucket", "r__bucket")
+    )

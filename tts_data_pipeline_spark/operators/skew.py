@@ -32,7 +32,17 @@ def salted_join(
     whole row being deterministic isn't required — any column unique-ish
     within a key works; correctness never depends on the salt value, only
     distribution quality does).
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated once per salt bucket, so a right/full outer join would emit
+    each unmatched right row ``salt_buckets`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows "
+            "under right/full outer semantics"
+        )
     src = F.col(salt_src) if salt_src else F.spark_partition_id()
     lsalted = left.withColumn(
         "_salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets))

@@ -167,15 +167,23 @@ def ta_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    # NO broadcast hint: the term-df table scales with vocabulary (can be
-    # 10^8 rows at 100 TB); AQE broadcasts it at small scale on its own.
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    # corpus size as a lazy broadcast 1-row crossJoin (the oracle's CROSS
+    # JOIN n): an eager d.count() would run a full scan at plan-BUILD time.
+    # NO broadcast hint on df_: the term-df table scales with vocabulary
+    # (can be 10^8 rows at 100 TB); AQE broadcasts it at small scale.
+    n = d.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     ranked = scored.select(
         "doc_id",

@@ -457,28 +457,39 @@ def u6_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-match dedup: edit-distance pairs within nation buckets — the
-    typo-level near-dup modality (exact hash, MinHash, SimHash, embedding
-    cosine cover the other granularities).  Bucketing bounds the pair
-    space; levenshtein is a JVM builtin on both engines."""
+    """Fuzzy-match dedup: edit-distance pairs within (nation, name-length)
+    bands — the typo-level near-dup modality (exact hash, MinHash, SimHash,
+    embedding cosine cover the other granularities).
+
+    Candidate bounding: distance ≤ 1 implies |len(a) − len(b)| ≤ 1, so side
+    B emits band keys {len−1, len, len+1} and side A joins on its own
+    length — each qualifying pair meets on exactly ONE band key (no dedup
+    pass), and the pair space is per-(nation, length) instead of
+    per-nation quadratic.  levenshtein is a JVM builtin on both engines."""
     from tts_data_pipeline_spark.sources.readers import spread
 
     c = spread(table(spark, sf_dir, "customer")).select(
-        "c_custkey", "c_name", "c_nationkey"
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("_len")
     )
-    a, b = c.alias("a"), c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("_len").alias("_band"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat"),
+        F.explode(
+            F.array(F.col("_len") - 1, F.col("_len"), F.col("_len") + 1)
+        ).alias("_band"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            dist.cast("long").alias("dist"),
-        )
+        a.join(b, ["nat", "_band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
         .filter(F.col("dist") <= 1)
         .orderBy("id_a", "id_b")
     )

@@ -153,22 +153,27 @@ def run_stateful_sessions_to_memory(
     Returns CLOSED sessions (each user's open tail stays in state — with an
     unbounded stream it would close via timeout or a later gap)."""
     # state store shards = shuffle partitions; a plain session's default of
-    # 200 means 200 state stores for a local run — bound it to the core count
+    # 200 means 200 state stores for a local run — bound it to the core
+    # count for the stream, restoring the caller's conf afterwards
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
-    out = stateful_sessionize(stream, gap_seconds)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
+        out = stateful_sessionize(stream, gap_seconds)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -182,18 +187,22 @@ def run_stream_to_memory(
     watermark in append mode only emits closed windows — for a finite file
     source nothing would close.
     """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    agg = windowed_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        agg = windowed_counts(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
