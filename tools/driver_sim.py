@@ -58,7 +58,8 @@ def main() -> int:
 
     t0 = time.time()
     rows = e.entry(spark).collect()
-    print(f"entry(): {len(rows)} rows in {time.time() - t0:.1f}s; head={rows[0]}")
+    head = rows[0] if rows else "<empty>"
+    print(f"entry(): {len(rows)} rows in {time.time() - t0:.1f}s; head={head}")
     assert len(rows) > 0
 
     qs, oracles = e.queries(), e.oracle_sql()

@@ -188,12 +188,9 @@ def ta_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
-def _digits_chain_sql(col_sql: str) -> str:
-    """DuckDB replica of vi_text.digits_to_vi_words."""
-    out = col_sql
-    for d, w in V.VI_DIGITS.items():
-        out = f"replace({out}, '{d}', ' {w} ')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+# DuckDB digit→word replica lives in scalarfuncs; reuse it so the two
+# oracle builders cannot drift apart.
+from tts_data_pipeline_spark.plans.scalarfuncs import _ddb_digits as _digits_chain_sql
 
 
 _TX_CHAIN_ORACLE = (
