@@ -493,3 +493,47 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS id, c_name, c_nationkey, length(c_name) AS l
+      FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b
+        ON a.c_nationkey = b.c_nationkey
+       AND abs(a.l - b.l) <= 1
+       AND a.id < b.id
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id, MIN(comp) AS component
+    FROM reach
+    GROUP BY id
+    ORDER BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate clusters: connected components (iterative min-label
+    propagation, one shuffle-join per round, O(log n) rounds) over the
+    fuzzy-levenshtein near-dup pairs.  The component id is each cluster's
+    min member — the canonical dedup survivor.  Oracle replays the closure
+    with a recursive CTE, so cluster assignments are value-checked."""
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
+    return (
+        connected_components(pairs)
+        .select(F.col("id"), F.col("component"))
+        .orderBy("id")
+    )
