@@ -578,3 +578,40 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "w8_window_functions",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           ROUND(value - lag(value, 1) OVER w, 2) AS delta_prev,
+           ROUND(lead(value, 1) OVER w - value, 2) AS delta_next,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def w8_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window-function surface in one pass: lag/lead deltas,
+    ntile quartiles, percent_rank — all share ONE window spec, so Catalyst
+    evaluates them in a single sort per partition key."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value", 1).over(w), 2).alias(
+                "delta_prev"
+            ),
+            F.round(F.lead("value", 1).over(w) - F.col("value"), 2).alias(
+                "delta_next"
+            ),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("event_id")
+    )
