@@ -615,3 +615,62 @@ def w8_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           ROUND(MIN(l_quantity), 4) AS min_val,
+           ROUND(MAX(l_quantity), 4) AS max_val,
+           COUNT(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+           COUNT(DISTINCT l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*), COUNT(*) - COUNT(l_discount),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+           COUNT(DISTINCT l_discount)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: null counts, ranges, and cardinalities for the
+    numeric fact columns — the validation pass a pipeline runs before
+    promoting a 100 TB drop.  All columns profile in ONE scan (one
+    aggregate node computes every stat; the per-column rows unpivot from
+    a single aggregated row, versus the oracle's three scans)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    agg_exprs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        agg_exprs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    one = li.agg(*agg_exprs)
+    parts = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
