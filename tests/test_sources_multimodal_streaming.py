@@ -205,3 +205,15 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_merge_dedup_keeps_one_row_per_key(spark, tmp_path):
+    from tts_data_pipeline_spark.sources import table
+    from tts_data_pipeline_spark.streaming.events import stream_merge_dedup
+
+    target = str(tmp_path / "merged")
+    stream_merge_dedup(spark, SF_DIR, target, key_col="user_id")
+    out = spark.read.parquet(target)
+    n_keys = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert out.count() == n_keys
+    assert out.select("user_id").distinct().count() == n_keys

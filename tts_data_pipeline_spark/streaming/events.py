@@ -206,3 +206,45 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_merge_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    key_col: str = "user_id",
+) -> None:
+    """Streaming upsert sink via foreachBatch: each micro-batch exact-dedups
+    on the key and merges into the parquet target (J5's full-outer+coalesce
+    upsert, applied incrementally).
+
+    This is the arrival-time dedup pattern for continuous ingestion: the
+    batch inside foreachBatch is a plain DataFrame, so the SAME merge logic
+    (and the same oracle-checked semantics) serves batch backfill and the
+    stream.  With a transactional table format (Delta/Iceberg) the
+    read-modify-write becomes MERGE INTO; plain parquet needs the rewrite."""
+    import os
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates([key_col])
+        s = batch.sparkSession
+        if any(f.startswith("part-") for f in (os.listdir(target_path) if os.path.isdir(target_path) else [])):
+            current = s.read.parquet(target_path)
+            keep = current.join(batch, key_col, "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        # plain-parquet rewrite: stage then swap (atomic enough for local
+        # verification; table formats make this transactional)
+        tmp = target_path + "__stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
