@@ -674,3 +674,69 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+@query(
+    "agg_dispersion_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_dispersion_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group — stddev/variance/correlation/
+    covariance, all single-pass partial-aggregatable (Welford-style merge),
+    so one shuffle regardless of group size."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH un AS (
+      SELECT label, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, CAST(idx AS BIGINT) AS dim, ROUND(AVG(val), 6) AS dim_avg
+    FROM un
+    GROUP BY label, idx
+    ORDER BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the k-means/IVF
+    codebook-training primitive.  Element-wise mean via posexplode →
+    (label, dim) partial averages; one shuffle on (label, dim).  Output is
+    one row per (label, dim) — scalar columns hash portably across engines,
+    where array-valued outputs stringify differently."""
+    e = table(spark, sf_dir, "embeddings")
+    un = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val"),
+    )
+    return (
+        un.groupBy("label", F.col("idx").cast("long").alias("dim"))
+        .agg(F.round(F.avg("val"), 6).alias("dim_avg"))
+        .orderBy("label", "dim")
+    )
