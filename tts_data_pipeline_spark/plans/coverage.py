@@ -537,3 +537,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id"), F.col("component"))
         .orderBy("id")
     )
+
+
+@query(
+    "u7_set_operations",
+    oracle="""
+    WITH big_buyers AS (
+      SELECT DISTINCT o_custkey AS c FROM orders WHERE o_totalprice > 200000
+    ), building AS (
+      SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'intersect' AS op, c FROM (SELECT c FROM big_buyers INTERSECT SELECT c FROM building)
+    UNION ALL
+    SELECT 'except', c FROM (SELECT c FROM big_buyers EXCEPT SELECT c FROM building)
+    ORDER BY op, c
+    """,
+)
+def u7_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 — INTERSECT / EXCEPT set semantics (both compile to left-semi /
+    left-anti aggregated joins; no full materialization of either set)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("c")
+    )
+    inter = big.intersect(building).select(F.lit("intersect").alias("op"), "c")
+    exc = big.exceptAll(building.distinct()).select(F.lit("except").alias("op"), "c")
+    return inter.unionByName(exc).orderBy("op", "c")
+
+
+@query(
+    "a10_string_agg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_names,
+           COUNT(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def a10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — ordered string aggregation (listagg): collect_list + sort +
+    join keeps the concat deterministic under parallel aggregation (plain
+    collect order is partition-dependent)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_nationkey")
+    )
