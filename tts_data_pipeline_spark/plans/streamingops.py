@@ -50,3 +50,28 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_stateful_sessions_to_memory(spark, sf_dir, "q_stream_sessions")
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY c.cohort_day
+    ORDER BY c.cohort_day
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run by the streaming runtime, hash-checked
+    against the equivalent batch join+aggregate oracle."""
+    from tts_data_pipeline_spark.streaming.events import run_stream_static_enrich
+
+    ensure_utc(spark)
+    out = run_stream_static_enrich(spark, sf_dir, "q_stream_static")
+    return out.orderBy("cohort_day")

@@ -382,3 +382,78 @@ def ta_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+@query(
+    "ta_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) >= 5 THEN
+               list_transform(generate_series(1, len(words) - 4),
+                              i -> md5(array_to_string(words[i:i+4], ' ')))
+             ELSE [md5(array_to_string(words, ' '))] END AS hashes
+      FROM t
+    ), win AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) >= 4 THEN
+               list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+                             j -> list_min(hashes[j:j+3])))
+             ELSE [list_min(hashes)] END AS fps
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS min_fp
+    FROM win
+    ORDER BY doc_id
+    """,
+)
+def ta_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): 5-gram shingle
+    hashes → min hash per sliding window of 4 → the distinct minima are the
+    fingerprint set.  Guarantees a shared fingerprint for any sufficiently
+    long shared substring, at a bounded fraction of positions stored.
+
+    Staged selects materialize words → hashes → windows as attributes so
+    nothing recomputes per window (Column trees are not DAGs)."""
+    d = spread(table(spark, sf_dir, "documents"))
+    worded = d.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    hashed = worded.select(
+        "doc_id",
+        F.when(
+            F.size("words") >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 4),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("words", i, 5)).cast("binary")
+                ),
+            ),
+        )
+        .otherwise(
+            F.array(F.md5(F.concat_ws(" ", F.col("words")).cast("binary")))
+        )
+        .alias("hashes"),
+    )
+    windowed = hashed.select(
+        "doc_id",
+        F.when(
+            F.size("hashes") >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hashes") - 3),
+                    lambda j: F.array_min(F.slice("hashes", j, 4)),
+                )
+            ),
+        )
+        .otherwise(F.array(F.array_min("hashes")))
+        .alias("fps"),
+    )
+    return windowed.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+    ).orderBy("doc_id")

@@ -248,3 +248,46 @@ def stream_merge_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enriched"
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (each user's cohort day, computed batch-side), then aggregated
+    per cohort.  The static side re-resolves per micro-batch, so a dimension
+    update is picked up without restarting the stream — the standard pattern
+    for slowly-changing enrichment at scale."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.sources.readers import table
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        static_cohorts = (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        )
+        stream = read_events_stream(spark, sf_dir)
+        enriched = stream.join(static_cohorts, "user_id")
+        agg = enriched.groupBy("cohort_day").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
