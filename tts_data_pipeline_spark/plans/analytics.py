@@ -740,3 +740,78 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("dim_avg"))
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "a11_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a11_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: phase 1 groups
+    by (key, salt) so a hot key's rows spread across reducers, phase 2
+    merges the partials per key.  Result is identical to the plain
+    aggregate (the oracle) — only the shuffle distribution changes.  With
+    only algebraic aggregates (sum/count/max) the merge is exact; Spark's
+    own partial aggregation does this map-side, salting extends it to the
+    REDUCE side when one key's partials still overwhelm a single task."""
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    )
+    phase1 = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_quantity").alias("p_sum"),
+        F.count("*").alias("p_n"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_sum"), 2).alias("sum_qty"),
+            F.sum("p_n").alias("n"),
+            F.round(F.max("p_max"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sql_front_door",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: the IDENTICAL SQL text runs on Spark
+    (over registered temp views) and on DuckDB — same plan semantics from
+    either API, since both feed the same Catalyst pipeline as the
+    DataFrame builders."""
+    from tts_data_pipeline_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
