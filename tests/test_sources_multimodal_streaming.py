@@ -217,3 +217,12 @@ def test_stream_merge_dedup_keeps_one_row_per_key(spark, tmp_path):
     n_keys = table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert out.count() == n_keys
     assert out.select("user_id").distinct().count() == n_keys
+    # second run merges into the EXISTING target (anti-join + union path):
+    # still exactly one row per key, and the staging dir is cleaned up
+    import os
+
+    stream_merge_dedup(spark, SF_DIR, target, key_col="user_id")
+    again = spark.read.parquet(target)
+    assert again.count() == n_keys
+    assert again.select("user_id").distinct().count() == n_keys
+    assert not os.path.exists(target + "__stage")

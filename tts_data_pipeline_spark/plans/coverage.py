@@ -567,7 +567,7 @@ def u7_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("c")
     )
     inter = big.intersect(building).select(F.lit("intersect").alias("op"), "c")
-    exc = big.exceptAll(building.distinct()).select(F.lit("except").alias("op"), "c")
+    exc = big.subtract(building).select(F.lit("except").alias("op"), "c")
     return inter.unionByName(exc).orderBy("op", "c")
 
 

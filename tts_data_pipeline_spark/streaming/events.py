@@ -224,6 +224,7 @@ def stream_merge_dedup(
     stream.  With a transactional table format (Delta/Iceberg) the
     read-modify-write becomes MERGE INTO; plain parquet needs the rewrite."""
     import os
+    import shutil
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates([key_col])
@@ -240,14 +241,22 @@ def stream_merge_dedup(
         merged.write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
 
-    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(target_path + "__stage", ignore_errors=True)
 
 
 def run_stream_static_enrich(
