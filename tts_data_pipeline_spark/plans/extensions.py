@@ -184,3 +184,42 @@ def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("_norm"), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+@query("dedup_minhash_ml")
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs via Spark ML's MinHashLSH /
+    approxSimilarityJoin (rows-only: ml hash coefficients aren't
+    DuckDB-replayable; the hand-built LSH above is the oracle-adjacent
+    twin and `dedup_ngram_jaccard_bucketed` value-checks the verify stage).
+
+    Pipeline: 5-gram shingle set (same granularity as the hand-built LSH)
+    → HashingTF sparse vectors → seeded MinHashLSH → approxSimilarityJoin
+    at Jaccard distance ≤ 0.5.  Demonstrates the
+    ml.feature integration path; the hand-built variant remains the
+    preferred production form (no fixed-width feature hashing collisions,
+    expression-level control)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.array_distinct(D.word_shingles(toks, 5)).alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True
+    )
+    feats = tf.transform(d)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=8)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.orderBy("id_a", "id_b")
