@@ -9,6 +9,7 @@ import random
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
 from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.operators import similarity as S
 
@@ -98,3 +99,24 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     # but finding SOME true neighbors and never a self-match is structural
     assert len(approx & exact) >= 3
     assert all(a != b for a, b in approx)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF ANN must recover most of the exact top-5 neighbors — recall@5
+    measured against the brute-force baseline on the same queries."""
+    from tts_data_pipeline_spark.plans.catalog import queries
+
+    qs = queries()
+    sf = SF_DIR
+    exact = {}
+    for r in qs["sim_bruteforce_cosine_topk"](spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in qs["sim_ivf_topk"](spark, sf).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # 2-of-~10-cells probe on random vectors: recall well above chance
+    assert avg_recall >= 0.4, f"IVF recall@5 too low: {avg_recall:.2f} ({recalls})"
