@@ -33,8 +33,11 @@ def _fold_one_group(
             out,
             columns=["group_key", "group_idx", "text", "word_count", "n_sentences"],
         )
-    pdf = pdf.sort_values(order_col, kind="mergesort")
-    key = pdf[key_col].iloc[0]
+    # tiebreak on the text itself: with duplicate order values, a bare
+    # mergesort keeps the incoming (post-shuffle, run-dependent) row order
+    # and group contents would differ across runs
+    pdf = pdf.sort_values([order_col, text_col], kind="mergesort")
+    key = str(pdf[key_col].iloc[0])  # GROUPED_SCHEMA declares string
     buf: list[str] = []
     words = 0
     gidx = 0

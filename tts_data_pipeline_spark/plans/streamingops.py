@@ -22,18 +22,10 @@ from tts_data_pipeline_spark.streaming.events import (
 )
 
 
-@query(
-    "stream_tumbling_counts",
-    oracle="""
-    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
-           event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY win_start, event_type
-    """,
-)
+from tts_data_pipeline_spark.plans.windows import W4_TUMBLING_ORACLE
+
+
+@query("stream_tumbling_counts", oracle=W4_TUMBLING_ORACLE)
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts computed BY THE STREAMING RUNTIME (file
     source, watermark, incremental state) — hash-equal to the batch oracle."""

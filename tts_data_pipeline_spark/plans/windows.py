@@ -18,6 +18,34 @@ from pyspark.sql import functions as F
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
+# Shared tumbling-window aggregation — the SINGLE definition used by the
+# batch query below AND the streaming pipeline (streaming/events.py), so
+# the advertised batch/streaming hash parity cannot drift.
+W4_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """
+
+
+def tumbling_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """window() + count/sum per (window, event_type) — identical semantics
+    batch and streaming (callers add watermark for the streaming case)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
 
 @query(
     "w1_running_sum",
@@ -127,28 +155,13 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w4_tumbling_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
-           event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY win_start, event_type
-    """,
-)
+@query("w4_tumbling_window", oracle=W4_TUMBLING_ORACLE)
 def w4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time window over events — batch ``window()`` with the exact
-    semantics Structured Streaming uses (SURVEY.md §2.10)."""
+    semantics Structured Streaming uses (SURVEY.md §2.10); the streaming
+    pipeline runs the SAME ``tumbling_counts`` builder."""
     e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
-        .orderBy("win_start", "event_type")
-    )
+    return tumbling_counts(e).orderBy("win_start", "event_type")
 
 
 @query(

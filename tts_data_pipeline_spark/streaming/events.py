@@ -51,16 +51,12 @@ def read_events_stream(
 
 
 def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
-    """Tumbling-window counts with a watermark for late data — identical
-    aggregation to the batch ``w4_tumbling_window`` query."""
-    return (
-        events.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
-        )
-    )
+    """Tumbling-window counts with a watermark for late data — the SAME
+    ``tumbling_counts`` builder the batch ``w4_tumbling_window`` query runs,
+    so batch/streaming parity is structural, not copy-paste."""
+    from tts_data_pipeline_spark.plans.windows import tumbling_counts
+
+    return tumbling_counts(events.withWatermark("ts", "30 minutes"), window)
 
 
 SESSION_OUT_SCHEMA = (
