@@ -599,3 +599,55 @@ def a10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "c21_json_map_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_value
+    """,
+)
+def c21_json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → MapType: the props payload parses to map<string,long> and
+    aggregates by its key — semi-structured columns stay native (no string
+    re-parsing downstream), the same principle as the narrator array
+    normalization (U3/U4)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(m.getItem("k").alias("k_value"), "value")
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+        .orderBy("k_value")
+    )
+
+
+@query(
+    "c22_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS BIGINT) AS n_ing_words,
+           coalesce(array_to_string(regexp_extract_all(text, '[a-z]+ing')[1:3], ','), '') AS first_ing
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def c22_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — regexp_extract_all: every match to an array in one pass (the
+    reference's per-row re.findall patterns, vectorized JVM-side)."""
+    d = table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]+ing"), 0)
+    return (
+        d.select("doc_id", matches.alias("m"))
+        .select(
+            "doc_id",
+            F.size("m").cast("long").alias("n_ing_words"),
+            F.array_join(F.slice("m", 1, 3), ",").alias("first_ing"),
+        )
+        .orderBy("doc_id")
+    )
