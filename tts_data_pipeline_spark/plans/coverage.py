@@ -651,3 +651,54 @@ def c22_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_apply_survivors",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS id, c_name, c_nationkey, length(c_name) AS l
+      FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b
+        ON a.c_nationkey = b.c_nationkey
+       AND abs(a.l - b.l) <= 1
+       AND a.id < b.id
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    ), clusters AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    ), dropped AS (
+      SELECT id FROM clusters WHERE id <> component
+    )
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT id FROM dropped)
+    ORDER BY c_custkey
+    """,
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete dedup APPLY path in one plan: candidate pairs (banded
+    fuzzy match) → connected components → drop every non-representative
+    cluster member → surviving rows via anti-join.  Rows never in any pair
+    survive untouched — the property that makes clustered dedup safe to
+    run over the whole corpus."""
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    c = table(spark, sf_dir, "customer")
+    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
+    return (
+        c.join(dropped, c.c_custkey == dropped.id, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
