@@ -30,22 +30,42 @@ def connected_components(
     """(src, dst) pairs → (id, component) with component = min id reachable.
 
     Isolated nodes don't appear (a node with no pair is its own survivor
-    trivially); callers union them back if needed."""
-    # localCheckpoint truncates lineage each round — without it the plan
-    # doubles per iteration and the driver OOMs on plan compilation alone
-    # (the standard iterative-algorithm failure mode).
+    trivially); callers union them back if needed.
+
+    Known pathological input: a single giant component with large diameter
+    (e.g. fuzzy-matching sequential ID-like strings, where #1↔#2↔…↔#n
+    chain transitively) needs ~log2(diameter) rounds and per-round cost
+    grows with component size; real near-dup graphs (small duplicate
+    families) converge in a handful of rounds.  ``max_iterations`` bounds
+    runtime; labels are then a valid UNDER-merge (never wrong merges)."""
+    # Checkpointing truncates lineage each round — without it the plan
+    # doubles per iteration and the driver dies on plan compilation alone
+    # (the standard iterative-algorithm failure mode).  RELIABLE (disk)
+    # checkpoints, not localCheckpoint: in-memory checkpoint blocks pile
+    # up across rounds and tip over a small-heap driver/executor JVM,
+    # while the frames here are tiny relative to any disk.  The INPUT is
+    # checkpointed first so the symmetrizing union never embeds two copies
+    # of the caller's (possibly deep) pair-generation plan.
+    sc = pairs.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_checkpoint_"))
+    pairs = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).checkpoint()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .checkpoint()
     )
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
+        .checkpoint()
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
@@ -66,26 +86,21 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
-        jumped = stepped.join(
-            parent, stepped.component == parent.p_id, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
-            ).alias("component"),
-        )
-        new_labels = (
-            jumped.alias("n")
-            .join(labels.select(F.col("id"), F.col("component").alias("_old")), "id")
+        labels = (
+            stepped.join(parent, stepped.component == parent.p_id, "left")
             .select(
                 "id",
-                "component",
-                (F.col("component") < F.col("_old")).alias("_changed"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
+                ).alias("component"),
             )
-            .localCheckpoint()
+            .checkpoint()
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        # join-free convergence check: labels only ever decrease, so the
+        # label sum is strictly monotone until the fixpoint
+        cur_sum = labels.agg(F.sum("component")).head()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
