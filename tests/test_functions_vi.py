@@ -32,6 +32,40 @@ def test_currency_normalize(spark):
     assert out == ["150000 VND", "20 VND", "5 USD", "gia 10 VND va 3 VND"]
 
 
+def test_currency_normalize_keeps_vietnamese_words(spark):
+    # đ is a normal Vietnamese letter — only numeric-context markers rewrite
+    out = _apply(
+        spark,
+        V.normalize_currency,
+        [
+            "đẹp quá đi",
+            "Đà Nẵng đón 5000đ tiền lẻ",
+            "đường số 9",
+            "giá 2.5đ rồi đó",
+        ],
+    )
+    assert out == [
+        "đẹp quá đi",
+        "Đà Nẵng đón 5000 VND tiền lẻ",
+        "đường số 9",
+        "giá 2.5 VND rồi đó",
+    ]
+
+
+def test_digits_to_vi_words_bounded(spark):
+    out = _apply(
+        spark,
+        V.digits_to_vi_words_bounded,
+        ["mp3 file", "Có 123 quyển", "15/3 đến 4", "x264 codec"],
+    )
+    assert out == [
+        "mp3 file",
+        "Có một hai ba quyển",
+        "một năm / ba đến bốn",
+        "x264 codec",
+    ]
+
+
 def test_duration_parse(spark):
     out = _apply(
         spark,

@@ -79,18 +79,60 @@ def digits_to_vi_words(col: Column) -> Column:
     """C15 — digit-wise spoken Vietnamese (reference ``process_all.py:211-228``:
     "Có 123 quyển sách" → "có một hai ba quyển sách").  Each digit becomes
     " {word} "; a final collapse+trim restores single spacing.  Pure
-    Catalyst expression — no UDF."""
+    Catalyst expression — no UDF.
+
+    Divergence note (documented, deliberate): the reference bounds number
+    runs with ``\\b`` so digits embedded in mixed tokens ("mp3") survive;
+    this digit-wise variant expands EVERY digit ("mp3" → "mp ba").  The
+    boundary-respecting behavior is available as
+    :func:`digits_to_vi_words_bounded`; the unbounded form stays the default
+    because it is a pure translate-chain (no regex scan per digit) and the
+    catalog oracles replicate it exactly."""
+    return F.trim(F.regexp_replace(_expand_digits(col), r"\s+", " "))
+
+
+def _expand_digits(col: Column) -> Column:
     out = col
     for d, w in VI_DIGITS.items():
         out = F.replace(out, F.lit(d), F.lit(f" {w} "))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def digits_to_vi_words_bounded(col: Column) -> Column:
+    """C15 variant honoring the reference's ``\\b`` number boundaries
+    (``process_all.py:211-228``): whitespace tokens containing any letter
+    ("mp3", "x264") pass through untouched, while letterless tokens
+    ("123", "15/3", "1.234") get the digit-wise expansion.  Pure expression
+    (split → transform → concat_ws) — deliberately avoids Java lookaround so
+    a DuckDB oracle can replicate it (RE2 has neither lookbehind nor
+    lookahead)."""
+    toks = F.split(col, r"\s+")
+    expanded = F.transform(
+        toks,
+        lambda t: F.when(t.rlike(r"\p{L}"), t).otherwise(
+            F.trim(F.regexp_replace(_expand_digits(t), r"\s+", " "))
+        ),
+    )
+    return F.trim(F.regexp_replace(F.concat_ws(" ", expanded), r"\s+", " "))
 
 
 # --- C16: currency normalize ---------------------------------------------------
 def normalize_currency(col: Column) -> Column:
-    """C16 — ``đ/vnđ/₫ → VND``, ``$ → USD`` (reference ``process_all.py:230-241``)."""
-    # (?iu): Java needs UNICODE_CASE for đ/Đ folding (RE2's (?i) already folds)
-    out = F.regexp_replace(col, r"(?iu)vnđ|vnd|₫|đ", " VND")
+    """C16 — ``đ/vnđ/₫ → VND``, ``$ → USD`` (reference ``process_all.py:230-241``).
+
+    Currency markers rewrite ONLY in numeric context (a preceding digit, not
+    followed by a letter/digit), mirroring the reference's number-prefixed
+    pattern — ``đ`` is a standard Vietnamese letter, so a blanket replace
+    would corrupt ordinary words ("đẹp" → "VNDẹp").
+    """
+    # (?iu): Java needs UNICODE_CASE for đ/Đ folding (RE2's (?i) already
+    # folds).  Trailing context is a captured class instead of \b — Java's
+    # \b is ASCII-\w-based (đ is non-word without (?U)) and RE2 has no
+    # Unicode \b at all, so a boundary assertion would diverge between the
+    # Spark plan and its DuckDB oracle.
+    out = F.regexp_replace(
+        col, r"(?iu)(\d)\s*(?:vnđ|vnd|₫|đ)($|[^\p{L}\p{N}])", r"$1 VND$2"
+    )
     out = F.regexp_replace(out, r"\$", " USD")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 

@@ -282,15 +282,18 @@ def c15_digits_to_vi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT o_orderkey,
-             'Giá ' || CAST(o_orderkey AS VARCHAR) ||
+             'Giá đẹp ' || CAST(o_orderkey AS VARCHAR) ||
              CASE CAST(o_orderkey % 3 AS INTEGER)
-               WHEN 0 THEN 'đ' WHEN 1 THEN ' VNĐ' ELSE '$' END AS raw
+               WHEN 0 THEN 'đ' WHEN 1 THEN ' VNĐ' ELSE '$' END
+             || ' đồng ý' AS raw
       FROM orders
     )
     SELECT o_orderkey,
            trim(regexp_replace(
              regexp_replace(
-               regexp_replace(raw, '(?i)vnđ|vnd|₫|đ', ' VND', 'g'),
+               regexp_replace(raw,
+                 '(?i)(\\d)\\s*(?:vnđ|vnd|₫|đ)($|[^\\p{L}\\p{N}])',
+                 '\\1 VND\\2', 'g'),
                '\\$', ' USD', 'g'),
              '\\s+', ' ', 'g')) AS normalized
     FROM t
@@ -298,14 +301,17 @@ def c15_digits_to_vi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c16_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C16 — ``đ/vnđ/₫→VND``, ``$→USD`` (reference ``process_all.py:230-241``)."""
+    """C16 — ``đ/vnđ/₫→VND``, ``$→USD`` in numeric context only (reference
+    ``process_all.py:230-241``).  The fixture embeds plain đ-words ("đẹp",
+    "đồng ý") so the oracle proves ordinary Vietnamese text is untouched."""
     o = table(spark, sf_dir, "orders")
     raw = F.concat(
-        F.lit("Giá "),
+        F.lit("Giá đẹp "),
         F.col("o_orderkey").cast("string"),
         F.when((F.col("o_orderkey") % 3) == 0, "đ")
         .when((F.col("o_orderkey") % 3) == 1, " VNĐ")
         .otherwise("$"),
+        F.lit(" đồng ý"),
     )
     return (
         o.withColumn("raw", raw)

@@ -207,9 +207,11 @@ _TX_CHAIN_ORACLE = (
              replace(regexp_replace(regexp_replace(t, 'https?://\\S+', '', 'g'),
                      '\\.(\\d{3})', '\\1', 'g'), ',', '.') AS t
       FROM raw
-    ), step2 AS (  -- C16 currency
+    ), step2 AS (  -- C16 currency (numeric context only — đ is a letter)
       SELECT doc_id,
-             regexp_replace(regexp_replace(t, '(?i)vnđ|vnd|₫|đ', ' VND', 'g'),
+             regexp_replace(regexp_replace(t,
+                 '(?i)(\\d)\\s*(?:vnđ|vnd|₫|đ)($|[^\\p{L}\\p{N}])',
+                 '\\1 VND\\2', 'g'),
                             '\\$', ' USD', 'g') AS t
       FROM step1
     ), step3 AS (  -- C15 digit words
