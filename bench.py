@@ -41,6 +41,7 @@ HEADLINE = [
     "tx_normalizer_chain",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
+    "dedup_simhash",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
     "ta_quality_score",

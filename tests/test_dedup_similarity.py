@@ -62,6 +62,27 @@ def test_simhash_properties(spark):
     assert ham(rows[0], rows[1]) > 12
 
 
+def test_simhash_golden_fingerprints(spark):
+    """Pin exact fingerprints so the batch-vectorized rewrite (and any
+    future one) provably preserves the per-row algorithm's outputs —
+    values computed with the original per-row implementation."""
+    cases = [
+        ("the quick brown fox jumps over the lazy dog", 1788073569399355415),
+        ("the quick brown fox jumped over the lazy dog", 1932188420320407575),
+        ("một hai ba bốn năm", 7794615271055579771),
+        ("x", 5395104992458594383),
+        ("", 0),
+        (None, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    got = {r.i: r.sh for r in df.select(
+        "i", D.simhash64(F.col("text")).alias("sh")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
 def _vectors(spark, n=80, dim=16):
     rng = random.Random(3)
     rows = []
@@ -103,20 +124,48 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
 
 def test_ivf_recall_vs_brute_force(spark):
     """IVF ANN must recover most of the exact top-5 neighbors — recall@5
-    measured against the brute-force baseline on the same queries."""
-    from tts_data_pipeline_spark.plans.catalog import queries
+    measured against the brute-force baseline on the same queries.
 
-    qs = queries()
-    sf = SF_DIR
+    Calls the operator directly with parameters sized to the tiny sf0.001
+    corpus (~200 vectors): 8 cells × 4 probes ≈ half the corpus scanned per
+    query.  The catalog query's 32×2 configuration targets sf0.01+ where a
+    6% probe fraction is the point of the index; its Spark/DuckDB parity is
+    covered by the driver sweep."""
+    from tts_data_pipeline_spark.operators.similarity import ivf_topk
+    from tts_data_pipeline_spark.sources.readers import table
+
+    em = table(spark, SF_DIR, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
     exact = {}
-    for r in qs["sim_bruteforce_cosine_topk"](spark, sf).collect():
+    for r in S.brute_force_topk(em, q, k=5).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
     approx = {}
-    for r in qs["sim_ivf_topk"](spark, sf).collect():
+    for r in ivf_topk(
+        em, query_pred=F.col("vec_id") < 8, k=5, n_centroids=8, nprobe=4
+    ).collect():
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     avg_recall = sum(recalls) / len(recalls)
-    # 2-of-~10-cells probe on random vectors: recall well above chance
+    # 4-of-8-cells probe on random vectors: recall well above chance
     assert avg_recall >= 0.4, f"IVF recall@5 too low: {avg_recall:.2f} ({recalls})"
+
+
+def test_ivf_plan_has_no_big_side_window(spark):
+    """The assignment stage must NOT materialize n×k rows under a window —
+    the plan should show exactly one Window (the final per-query top-k) and
+    broadcast exchanges for codebook + probes."""
+    from tts_data_pipeline_spark.operators.similarity import ivf_topk
+    from tts_data_pipeline_spark.sources.readers import table
+
+    em = table(spark, SF_DIR, "embeddings")
+    plan = (
+        ivf_topk(em, query_pred=F.col("vec_id") < 8, n_centroids=8, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # WindowGroupLimit nodes are the rank<=k pushdown, not extra windows
+    assert plan.count("windowspecdefinition") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

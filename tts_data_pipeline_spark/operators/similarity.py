@@ -105,6 +105,117 @@ def hyperplane_signature(vec_col: str, n_planes: int = 12, dim: int = 64, seed: 
     return _sig(F.col(vec_col))
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF ANN with a FIXED-size codebook — the scale path for similarity.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) for rows matching
+    ``query_pred``.
+
+    Scale shape (the whole point — contrast a naive n×k window plan):
+
+    - **Codebook**: ``n_centroids`` vectors chosen by smallest
+      ``md5(vec_id)`` — a deterministic pseudo-random sample whose size does
+      NOT grow with n (a ``vec_id % s`` scheme gives k = n/s centroids and
+      an O(n²/s) assignment — a cartesian in disguise at 100× scale).
+      Spark executes the pick as TakeOrderedAndProject: per-partition
+      partial top-k, no full sort, no wide shuffle.
+    - **Assignment**: centroids are collapsed to ONE row
+      (``collect_list`` of k structs) and broadcast; each vector computes
+      its nearest centroid with ``array_max`` over a ``transform`` — a
+      per-row O(k) argmax entirely inside codegen.  ZERO shuffle of the
+      big side — no n×k join rows ever materialize, no window over them.
+    - **Probe**: queries (tiny, by predicate) take their ``nprobe`` best
+      cells via an array sort of the same k-struct array, then candidates
+      come from ``cells ⋈ broadcast(probes)`` — again no big-side shuffle;
+      the embedding vector rides along so no join-back for neighbor
+      payloads.
+    - The only shuffle in the whole plan is the final per-query top-k
+      window over candidate rows: O(q · n/k · nprobe), not O(n).
+
+    At 100 TB the cells frame would be written bucketed by ``cid`` so
+    repeated probes are pruned scans; the codebook pick runs once.
+
+    Determinism: ranking on ROUNDED sim + neighbor id; centroid argmax
+    tiebreaks on smallest cid (both mirrored in the DuckDB oracle).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # one row holding the whole codebook -> broadcast nested-loop, no shuffle
+    cent1 = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+
+    def _sim(v: Column, cv: Column) -> Column:
+        return dot(v, cv) / F.greatest(l2_norm(v) * l2_norm(cv), F.lit(1e-12))
+
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _sim(F.col("v"), c["cv"]).alias("sim"),
+            (-c["cid"]).alias("nc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # stage the scored array as an attribute BEFORE referencing it twice —
+    # inlining it into both the argmax and the probe sort would evaluate the
+    # k cosine folds twice per row (Column trees are not DAGs)
+    assigned = (
+        e.crossJoin(F.broadcast(cent1))
+        .select("vec_id", "v", scored_cells.alias("scored"))
+        .select(
+            "vec_id", "v", F.array_max("scored")["cid"].alias("cell"), "scored"
+        )
+    )
+    cells = assigned.select("vec_id", "v", F.col("cell").alias("cid"))
+    probe_cids = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("scored"),
+                lambda s: F.struct((-s["sim"]).alias("ns"), s["cid"].alias("cid")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        assigned.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.transform(probe_cids, lambda s: s["cid"])).alias("cid"),
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_dp).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

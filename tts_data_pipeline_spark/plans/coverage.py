@@ -300,7 +300,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cent AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 32
     ), assign_ranked AS (
       SELECT e.vec_id, cent.cid,
              ROW_NUMBER() OVER (
@@ -342,74 +344,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors — the scale path for ANN.
 
-    Deterministic codebook (every 50th vector), nearest-centroid cell
-    assignment, 2-cell probe per query, exact cosine re-rank within probed
-    cells.  At 100 TB: centroids broadcast (k ≪ n, the n×k assignment is a
-    broadcast nested-loop, no shuffle of the big side), cells are the
-    partition key, and each query touches nprobe cells instead of the full
-    corpus — O(n·k + q·n/k·nprobe) versus brute force O(q·n)."""
-    from tts_data_pipeline_spark.operators.similarity import cosine
+    Fixed-k codebook (32 vectors by smallest md5(vec_id) — a deterministic
+    pseudo-random sample whose size does not grow with n), broadcast-array
+    argmax cell assignment (zero big-side shuffle, no n×k rows ever
+    materialize), 2-cell probe per query, exact cosine re-rank within
+    probed cells.  The only shuffle is the final top-k window over the
+    candidate rows — O(q·n/k·nprobe), not O(n).  See
+    ``operators.similarity.ivf_topk`` for the full scale argument."""
+    from tts_data_pipeline_spark.operators.similarity import ivf_topk
     from tts_data_pipeline_spark.sources.readers import spread
 
-    e = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-        )
-    )
-    sim_to_cent = cosine(F.col("v"), F.col("cv"))
-    assign_ranked = (
-        e.crossJoin(cent)
-        .select(
-            "vec_id",
-            "cid",
-            "v",
-            F.row_number()
-            .over(
-                W.partitionBy("vec_id").orderBy(
-                    sim_to_cent.desc(), F.col("cid").asc()
-                )
-            )
-            .alias("rn"),
-        )
-    )
-    cells = assign_ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probes = assign_ranked.filter((F.col("vec_id") < 8) & (F.col("rn") <= 2)).select(
-        F.col("vec_id").alias("query_id"), "cid"
-    )
-    cand = (
-        probes.join(cells, "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(n, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
-        )
-    )
-    ranked = scored.select(
-        "query_id",
-        "neighbor_id",
-        "cosine_sim",
-        F.row_number()
-        .over(
-            W.partitionBy("query_id").orderBy(
-                F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-            )
-        )
-        .cast("long")
-        .alias("rank"),
-    )
-    return ranked.filter(F.col("rank") <= 5).orderBy("query_id", "rank")
+    e = spread(table(spark, sf_dir, "embeddings"))
+    return ivf_topk(
+        e, query_pred=F.col("vec_id") < 8, k=5, n_centroids=32, nprobe=2
+    ).orderBy("query_id", "rank")
 
 
 @query(
