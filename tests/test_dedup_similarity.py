@@ -41,6 +41,64 @@ def test_minhash_lsh_finds_planted_dups(spark):
     assert all(a >= 100 or b >= 100 for a, b in pairs), pairs
 
 
+def test_ngram_jaccard_salted_matches_unsalted(spark):
+    """The triangle salt decomposition must be a pure plan-shape change:
+    results bit-identical for any salt width, including the degenerate
+    S=1 (the original single-cell self-join)."""
+    df = _corpus(spark).withColumn("bucket", F.col("doc_id") % 2)
+    results = {}
+    for s in (1, 3, 8):
+        results[s] = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                df, bucket_cols=("bucket",), threshold=0.1, pair_salt=s
+            ).collect()
+        )
+    assert results[1] == results[3] == results[8]
+    assert len(results[1]) > 0
+    assert all(a < b for a, b, _ in results[1])
+
+
+def test_ngram_jaccard_pair_budget(spark):
+    """No salt cell may carry more than ~(B/S)^2 candidate pairs where B is
+    the biggest bucket — the reducer-skew bound that motivates the salting.
+    Replicates the operator's cell assignment on the sf0.001 documents
+    table with its catalog bucketing (lang, size_bucket)."""
+    import math
+
+    from tts_data_pipeline_spark.sources.readers import table
+
+    S = 8
+    d = (
+        table(spark, SF_DIR, "documents")
+        .withColumn("size_bucket", F.floor(F.col("n_chars") / 100.0).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "size_bucket",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(S)).cast("int").alias("salt"),
+        )
+    )
+    per_salt = (
+        d.groupBy("lang", "size_bucket", "salt").count().collect()
+    )
+    buckets: dict[tuple, dict[int, int]] = {}
+    for r in per_salt:
+        buckets.setdefault((r.lang, r.size_bucket), {})[r.salt] = r["count"]
+    b_max = max(sum(cells.values()) for cells in buckets.values())
+    naive_worst = b_max * (b_max - 1) // 2
+    budget = 4 * math.ceil(b_max / S) ** 2  # slack for salt imbalance
+    worst_cell = 0
+    for cells in buckets.values():
+        for i in range(S):
+            for j in range(i, S):
+                ci, cj = cells.get(i, 0), cells.get(j, 0)
+                pairs = ci * (ci - 1) // 2 if i == j else ci * cj
+                worst_cell = max(worst_cell, pairs)
+    assert worst_cell <= budget, (worst_cell, budget, b_max)
+    assert worst_cell * 8 < naive_worst, (worst_cell, naive_worst)
+
+
 def test_exact_dedup_representative(spark):
     df = _corpus(spark)
     groups = D.exact_dedup(df).collect()

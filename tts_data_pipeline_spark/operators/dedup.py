@@ -187,35 +187,75 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     bucket_cols: tuple[str, ...] = (),
     threshold: float = 0.5,
+    pair_salt: int = 8,
 ) -> DataFrame:
     """Exact token-set Jaccard over bucketed candidate pairs.
 
     ``bucket_cols`` bound the pair space (equi-join keys) — at 100 TB you
     never do an unbucketed self-join; LSH (above) is the general bucketing,
     this operator is the verify-everything-in-a-partition variant.
+
+    Skew bound (``pair_salt`` = S): bucket populations grow linearly with
+    the corpus (few langs × coarse size buckets), so a plain within-bucket
+    self-join concentrates a B² pair space on ONE reducer for the biggest
+    bucket.  The triangle decomposition below splits every bucket into
+    S·(S+1)/2 salt cells — row salt = ``pmod(xxhash64(id), S)``; the A side
+    emits cells (s, s..S-1), the B side cells (0..s, s) — so each unordered
+    pair meets in EXACTLY one cell, per-reducer work drops ~S²/2-fold, and
+    results are bit-identical to the unsalted join (property-tested).
+    Candidate generation replicates only (id, bucket, cell) keys — the
+    token sets never ride the explode; they join back by id afterwards,
+    exactly like the MinHash verify stage.
     """
     from tts_data_pipeline_spark.sources.readers import spread
 
     tokens = F.array_distinct(normalized_tokens(F.col(text_col)))
     base = spread(
         df.select(F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols)
+    ).cache()
+    s_max = F.lit(pair_salt - 1)
+    salt = F.pmod(F.xxhash64(F.col("_id")), F.lit(pair_salt)).cast("int")
+    narrow = base.select("_id", *bucket_cols, salt.alias("_salt"))
+    a_keys = narrow.select(
+        F.col("_id").alias("_ida"),
+        *bucket_cols,
+        F.col("_salt").alias("_lo"),
+        F.explode(F.sequence(F.col("_salt"), s_max)).alias("_hi"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    for c in bucket_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a._tokset"), F.col("b._tokset")))
-    union = F.size(F.col("a._tokset")) + F.size(F.col("b._tokset")) - inter
-    return (
-        a.join(b, cond)
+    b_keys = narrow.select(
+        F.col("_id").alias("_idb"),
+        *bucket_cols,
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_lo"),
+        F.col("_salt").alias("_hi"),
+    )
+    cand = (
+        a_keys.join(b_keys, [*bucket_cols, "_lo", "_hi"])
+        # diagonal cells hold same-salt pairs: order the ids to emit each
+        # pair once and drop self-pairs; off-diagonal cells meet once by
+        # construction and only need the id normalization
+        .filter((F.col("_lo") != F.col("_hi")) | (F.col("_ida") < F.col("_idb")))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4).alias(
-                "jaccard"
-            ),
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+    )
+    toksets = base.select("_id", "_tokset")
+    pairs = cand.join(
+        toksets.select(F.col("_id").alias("id_a"), F.col("_tokset").alias("tok_a")),
+        "id_a",
+    ).join(
+        toksets.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("tok_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
