@@ -17,6 +17,11 @@ engine; the data never leaves the cluster."""
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,36 +42,48 @@ def connected_components(
     chain transitively) needs ~log2(diameter) rounds and per-round cost
     grows with component size; real near-dup graphs (small duplicate
     families) converge in a handful of rounds.  ``max_iterations`` bounds
-    runtime; labels are then a valid UNDER-merge (never wrong merges)."""
-    # Checkpointing truncates lineage each round — without it the plan
-    # doubles per iteration and the driver dies on plan compilation alone
-    # (the standard iterative-algorithm failure mode).  RELIABLE (disk)
-    # checkpoints, not localCheckpoint: in-memory checkpoint blocks pile
-    # up across rounds and tip over a small-heap driver/executor JVM,
-    # while the frames here are tiny relative to any disk.  The INPUT is
-    # checkpointed first so the symmetrizing union never embeds two copies
-    # of the caller's (possibly deep) pair-generation plan.
-    sc = pairs.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
+    runtime; labels are then a valid UNDER-merge (never wrong merges).
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_checkpoint_"))
-    pairs = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).checkpoint()
-    edges = (
-        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .checkpoint()
+    Iteration state: each round's labels are persisted to a per-call temp
+    parquet dir and read back — the same lineage truncation a reliable
+    ``checkpoint()`` gives (without it the plan doubles per iteration and
+    the driver dies on plan compilation alone), but with EXPLICIT file
+    lifecycle: round i-1's files are deleted as soon as round i is
+    written, the edge/pair state is deleted when the loop ends, and the
+    final labels dir (the only thing the returned frame reads) is removed
+    at interpreter exit.  Spark's reliable checkpoints default to
+    never-cleaned files (``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is off and can't be enabled on a live context), which leaked disk
+    unboundedly across repeated calls in a long session.  The INPUT is
+    persisted first so the symmetrizing union never embeds two copies of
+    the caller's (possibly deep) pair-generation plan.
+    """
+    spark = pairs.sparkSession
+    workdir = tempfile.mkdtemp(prefix="cc_state_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    pairs = _persist(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), "pairs"
     )
-    labels = (
+    edges = _persist(
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct(),
+        "edges",
+    )
+    labels = _persist(
         edges.select(F.col("u").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("component"))
-        .checkpoint()
+        .select("id", F.col("id").alias("component")),
+        "labels_0",
     )
     prev_sum = None
-    for _ in range(max_iterations):
+    last_round = 0
+    for i in range(1, max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy(F.col("u").alias("id"))
@@ -86,7 +103,7 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
-        labels = (
+        labels = _persist(
             stepped.join(parent, stepped.component == parent.p_id, "left")
             .select(
                 "id",
@@ -94,13 +111,21 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
-            )
-            .checkpoint()
+            ),
+            f"labels_{i}",
         )
+        shutil.rmtree(os.path.join(workdir, f"labels_{i - 1}"), ignore_errors=True)
+        last_round = i
         # join-free convergence check: labels only ever decrease, so the
         # label sum is strictly monotone until the fixpoint
         cur_sum = labels.agg(F.sum("component")).head()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # only the final labels dir has a live reader (the returned frame);
+    # everything else is loop-internal state
+    for name in ("pairs", "edges"):
+        shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
+    for i in range(last_round):
+        shutil.rmtree(os.path.join(workdir, f"labels_{i}"), ignore_errors=True)
     return labels

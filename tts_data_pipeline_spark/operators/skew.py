@@ -28,10 +28,12 @@ def salted_join(
     """Equi-join on ``on`` with the left side salted across
     ``salt_buckets`` partitions per key.
 
-    ``salt_src``: a left column whose hash picks the bucket (defaults to the
-    whole row being deterministic isn't required — any column unique-ish
-    within a key works; correctness never depends on the salt value, only
-    distribution quality does).
+    ``salt_src``: a left column whose hash picks the bucket — any column
+    unique-ish within a key gives good spread.  Default: hash of ALL left
+    columns.  The salt MUST be a deterministic function of the row: a
+    nondeterministic source (e.g. ``spark_partition_id()``) re-salts rows
+    into different reducers on stage retry/recompute, which can duplicate
+    or drop rows (the SPARK-23207 failure class).
 
     Only ``inner`` and ``left`` joins are supported: the right side is
     replicated once per salt bucket, so a right/full outer join would emit
@@ -43,10 +45,12 @@ def salted_join(
             "replicated right side would duplicate unmatched right rows "
             "under right/full outer semantics"
         )
-    src = F.col(salt_src) if salt_src else F.spark_partition_id()
-    lsalted = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets))
+    src = (
+        F.xxhash64(F.col(salt_src))
+        if salt_src
+        else F.xxhash64(*[F.col(c) for c in left.columns])
     )
+    lsalted = left.withColumn("_salt", F.pmod(src, F.lit(salt_buckets)))
     rsalted = right.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),

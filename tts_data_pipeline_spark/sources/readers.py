@@ -61,7 +61,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    current = df.rdd.getNumPartitions()
+    # Plan-level partitioning probe — ``df.rdd.getNumPartitions()`` would
+    # force a Python->JVM RDD conversion (analysis + translation) per call,
+    # pure driver overhead on the query hot path.
+    current = df._jdf.rdd().getNumPartitions()
     if current >= target:
         return df
     return df.repartition(target)
@@ -110,13 +113,18 @@ def read_books_csv(spark: SparkSession, path: str) -> DataFrame:
         F.trim(narrator_json).startswith("["), narrator_json
     ).otherwise(F.concat(F.lit("["), narrator_json, F.lit("]")))
     url_list = _pyliteral_to_json(F.col("audio_download_url"))
+    parsed_narrator = F.from_json(narrator_json, T.ArrayType(schemas.NARRATOR))
+    parsed_urls = F.from_json(url_list, T.ArrayType(T.StringType()))
+    # surfaced (not silently nulled) parse failures: a non-null raw cell
+    # that from_json could not decode marks the row _parse_ok = false.
+    # Computed while the raw string columns are still in scope.
+    parse_ok = (parsed_narrator.isNotNull() | F.col("narrator").isNull()) & (
+        parsed_urls.isNotNull() | F.col("audio_download_url").isNull()
+    )
     return (
-        raw.withColumn(
-            "narrator", F.from_json(narrator_json, T.ArrayType(schemas.NARRATOR))
-        )
-        .withColumn(
-            "audio_download_url", F.from_json(url_list, T.ArrayType(T.StringType()))
-        )
+        raw.withColumn("_parse_ok", parse_ok)
+        .withColumn("narrator", parsed_narrator)
+        .withColumn("audio_download_url", parsed_urls)
         .withColumn("duration", F.col("duration").cast("double"))
         .withColumn("sample_rate", F.col("sample_rate").cast("int"))
         .withColumn("word_count", F.col("word_count").cast("int"))
