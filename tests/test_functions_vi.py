@@ -93,6 +93,67 @@ def test_decimal_comma(spark):
     assert out == ["1234.56", "12.5", "1234567.89"]
 
 
+def test_vi_cardinal_goldens(spark):
+    """Standard northern cardinal composition incl. every irregular:
+    mười/mươi tens, mốt/lăm units, linh for skipped tens, không-trăm
+    padding after nghìn.  (The reference README's '150,000 → một trăm năm
+    mười nghìn' example contradicts the num2words library its code calls;
+    we match the library — see vi_cardinal docstring.)"""
+    cases = [
+        (0, "không"),
+        (5, "năm"),
+        (10, "mười"),
+        (11, "mười một"),
+        (15, "mười lăm"),
+        (21, "hai mươi mốt"),
+        (24, "hai mươi bốn"),
+        (25, "hai mươi lăm"),
+        (50, "năm mươi"),
+        (55, "năm mươi lăm"),
+        (100, "một trăm"),
+        (101, "một trăm linh một"),
+        (105, "một trăm linh năm"),
+        (110, "một trăm mười"),
+        (115, "một trăm mười lăm"),
+        (121, "một trăm hai mươi mốt"),
+        (999, "chín trăm chín mươi chín"),
+        (1000, "một nghìn"),
+        (1001, "một nghìn không trăm linh một"),
+        (1005, "một nghìn không trăm linh năm"),
+        (1015, "một nghìn không trăm mười lăm"),
+        (2023, "hai nghìn không trăm hai mươi ba"),
+        (15000, "mười lăm nghìn"),
+        (150000, "một trăm năm mươi nghìn"),
+        (999999, "chín trăm chín mươi chín nghìn chín trăm chín mươi chín"),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], ["n"])
+    got = {r.n: r.c for r in df.select(
+        "n", V.vi_cardinal(F.col("n")).alias("c")).collect()}
+    for n, want in cases:
+        assert got[n] == want, (n, got[n], want)
+
+
+def test_numbers_to_vi_cardinal_in_text(spark):
+    out = _apply(
+        spark,
+        V.numbers_to_vi_cardinal,
+        ["Có 123 quyển sách", "mp3 vẫn là mp3", "giá 150000 đồng"],
+    )
+    assert out == [
+        "Có một trăm hai mươi ba quyển sách",
+        "mp3 vẫn là mp3",
+        "giá một trăm năm mươi nghìn đồng",
+    ]
+
+
+def test_date_cardinal(spark):
+    df = spark.createDataFrame([(15, 3, 2023)], ["d", "m", "y"])
+    row = df.select(
+        V.date_to_vi_cardinal(F.col("d"), F.col("m"), F.col("y")).alias("s")
+    ).collect()[0]
+    assert row.s == "ngày mười lăm tháng ba năm hai nghìn không trăm hai mươi ba"
+
+
 def test_date_spoken(spark):
     df = spark.createDataFrame([(15, 3, 2023)], ["d", "m", "y"])
     row = df.select(

@@ -116,6 +116,123 @@ def digits_to_vi_words_bounded(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.concat_ws(" ", expanded), r"\s+", " "))
 
 
+# --- C15b: full Vietnamese cardinal numbers ------------------------------------
+_VI_UNIT_WORDS = [
+    "không", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy", "tám", "chín",
+]
+
+
+def _unit_word(d: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(w) for w in _VI_UNIT_WORDS]), d.cast("int") + 1
+    )
+
+
+def _group3(n: Column) -> Column:
+    """Cardinal words for 1..999 ('' for 0): hundreds + mươi-tens with the
+    mốt/lăm/linh irregulars."""
+    h = F.floor(n / 100).cast("int")
+    t = (F.floor(n / 10) % 10).cast("int")
+    u = (n % 10).cast("int")
+    hund = F.when(h > 0, F.concat(_unit_word(h), F.lit(" trăm")))
+    tens = (
+        F.when(
+            (t == 0) & (u > 0),
+            # 'linh' marks a skipped tens place only after a hundreds word
+            F.when(h > 0, F.concat(F.lit("linh "), _unit_word(u))).otherwise(
+                _unit_word(u)
+            ),
+        )
+        .when(
+            t == 1,
+            F.concat(
+                F.lit("mười"),
+                F.when(u == 5, F.lit(" lăm"))
+                .when(u > 0, F.concat(F.lit(" "), _unit_word(u)))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .when(
+            t >= 2,
+            F.concat(
+                _unit_word(t),
+                F.lit(" mươi"),
+                F.when(u == 1, F.lit(" mốt"))
+                .when(u == 5, F.lit(" lăm"))
+                .when(u > 0, F.concat(F.lit(" "), _unit_word(u)))
+                .otherwise(F.lit("")),
+            ),
+        )
+    )
+    return F.concat_ws(" ", hund, tens)
+
+
+def vi_cardinal(col: Column) -> Column:
+    """C15b — full Vietnamese cardinal for 0..999,999, the num2words-style
+    number mode of the reference (``alignment/post_process.py:110-120``,
+    ``push_to_hf.py:37-47`` call ``num2words(n, lang="vi")``; the library
+    is not installed here, so this is a pure Catalyst composition of the
+    standard northern rules it implements):
+
+    - tens are ``mươi`` (``mười`` bare for 10-19), unit 1 → ``mốt`` after
+      mươi, unit 5 → ``lăm`` after mười/mươi;
+    - a skipped tens place reads ``linh`` (105 → "một trăm linh năm");
+    - a sub-100 remainder after ``nghìn`` pads ``không trăm`` so the
+      magnitude is unambiguous in speech (2023 → "hai nghìn không trăm
+      hai mươi ba").
+
+    Note the reference README's worked example ("150,000đ" → "một trăm năm
+    mười nghìn") contradicts both standard Vietnamese and num2words output
+    ("một trăm năm mươi nghìn") — we match the library its code calls, not
+    the README prose.  Pure expression — no UDF; mirrored exactly by the
+    DuckDB oracle builder in ``plans/scalarfuncs.py``.
+    """
+    n = col.cast("long")
+    th = F.floor(n / 1000).cast("long")
+    rem = n % 1000
+    rem_part = (
+        F.when(rem == 0, F.lit(None).cast("string"))
+        .when(rem >= 100, _group3(rem))
+        .when(rem >= 10, F.concat(F.lit("không trăm "), _group3(rem)))
+        .otherwise(F.concat(F.lit("không trăm linh "), _unit_word(rem)))
+    )
+    return (
+        F.when(n == 0, F.lit("không"))
+        .when(th == 0, _group3(rem))
+        .otherwise(
+            F.concat_ws(" ", F.concat(_group3(th), F.lit(" nghìn")), rem_part)
+        )
+    )
+
+
+def numbers_to_vi_cardinal(col: Column) -> Column:
+    """C15b applied to text, mirroring the reference's
+    ``re.sub(r"\\b\\d+\\b", num2words)`` (``post_process.py:120``) at
+    whitespace-token granularity: fully-numeric tokens of ≤6 digits become
+    cardinal words; everything else (mixed tokens, longer runs) passes
+    through untouched."""
+    toks = F.split(col, r"\s+")
+    expanded = F.transform(
+        toks,
+        lambda t: F.when(t.rlike(r"^\d{1,6}$"), vi_cardinal(t)).otherwise(t),
+    )
+    return F.concat_ws(" ", expanded)
+
+
+def date_to_vi_cardinal(day: Column, month: Column, year: Column) -> Column:
+    """C17b — cardinal date variant: ``15/3/2023`` → "ngày mười lăm tháng
+    ba năm hai nghìn không trăm hai mươi ba" (the reference's num2words
+    date mode; C17 above is the digit-wise variant)."""
+    return F.concat(
+        F.lit("ngày "),
+        vi_cardinal(day),
+        F.lit(" tháng "),
+        vi_cardinal(month),
+        F.lit(" năm "),
+        vi_cardinal(year),
+    )
+
+
 # --- C16: currency normalize ---------------------------------------------------
 def normalize_currency(col: Column) -> Column:
     """C16 — ``đ/vnđ/₫ → VND``, ``$ → USD`` (reference ``process_all.py:230-241``).

@@ -344,3 +344,102 @@ def c17_date_to_spoken(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate"),
         ).alias("spoken_date"),
     ).orderBy("o_orderkey")
+
+
+# --- C15b/C17b: full Vietnamese cardinal oracle builders ------------------------
+# DuckDB replica of functions.vi_text.vi_cardinal — generated from the same
+# rule set so the two implementations cannot drift silently.
+_DDB_UNITS = (
+    "(['không','một','hai','ba','bốn','năm','sáu','bảy','tám','chín'])"
+)
+
+
+def _ddb_unit(d_sql: str) -> str:
+    return f"{_DDB_UNITS}[CAST({d_sql} AS INTEGER) + 1]"
+
+
+def _ddb_group3(n_sql: str) -> str:
+    h = f"CAST(FLOOR(({n_sql})/100) AS INTEGER)"
+    t = f"CAST(FLOOR(({n_sql})/10) % 10 AS INTEGER)"
+    u = f"CAST(({n_sql}) % 10 AS INTEGER)"
+    hund = f"CASE WHEN {h} > 0 THEN {_ddb_unit(h)} || ' trăm' END"
+    tens = f"""CASE
+      WHEN {t} = 0 AND {u} > 0 THEN
+        CASE WHEN {h} > 0 THEN 'linh ' || {_ddb_unit(u)} ELSE {_ddb_unit(u)} END
+      WHEN {t} = 1 THEN 'mười' ||
+        CASE WHEN {u} = 5 THEN ' lăm'
+             WHEN {u} > 0 THEN ' ' || {_ddb_unit(u)} ELSE '' END
+      WHEN {t} >= 2 THEN {_ddb_unit(t)} || ' mươi' ||
+        CASE WHEN {u} = 1 THEN ' mốt'
+             WHEN {u} = 5 THEN ' lăm'
+             WHEN {u} > 0 THEN ' ' || {_ddb_unit(u)} ELSE '' END
+    END"""
+    return f"concat_ws(' ', {hund}, {tens})"
+
+
+def _ddb_cardinal(n_sql: str) -> str:
+    n = f"CAST({n_sql} AS BIGINT)"
+    th = f"CAST(FLOOR({n}/1000) AS BIGINT)"
+    rem = f"({n} % 1000)"
+    rem_part = f"""CASE
+      WHEN {rem} = 0 THEN NULL
+      WHEN {rem} >= 100 THEN {_ddb_group3(rem)}
+      WHEN {rem} >= 10 THEN 'không trăm ' || {_ddb_group3(rem)}
+      ELSE 'không trăm linh ' || {_ddb_unit(rem)} END"""
+    return f"""CASE
+      WHEN {n} = 0 THEN 'không'
+      WHEN {th} = 0 THEN {_ddb_group3(rem)}
+      ELSE concat_ws(' ', {_ddb_group3(th)} || ' nghìn', {rem_part}) END"""
+
+
+@query(
+    "c15b_cardinal_words",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, (o_orderkey * 37) % 1000000 AS num FROM orders
+    )
+    SELECT o_orderkey, num, {_ddb_cardinal("num")} AS cardinal
+    FROM t
+    ORDER BY o_orderkey
+    """,
+)
+def c15b_cardinal_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15b — full Vietnamese cardinal (num2words mode of the reference,
+    ``alignment/post_process.py:110-120``, ``push_to_hf.py:37-47``) over a
+    0..999,999 spread derived from orders; pure expression, no UDF."""
+    o = table(spark, sf_dir, "orders")
+    num = (F.col("o_orderkey") * 37) % 1000000
+    return (
+        o.select(
+            "o_orderkey",
+            num.alias("num"),
+            V.vi_cardinal(num).alias("cardinal"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "c17b_date_cardinal",
+    oracle=f"""
+    SELECT o_orderkey,
+           'ngày ' || {_ddb_cardinal("day(o_orderdate)")} ||
+           ' tháng ' || {_ddb_cardinal("month(o_orderdate)")} ||
+           ' năm ' || {_ddb_cardinal("year(o_orderdate)")} AS spoken_date
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def c17b_date_cardinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17b — cardinal spoken date (num2words variant of C17; reference
+    normalizes dates to full cardinal words in its post-processing and HF
+    publish paths)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        V.date_to_vi_cardinal(
+            F.dayofmonth("o_orderdate"),
+            F.month("o_orderdate"),
+            F.year("o_orderdate"),
+        ).alias("spoken_date"),
+    ).orderBy("o_orderkey")
