@@ -42,6 +42,60 @@ def test_read_books_csv_parses_python_literals(spark, tmp_path):
     assert rows["cd34"].sample_rate == 16000
 
 
+def test_read_books_csv_flags_malformed_rows(spark, tmp_path):
+    p = tmp_path / "metadata_book.csv"
+    p.write_text(
+        "id,name,narrator,duration,audio_download_url,sample_rate,word_count,"
+        "num_sentences,audio_size,text_size\n"
+        "ok1,good,\"{'id': 'n1', 'name': 'Mai', 'age': None}\",1.0,"
+        "\"['http://a/1.mp3']\",22050,10,1,1,1\n"
+        "bad1,broken,\"{'id': broken literal\",1.0,\"['http://b.mp3']\","
+        "22050,10,1,1,1\n"
+    )
+    df = read_books_csv(spark, str(p))
+    flags = {r.id: r._parse_ok for r in df.select("id", "_parse_ok").collect()}
+    assert flags["ok1"] is True
+    assert flags["bad1"] is False
+
+
+def test_probe_urls_and_retries(spark):
+    from tts_data_pipeline_spark.sources.http import (
+        fake_head_status,
+        probe_urls,
+        with_retries,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://files.example.com/a.pdf"), (2, None)], ["i", "url"]
+    )
+    rows = {r.i: r.status for r in probe_urls(df).collect()}
+    assert rows[1] == fake_head_status("https://files.example.com/a.pdf")
+    assert rows[1] in (200, 404, 500)
+    assert rows[2] is None  # NULL urls are never probed
+
+    # retry/backoff contract: 2**attempt delay schedule, injectable sleep
+    delays: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_retries(flaky, max_retries=3, sleep=delays.append)() == "ok"
+    assert delays == [1.0, 2.0]
+
+    def always_fails():
+        raise OSError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        with_retries(always_fails, max_retries=2, sleep=delays.append)()
+    assert delays == [1.0, 2.0, 1.0, 2.0]
+
+
 def test_read_alignment_tsv(spark, tmp_path):
     p = tmp_path / "book7.tsv"
     p.write_text("0.0\t2.5\t1f\n2.5\t6.0\t2f\n6.0\t30.0\t3f\n")

@@ -650,3 +650,80 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "s11_url_probe_filter",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE
+               WHEN p_partkey % 53 = 0 THEN NULL
+               WHEN p_partkey % 47 = 0 THEN '   '
+               ELSE 'https://files.example.com/part/'
+                    || CAST(p_partkey AS VARCHAR) || '.pdf'
+             END AS url
+      FROM part
+    ), s AS (
+      SELECT p_partkey, url,
+             CASE
+               WHEN url IS NULL OR trim(url) = '' THEN -1
+               WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 < 3
+                 THEN 404
+               WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 = 3
+                 THEN 500
+               ELSE 200
+             END AS status
+      FROM u
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM s
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def s11_url_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11→F10→A5 in one plan: synthesize URLs (some NULL/blank), guard the
+    malformed ones (never probed, status -1), HEAD-probe the rest through
+    the deterministic fake-HTTP ``mapInPandas`` source, and report the
+    status breakdown with validity ratios — the reference's
+    check-url-validity → filter → ratio flow (``crawler/utils.py:245-301``,
+    ``crawler/metadata.py:303-332``) as one oracle-checked query.  The
+    fake statuses derive from md5(url), so DuckDB reproduces the "network"
+    exactly."""
+    from tts_data_pipeline_spark.sources.http import probe_urls
+
+    p = table(spark, sf_dir, "part")
+    url = (
+        F.when(F.col("p_partkey") % 53 == 0, F.lit(None).cast("string"))
+        .when(F.col("p_partkey") % 47 == 0, F.lit("   "))
+        .otherwise(
+            F.concat(
+                F.lit("https://files.example.com/part/"),
+                F.col("p_partkey").cast("string"),
+                F.lit(".pdf"),
+            )
+        )
+    )
+    urls = p.select("p_partkey", url.alias("url"))
+    shape_ok = F.col("url").isNotNull() & (F.trim("url") != "")
+    probed = probe_urls(urls.filter(shape_ok))
+    malformed = urls.filter(~shape_ok).withColumn(
+        "status", F.lit(-1).cast("int")
+    )
+    statuses = probed.unionByName(malformed)
+    counts = statuses.groupBy("status").agg(F.count("*").alias("n"))
+    total = W.partitionBy()
+    return (
+        counts.select(
+            "status",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(total), 4).alias(
+                "pct"
+            ),
+        )
+        .orderBy("status")
+    )
