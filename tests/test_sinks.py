@@ -119,3 +119,78 @@ def test_spread_is_noop_when_already_parallel(spark):
     out = spread(df, min_partitions=32)
     # already at/above target: same plan, no extra exchange
     assert out is df
+
+
+def test_merge_into_partitioned_prunes_untouched_partitions(spark, tmp_path):
+    """merge_into_partitioned: touched partitions are rewritten with the
+    upsert applied; untouched partition files are BYTE-IDENTICAL afterwards
+    (never read, never rewritten)."""
+    import hashlib
+
+    target = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [
+            (1, "old-a", "n1"),
+            (2, "old-b", "n1"),
+            (3, "old-c", "n2"),
+            (4, "old-d", "n3"),
+        ],
+        "book_id long, name string, narrator_id string",
+    )
+    base.repartition(2).write.partitionBy("narrator_id").parquet(target)
+
+    def snapshot(part):
+        files = sorted(glob.glob(os.path.join(target, f"narrator_id={part}", "*")))
+        return [
+            (os.path.basename(f), hashlib.sha256(open(f, "rb").read()).hexdigest())
+            for f in files
+        ]
+
+    before_n2 = snapshot("n2")
+    before_n3 = snapshot("n3")
+
+    updates = spark.createDataFrame(
+        [
+            (2, "new-b", "n1"),   # update existing key in n1
+            (5, "new-e", "n1"),   # insert new key into n1
+        ],
+        "book_id long, name string, narrator_id string",
+    )
+    sinks.merge_into_partitioned(
+        spark, updates, target, key_col="book_id", partition_col="narrator_id"
+    )
+
+    # untouched partitions: identical file listing and bytes
+    assert snapshot("n2") == before_n2
+    assert snapshot("n3") == before_n3
+
+    after = {
+        r.book_id: (r.name, r.narrator_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert after == {
+        1: ("old-a", "n1"),
+        2: ("new-b", "n1"),
+        3: ("old-c", "n2"),
+        4: ("old-d", "n3"),
+        5: ("new-e", "n1"),
+    }
+
+
+def test_merge_into_partitioned_new_partition(spark, tmp_path):
+    """Updates landing in a brand-new partition value create it without
+    touching any existing partition."""
+    target = str(tmp_path / "merge_target2")
+    spark.createDataFrame(
+        [(1, "a", "n1")], "book_id long, name string, narrator_id string"
+    ).write.partitionBy("narrator_id").parquet(target)
+    updates = spark.createDataFrame(
+        [(9, "z", "n9")], "book_id long, name string, narrator_id string"
+    )
+    sinks.merge_into_partitioned(
+        spark, updates, target, key_col="book_id", partition_col="narrator_id"
+    )
+    after = {
+        r.book_id: r.narrator_id for r in spark.read.parquet(target).collect()
+    }
+    assert after == {1: "n1", 9: "n9"}

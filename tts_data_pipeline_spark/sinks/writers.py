@@ -99,6 +99,71 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
+def merge_into_partitioned(
+    spark,
+    updates: DataFrame,
+    target_path: str,
+    key_col: str,
+    partition_col: str,
+) -> None:
+    """J5 at scale — partition-pruned MERGE (upsert) into a Hive-partitioned
+    parquet dataset.
+
+    The catalog's ``j5_upsert_merge`` (full-outer + coalesce,
+    ``plans/relational.py``) is the *semantics* oracle; this sink is the
+    *execution* strategy that survives 100 TB: instead of rewriting the whole
+    table per upsert, only the partitions containing touched keys are read,
+    merged, and atomically replaced via dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic`` — ``INSERT
+    OVERWRITE`` drops exactly the partitions present in the written frame,
+    leaving every other partition's files untouched on disk).
+
+    Plan shape: one small driver-side collect of the touched partition VALUES
+    (bounded by the number of distinct partitions in ``updates`` — thousands,
+    never rows), which turns into a static ``IN`` filter on the target scan so
+    partition pruning happens at planning time; then one shuffle on
+    ``key_col`` for the merge join of touched-target vs updates.
+
+    Constraint (documented, same as Hive/early-Delta dynamic overwrite): a
+    key's partition value must be stable — if an update moves a key to a new
+    partition, the stale row in the old partition is not deleted.  Callers
+    with mobile keys need a table format with delete files (Delta/Iceberg);
+    for the reference's speaker-partitioned dataset layout
+    (``aeneas_batch_align.py:198-213``) the speaker of a segment never
+    changes, so the constraint holds.
+    """
+    import shutil
+    import tempfile
+
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path)
+    # Static partition pruning: isin over literal values reaches the scan as
+    # a PartitionFilter — untouched partitions are never read, let alone
+    # rewritten.
+    touched_target = target.filter(F.col(partition_col).isin(touched))
+    merged = touched_target.join(
+        updates.select(key_col).distinct(), key_col, "left_anti"
+    ).unionByName(updates.select(*target.columns))
+    # Spark (correctly) refuses to overwrite a path present in the read plan,
+    # so the merged touched partitions are staged once, re-read, and then
+    # committed.  The staging write is bounded by the touched data, not the
+    # table; on a cluster the tempdir would be a scratch path on the same
+    # filesystem as the table.
+    staging = tempfile.mkdtemp(prefix="merge_staging_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def write_hf_dataset(
     df: DataFrame,
     path: str,
