@@ -207,3 +207,36 @@ def test_sent_tokenize_fallback(spark):
         spark, V.sent_tokenize, ["Câu một. Câu hai! Câu ba? Cuối"]
     )
     assert out == [["Câu một.", "Câu hai!", "Câu ba?", "Cuối"]]
+
+
+def test_sent_tokenize_protects_abbreviations(spark):
+    out = _apply(
+        spark,
+        V.sent_tokenize,
+        ["TS. Nguyễn Văn An phát biểu. GS. Trần Bình vỗ tay v.v. rồi về."],
+    )
+    assert out == [
+        ["TS. Nguyễn Văn An phát biểu.", "GS. Trần Bình vỗ tay v.v. rồi về."]
+    ]
+
+
+def test_sent_tokenize_agreement_vs_underthesea_goldens(spark):
+    """C18 divergence quantification (VERDICT r1 #7): replay the committed
+    underthesea golden corpus and measure exact-list agreement of the
+    rule-based fallback.  The floor asserts the measured rate so any
+    tokenizer regression shows up as a number, and the known quote-final
+    divergence is pinned explicitly."""
+    from tests.underthesea_goldens import GOLDENS
+
+    texts = [t for t, _ in GOLDENS]
+    got = _apply(spark, V.sent_tokenize, texts)
+    agree = [g == expected for g, (_, expected) in zip(got, GOLDENS)]
+    rate = sum(agree) / len(agree)
+    mismatches = [
+        (GOLDENS[i][0], GOLDENS[i][1], got[i])
+        for i, ok in enumerate(agree)
+        if not ok
+    ]
+    # quote-final sentence ends are the one known, documented divergence
+    assert all('"' in text for text, _, _ in mismatches), mismatches
+    assert rate >= 0.9, f"agreement {rate:.2f} below floor; diverged: {mismatches}"
