@@ -50,9 +50,44 @@ except ImportError:  # pragma: no cover
     pass
 
 
+# Scale-critical operators first: if the driver samples a prefix of the
+# catalog, the queries whose plans matter most at 100 TB (dedup families,
+# ANN, windows/sessionization, the heavy TPC-H joins/aggs) land in any
+# sample it takes (VERDICT r1, next-round #8).
+_PRIORITY = (
+    "dedup_exact_groups",
+    "dedup_drop_duplicates",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_bucketed",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_levenshtein",
+    "dedup_clusters",
+    "dedup_apply_survivors",
+    "sim_bruteforce_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_ann_topk",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_volume_having",
+    "qc_wer_gate",
+    "tx_normalizer_chain",
+    "x1_running_bucket",
+    "stream_tumbling_counts",
+    "a11_salted_aggregation",
+)
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries():
-    return dict(registry.QUERIES)
+    return _ordered(dict(registry.QUERIES))
 
 
 def oracle_sql():
-    return dict(registry.ORACLES)
+    return _ordered(dict(registry.ORACLES))
