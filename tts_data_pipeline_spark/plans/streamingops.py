@@ -67,3 +67,92 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_stream_static_enrich(spark, sf_dir, "q_stream_static")
     return out.orderBy("cohort_day")
+
+
+from tts_data_pipeline_spark.plans.windows import (  # noqa: E402
+    W5_SLIDING_ORACLE,
+)
+
+
+@query("stream_sliding_counts", oracle=W5_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts computed BY THE STREAMING RUNTIME — same
+    ``sliding_counts`` builder and same oracle as the batch
+    ``w5_sliding_window``, so overlap replication is certified identical."""
+    from tts_data_pipeline_spark.streaming.events import run_sliding_stream_to_memory
+
+    ensure_utc(spark)
+    out = run_sliding_stream_to_memory(spark, sf_dir, "q_stream_sliding")
+    return out.orderBy("win_start")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTES <= (SELECT MAX(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` under the STREAMING runtime (merging-session
+    state store, watermark 0s, append mode).  Oracle: the lag-gap SQL
+    sessionization restricted to sessions CLOSED under the final watermark
+    (end = last event + gap ≤ max(ts)); the open tail sessions are excluded
+    on both sides — the batch ``w9_session_window`` covers them."""
+    from tts_data_pipeline_spark.streaming.events import run_session_window_stream
+
+    ensure_utc(spark)
+    out = run_session_window_stream(spark, sf_dir, "q_stream_session")
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_late_data_policy",
+    oracle="""
+    WITH we AS (SELECT MAX(ts) - INTERVAL 30 MINUTES AS w
+                FROM events WHERE user_id % 2 = 0),
+         wf AS (SELECT MAX(ts) - INTERVAL 30 MINUTES AS w FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE (user_id % 2 = 0
+           OR ts > (SELECT w FROM wf)
+           OR time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTES
+                > (SELECT w FROM we))
+      AND time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTES
+            <= (SELECT w FROM wf)
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA policy under the real streaming runtime: a
+    deterministic three-micro-batch replay (evens → on-time odds → late
+    odds) where late rows are dropped against the lagging filter watermark
+    and append mode emits only closed windows.  The oracle replays the full
+    policy — drop rule AND closure rule — from scalar aggregates of the
+    input (see ``streaming/events.py:run_late_data_stream`` for the measured
+    semantics)."""
+    from tts_data_pipeline_spark.streaming.events import run_late_data_stream
+
+    ensure_utc(spark)
+    out = run_late_data_stream(spark, sf_dir, "q_stream_late")
+    return out.orderBy("win_start", "event_type")

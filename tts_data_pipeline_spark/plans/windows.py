@@ -164,9 +164,7 @@ def w4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(e).orderBy("win_start", "event_type")
 
 
-@query(
-    "w5_sliding_window",
-    oracle="""
+W5_SLIDING_ORACLE = """
     WITH offsets AS (SELECT unnest([0, 10, 20]) AS off_min),
     assigned AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts - to_minutes(off_min))
@@ -180,19 +178,76 @@ def w4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM assigned
     GROUP BY win_start
     ORDER BY win_start
-    """,
-)
+    """
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """30-min window / 10-min slide count+sum — shared by the batch query
+    and the streaming pipeline (same single-definition pattern as
+    ``tumbling_counts``)."""
+    return (
+        events.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "n", "total_value")
+    )
+
+
+@query("w5_sliding_window", oracle=W5_SLIDING_ORACLE)
 def w5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (30 min window, 10 min slide): each event lands in 3
     windows — ``window()`` replicates rows exactly like the streaming
     runtime.  Oracle replays the replication with an explicit offset unnest."""
     e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("win.start").alias("win_start"), "n", "total_value")
-        .orderBy("win_start")
+    return sliding_counts(e).orderBy("win_start")
+
+
+W9_SESSION_ORACLE = """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
     )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``session_window`` aggregation — Spark's built-in gap-session
+    operator (merge events whose gap < 30 min; a gap of exactly the
+    threshold starts a NEW session, matching the oracle's ``>=`` rule).
+    Shared by the batch query and the streaming pipeline."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("w9_session_window", oracle=W9_SESSION_ORACLE)
+def w9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the native session_window operator, hash-checked against
+    the lag-gap + cumulative-sum SQL formulation (the w3 idiom) — proves the
+    built-in merges sessions exactly like the manual rule."""
+    e = table(spark, sf_dir, "events")
+    return session_window_counts(e).orderBy("user_id", "session_start")
 
 
 @query(

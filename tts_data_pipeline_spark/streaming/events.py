@@ -296,3 +296,168 @@ def run_stream_static_enrich(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_sliding_stream_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "sliding_events"
+) -> DataFrame:
+    """Sliding-window counts computed by the streaming runtime — same
+    ``sliding_counts`` builder as the batch ``w5_sliding_window`` query
+    (complete mode: finite file source, windows never close in append)."""
+    from tts_data_pipeline_spark.plans.windows import sliding_counts
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+        agg = sliding_counts(events)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_session_window_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_events"
+) -> DataFrame:
+    """Native ``session_window`` aggregation under the STREAMING runtime
+    (merging-session state store).  Watermark delay 0s: after the final
+    no-data micro-batch the watermark sits at max(ts), so every session
+    whose end (last event + gap) ≤ max(ts) closes and emits in append
+    mode.  The catalog oracle replays exactly that closure rule in SQL —
+    the deterministic tail sessions (within one gap of the global max
+    timestamp) stay open and are excluded on both sides."""
+    from tts_data_pipeline_spark.plans.windows import session_window_counts
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        events = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+        agg = session_window_counts(events)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_late_data_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "late_events",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermark late-data policy, demonstrated with a DETERMINISTIC
+    three-micro-batch replay and checked by a SQL oracle.
+
+    Replay order (per-file micro-batches via mtime + maxFilesPerTrigger=1):
+
+    1. even-user rows — establishes event-time stats over the full range;
+    2. odd-user rows with ts > max(ts) − delay ("on time");
+    3. odd-user rows with ts ≤ max(ts) − delay ("late").
+
+    Spark's aggregation filter drops a batch's rows against the watermark
+    REPORTED for the previous trigger (measured: ``numRowsDroppedByWatermark``
+    fires in batch 3, not batch 2), so by batch 3 the watermark sits at
+    W = max(ts) − delay and every late odd row whose 10-minute window ended
+    at or before W is dropped; append mode then emits exactly the windows
+    with end ≤ W.  Net observable semantics — identical windows treated
+    differently purely by ARRIVAL order:
+
+        output = tumbling agg over (even rows ∪ on-time odd rows)
+                 restricted to windows with end ≤ W
+
+    Both W and the parity/recency split are scalar-derivable from the input,
+    so the catalog oracle replays the whole policy in DuckDB."""
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="late_stream_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        # fixture: raw nanos-as-long schema, same as the streaming source
+        # imposes (conf must be set before ANY read of the nanos parquet)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        max_ns = raw.agg(F.max("ts")).collect()[0][0]
+        delay_ns = 30 * 60 * 1_000_000_000  # matches the default delay
+        cutoff = max_ns - delay_ns
+        even = F.col("user_id") % 2 == 0
+        batches = [
+            raw.filter(even),
+            raw.filter(~even & (F.col("ts") > cutoff)),
+            raw.filter(~even & (F.col("ts") <= cutoff)),
+        ]
+        for i, part in enumerate(batches):
+            part_dir = os.path.join(staging, f"b{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            pf = [f for f in os.listdir(part_dir) if f.startswith("part-")][0]
+            dst = os.path.join(staging, f"events_{i}.parquet")
+            shutil.move(os.path.join(part_dir, pf), dst)
+            shutil.rmtree(part_dir)
+            t = 1_000_000_000 + i * 100
+            os.utime(dst, (t, t))
+
+        from pyspark.sql import types as T
+
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        from tts_data_pipeline_spark.plans.windows import tumbling_counts
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .load(staging)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", delay)
+        )
+        agg = tumbling_counts(stream)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {query_name}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(staging, ignore_errors=True)
