@@ -48,6 +48,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         # normalize temporal types to ISO strings for comparison
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
+    if df.empty:  # apply() on an empty frame returns a DataFrame, not a Series
+        return df.reset_index(drop=True)
     key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
