@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
     "ta_quality_score",
@@ -54,6 +56,10 @@ HEADLINE = [
     "j10_asof_join",
     "j11_interval_join",
     "w7_hierarchical_rollup",
+    "q9_profit_by_nation_year",
+    "q21_multi_supplier_pending",
+    "ev_funnel_steps",
+    "stream_tumbling_counts",
 ]
 
 
