@@ -43,8 +43,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_utc(spark)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # micros parquet reads as NTZ; with the session pinned UTC the
+            # cast to session-TZ TIMESTAMP is identity, and downstream code
+            # (cast to long, unix_micros, window arithmetic) expects LTZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -18,36 +18,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _events_ts_unit(sf_dir: str) -> str:
+    """Probe the events parquet footer for the physical ts unit ('ns'/'us').
+
+    The driver's generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds; a streaming source needs an imposed
+    schema, so the right one must be chosen from the footer (the batch
+    reader in ``sources/readers.py`` adapts the same way via dtypes)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        part = next(f for f in sorted(os.listdir(path)) if f.endswith(".parquet"))
+        path = os.path.join(path, part)
+    ts_type = pq.read_schema(path).field("ts").type
+    return getattr(ts_type, "unit", "us")
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Streaming scan of the events directory (parquet file source).
 
-    Schema must be imposed (streaming sources don't infer).  The driver's
-    parquet stores TIMESTAMP(NANOS); the file-source reader needs the same
-    nanos-as-long fallback as the batch path, then rebuilds the timestamp.
+    Schema must be imposed (streaming sources don't infer).  Nanos files
+    need the nanos-as-long fallback + timestamp rebuild; micros files read
+    natively as TimestampType.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import types as T
 
+    nanos = _events_ts_unit(sf_dir) == "ns"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("ts", T.LongType() if nanos else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    return (
+    out = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if nanos:
+        out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return out
 
 
 def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
@@ -400,13 +423,21 @@ def run_late_data_stream(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     try:
-        # fixture: raw nanos-as-long schema, same as the streaming source
-        # imposes (conf must be set before ANY read of the nanos parquet)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        max_ns = raw.agg(F.max("ts")).collect()[0][0]
-        delay_ns = 30 * 60 * 1_000_000_000  # matches the default delay
-        cutoff = max_ns - delay_ns
+        # Stage the replay files in a canonical long-micros ts column so the
+        # staged stream has one imposed schema regardless of whether the
+        # source parquet is TIMESTAMP(NANOS) or TIMESTAMP(MICROS).
+        if _events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn("ts", F.expr("ts div 1000"))
+        else:
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            # micros parquet reads as TIMESTAMP_NTZ; session is pinned UTC so
+            # the cast to TIMESTAMP is identity before extracting micros
+            raw = raw.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+        max_us = raw.agg(F.max("ts")).collect()[0][0]
+        delay_us = 30 * 60 * 1_000_000  # matches the default delay
+        cutoff = max_us - delay_us
         even = F.col("user_id") % 2 == 0
         batches = [
             raw.filter(even),
@@ -443,7 +474,7 @@ def run_late_data_stream(
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .load(staging)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
             .withWatermark("ts", delay)
         )
         agg = tumbling_counts(stream)
