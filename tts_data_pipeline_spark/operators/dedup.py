@@ -20,6 +20,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def eval_once(col: Column) -> Column:
+    """Pin an expensive similarity expression to ONE evaluation in its
+    projection — blocks Catalyst from inlining it into filters/joins.
+
+    A deterministic threshold filter on a computed similarity column
+    (``jaccard >= t``) gets inlined through the projection and pushed into
+    the verify join's condition, where the similarity expression
+    (array_intersect / dot product / levenshtein) is re-evaluated per
+    matched row on the join/filter's interpreted non-codegen path —
+    measured **102-196 s vs 1.7 s** on the sf0.1 ngram verify stage (the
+    whole-stage-codegen projection evaluates the same 588k intersects in
+    under 2 s).  Keeping the predicate above the projection via a
+    non-deterministic OR-term is NOT enough: predicate-through-project
+    inlining still substitutes the expression into the filter (117 s
+    measured).  Adding an always-zero NON-DETERMINISTIC term to the COLUMN
+    itself makes the projection non-inlinable, so every downstream
+    consumer references the materialized attribute: join (equi only) →
+    codegen project (similarity once) → trivial attribute filter.  The
+    value is unchanged (``+ 0 * spark_partition_id``, no rand state).
+    """
+    return col + F.spark_partition_id() * F.lit(0)
+
+
 def content_fingerprint(col: Column) -> Column:
     """Stable content hash for exact dedup (md5 here; sha2 for prod)."""
     return F.md5(col.cast("binary"))
@@ -174,7 +197,7 @@ def minhash_lsh_pairs(
     return (
         candidates.withColumn(
             "jaccard",
-            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4),
+            eval_once(F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -252,7 +275,7 @@ def ngram_jaccard_pairs(
     return (
         pairs.withColumn(
             "jaccard",
-            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4),
+            eval_once(F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

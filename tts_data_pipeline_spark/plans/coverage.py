@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tts_data_pipeline_spark.functions import vi_text
+from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
@@ -287,7 +288,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            # eval_once: the dot product must not be inlined into the join
+            # condition / filter (see operators/dedup.py:eval_once)
+            D.eval_once(
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.40)
         .orderBy("id_a", "id_b")
@@ -437,7 +442,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["nat", "_band"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+        # eval_once: evaluate levenshtein once in the projection, not in
+        # the join condition / filter (see operators/dedup.py:eval_once)
+        .select("id_a", "id_b", D.eval_once(dist.cast("long")).alias("dist"))
         .filter(F.col("dist") <= 1)
         .orderBy("id_a", "id_b")
     )
