@@ -80,6 +80,23 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table so q1 isn't charged for it.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Python-worker warmup: the first pandas-UDF query otherwise pays the
+    # spawn of the whole worker pool (32 processes importing pandas/pyarrow
+    # concurrently — ~8 s idle, far worse under CPU contention).  The pool
+    # is reused session state (spark.python.worker.reuse), so spawning it
+    # here keeps per-query numbers measuring the query, not the pool.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: "pd.Series") -> "pd.Series":
+        return s
+
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 100, 1, n_workers).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
