@@ -85,12 +85,11 @@ def main() -> None:
     # concurrently — ~8 s idle, far worse under CPU contention).  The pool
     # is reused session state (spark.python.worker.reuse), so spawning it
     # here keeps per-query numbers measuring the query, not the pool.
-    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("long")
-    def _warm(s: "pd.Series") -> "pd.Series":
-        return s
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which the pandas_udf signature inference rejects
+    _warm = F.pandas_udf(lambda s: s, "long")
 
     n_workers = spark.sparkContext.defaultParallelism
     spark.range(0, n_workers * 100, 1, n_workers).select(

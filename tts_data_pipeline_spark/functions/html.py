@@ -1,0 +1,55 @@
+"""HTML element extraction — the S9 scan family (SURVEY.md §2.1).
+
+The reference crawls catalog pages and pulls fields out with CSS selectors
+(``crawler/utils.py:245-301`` — selectolax ``css_first('title')``,
+``css('.book-item')`` etc.; ``crawler/metadata.py:303-332`` similar).  The
+Spark-native re-expression keeps extraction DECLARATIVE: each supported
+selector compiles to a ``regexp_extract`` column expression (JVM-side,
+codegen, pushdown-friendly) instead of a per-row Python parser.
+
+Scope: the three selector shapes the reference actually uses — bare tag,
+``.class``, ``#id`` — over well-formed, non-nested target elements (the
+crawler's pages satisfy this; it reads leaf text nodes).  A full CSS engine
+would need a real parser UDF (selectolax/bs4 inside ``mapInPandas``) —
+that hook stays the documented escape hatch for arbitrary HTML.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java regex fragments; [^<]* restricts to leaf text content (no nested
+# elements), matching how the reference reads .text() of leaf nodes.
+_TAG = r"<{tag}[^>]*>([^<]*)</{tag}>"
+_CLASS = r'<\w+[^>]*class="{cls}"[^>]*>([^<]*)<'
+_ID = r'<\w+[^>]*id="{eid}"[^>]*>([^<]*)<'
+
+
+def css_text(col: Column, selector: str) -> Column:
+    """Text content of the first element matching ``selector``.
+
+    Selector forms: ``'title'`` (tag), ``'.lang'`` (class), ``'#count'``
+    (id).  Returns '' when nothing matches (regexp_extract semantics),
+    mirroring the reference's ``css_first(...).text()`` with a null guard
+    (``crawler/utils.py:262-270``).
+    """
+    if selector.startswith("."):
+        pattern = _CLASS.format(cls=selector[1:])
+    elif selector.startswith("#"):
+        pattern = _ID.format(eid=selector[1:])
+    else:
+        pattern = _TAG.format(tag=selector)
+    return F.regexp_extract(col, pattern, 1)
+
+
+def css_text_all(col: Column, selector: str) -> Column:
+    """All matching elements' text as an array — the ``css(...)`` list form
+    (``crawler/utils.py:283-294`` iterates every ``.book-item``)."""
+    if selector.startswith("."):
+        pattern = _CLASS.format(cls=selector[1:])
+    elif selector.startswith("#"):
+        pattern = _ID.format(eid=selector[1:])
+    else:
+        pattern = _TAG.format(tag=selector)
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(1))

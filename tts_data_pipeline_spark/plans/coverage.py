@@ -734,3 +734,100 @@ def s11_url_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "s9_html_css_extract",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>' || source || '</title></head><body>'
+               || '<div class="lang">' || lang || '</div>'
+               || '<p id="nchars">' || CAST(n_chars AS VARCHAR) || '</p>'
+               || '</body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+           regexp_extract(html, '<\\w+[^>]*class="lang"[^>]*>([^<]*)<', 1) AS lang,
+           CAST(regexp_extract(html, '<\\w+[^>]*id="nchars"[^>]*>([^<]*)<', 1)
+                AS BIGINT) AS n_chars
+    FROM pages
+    ORDER BY doc_id
+    """,
+)
+def s9_html_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 HTML scan + CSS select: pages synthesized deterministically from
+    the documents table, fields pulled back out with the declarative
+    selector→regexp compiler (``functions/html.py``) — the reference's
+    selectolax field extraction (``crawler/utils.py:245-301``) with the
+    parse expressed as JVM regexp_extract columns instead of a per-row
+    Python parser.  Round-trip equality is the oracle: extracted fields
+    must match the source columns they were rendered from."""
+    from tts_data_pipeline_spark.functions.html import css_text
+
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit('</title></head><body><div class="lang">'),
+        F.col("lang"),
+        F.lit('</div><p id="nchars">'),
+        F.col("n_chars").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        css_text(F.col("html"), "title").alias("title"),
+        css_text(F.col("html"), ".lang").alias("lang"),
+        css_text(F.col("html"), "#nchars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split for training-data prep:
+    the split is a pure function of the stable document id (first 16 bits
+    of md5, mod 100), so assignment is reproducible across runs, engines
+    and backfills — no sampling state, no shuffle beyond the reporting
+    aggregate, and adding documents never reassigns existing ones.
+    md5 exists in both engines, making the assignment itself (not just the
+    counts) oracle-checked via the per-(split, lang) rollup."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -125,6 +125,35 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTES
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ORDER BY view_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (views ⋈ purchases within 30 min) run by
+    the STREAMING runtime with watermark-bounded join state; inner-join
+    emission is watermark-independent, so the finite replay hash-matches
+    the batch join oracle."""
+    from tts_data_pipeline_spark.streaming.events import run_stream_stream_join
+
+    ensure_utc(spark)
+    out = run_stream_stream_join(spark, sf_dir, "q_stream_ss_join")
+    return out.orderBy("view_id", "purchase_id")
+
+
+@query(
     "stream_late_data_policy",
     oracle="""
     WITH we AS (SELECT MAX(ts) - INTERVAL 30 MINUTES AS w

@@ -43,11 +43,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Local mode: the driver JVM hosts all executor threads, so size the
         # heap for cores × per-task working set (32 threads on an 8g heap is
-        # ~250 MB/task). AlwaysPreTouch faults the whole heap in at startup —
-        # this VM lazily backs memory, so without it every heap-growth page
-        # pays a kernel fault tax mid-query (observed as 30-45% system time).
+        # ~250 MB/task).  Do NOT add -XX:+AlwaysPreTouch here: pre-faulting
+        # the whole heap commits 16 GB of real RAM up front on this
+        # lazily-backed VM, and the resulting memory pressure degraded every
+        # later query in a bench session by 5-30× (measured: the same
+        # 6-query dedup sequence ran 156 s with pretouch, 58 s without;
+        # ngram verify alone 100 s vs 3.7 s).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

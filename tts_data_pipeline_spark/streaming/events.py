@@ -385,6 +385,75 @@ def run_session_window_stream(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_joined"
+) -> DataFrame:
+    """STREAM-STREAM inner join with event-time range condition: each view
+    joined to the same user's purchases within 30 minutes after it.
+
+    Both sides carry watermarks so the join state is bounded: Spark derives
+    the state-eviction bound from watermark + the time-range condition
+    (views older than watermark − 30 min can never match a future purchase
+    and are evicted).  This is THE pattern for correlating two event feeds
+    at scale — state grows with the time window, not the stream length.
+    Inner-join emission doesn't wait for the watermark, so with a
+    deterministic finite replay the result equals the batch join, which is
+    the catalog oracle."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        base = read_events_stream(spark, sf_dir)
+        views = (
+            base.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "30 minutes")
+        )
+        purchases = (
+            base.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                """
+                v_user = p_user
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + INTERVAL 30 MINUTES
+                """
+            ),
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_late_data_stream(
     spark: SparkSession,
     sf_dir: str,
