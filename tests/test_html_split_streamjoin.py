@@ -1,0 +1,104 @@
+"""New coverage operators: HTML CSS extraction (S9), deterministic dataset
+split, stream-stream join batch parity, star-CC long-chain convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tts_data_pipeline_spark.functions.html import css_text, css_text_all
+
+
+HTML = (
+    '<html><head><title>My Book</title></head><body>'
+    '<div class="lang">vi</div>'
+    '<span class="author">A. Writer</span>'
+    '<p id="nchars">123</p>'
+    '<li class="item">one</li><li class="item">two</li>'
+    "</body></html>"
+)
+
+
+def test_css_text_selectors(spark):
+    df = spark.createDataFrame([(HTML,)], ["html"])
+    row = df.select(
+        css_text(F.col("html"), "title").alias("title"),
+        css_text(F.col("html"), ".lang").alias("lang"),
+        css_text(F.col("html"), ".author").alias("author"),
+        css_text(F.col("html"), "#nchars").alias("nchars"),
+        css_text(F.col("html"), ".missing").alias("missing"),
+    ).head()
+    assert row.title == "My Book"
+    assert row.lang == "vi"
+    assert row.author == "A. Writer"
+    assert row.nchars == "123"
+    assert row.missing == ""
+
+
+def test_css_text_all_list_form(spark):
+    df = spark.createDataFrame([(HTML,)], ["html"])
+    row = df.select(css_text_all(F.col("html"), ".item").alias("items")).head()
+    assert row["items"] == ["one", "two"]
+
+
+def test_split_deterministic_and_partitioning(spark):
+    from tts_data_pipeline_spark.sources import table
+
+    d = table(spark, SF_DIR, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    a = {r.doc_id: r.split for r in d.select("doc_id", split.alias("split")).collect()}
+    b = {r.doc_id: r.split for r in d.select("doc_id", split.alias("split")).collect()}
+    assert a == b  # pure function of the id — stable across runs
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    # md5 buckets are uniform enough that 80% ± 15% holds even at sf0.001
+    assert 0.65 * n <= n_train <= 0.95 * n
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from tts_data_pipeline_spark.sources import table
+    from tts_data_pipeline_spark.streaming.events import run_stream_stream_join
+
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in run_stream_stream_join(spark, SF_DIR, "t_ss_join").collect()
+    }
+    e = table(spark, SF_DIR, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(p, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_star_cc_long_chain_converges(spark):
+    # 300-node path: diameter-bound label propagation needed ~100 rounds
+    # (far past the cap); the star rewrite must fully converge to one
+    # component inside the default max_iterations
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)], ["id_a", "id_b"])
+    out = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 301
