@@ -162,27 +162,47 @@ def concat_book_audio(
     return parts.groupBy(book_col).applyInPandas(fold, CONCAT_SCHEMA)
 
 
-def extract_pdf_text(df: DataFrame, payload_col: str = "content") -> DataFrame:
-    """S7 — PDF → text.  pymupdf isn't in this image: with it installed this
-    runs per-page ``get_text`` inside mapInPandas (reference
-    ``process_all.py:265-279``); without it, raises at plan-build time."""
-    try:  # pragma: no cover - not installed here
-        import fitz  # noqa: F401  (pymupdf)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF extraction requires pymupdf (not in this environment); "
-            "the plumbing path is decode_audio-shaped: binaryFile scan → "
-            "mapInPandas extract"
-        ) from exc
+def extract_pdf_text(
+    df: DataFrame, payload_col: str = "content", engine: str = "auto"
+) -> DataFrame:
+    """S7 — PDF → text (reference ``process_all.py:265-279``: per-page
+    pymupdf ``get_text`` then join).
+
+    ``engine``: "pymupdf" uses fitz (raises if absent — not in this
+    image); "pure" uses the stdlib-only content-stream parser in
+    ``multimodal/pdf.py`` (uncompressed + FlateDecode streams, literal
+    Tj/'/TJ text — the text-first simple-PDF case); "auto" prefers
+    pymupdf when importable, else the pure parser.  Either way the Spark
+    side is the same Arrow-batched ``mapInPandas``."""
+    if engine == "auto":
+        try:  # pragma: no cover - pymupdf not installed here
+            import fitz  # noqa: F401
+
+            engine = "pymupdf"
+        except ImportError:
+            engine = "pure"
+    if engine == "pymupdf":
+        try:  # pragma: no cover - not installed here
+            import fitz  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "engine='pymupdf' requires pymupdf (not in this "
+                "environment); use engine='pure' or 'auto'"
+            ) from exc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import fitz
+        if engine == "pymupdf":  # pragma: no cover - not installed here
+            import fitz
+
+            def one(payload: bytes) -> str:
+                doc = fitz.open(stream=payload, filetype="pdf")
+                return "\n".join(page.get_text() for page in doc)
+
+        else:
+            from tts_data_pipeline_spark.multimodal.pdf import pdf_text as one
 
         for pdf in batches:
-            texts = []
-            for payload in pdf[payload_col]:
-                doc = fitz.open(stream=payload, filetype="pdf")
-                texts.append("\n".join(page.get_text() for page in doc))
+            texts = [one(payload) for payload in pdf[payload_col]]
             out = pdf[[c for c in pdf.columns if c != payload_col]].copy()
             out["text"] = texts
             yield out

@@ -75,6 +75,8 @@ _PRIORITY = (
     "tx_normalizer_chain",
     "x1_running_bucket",
     "stream_tumbling_counts",
+    "stream_stream_join",
+    "split_train_val_test",
     "a11_salted_aggregation",
 )
 

@@ -831,3 +831,46 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / greatest(sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.40
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e2.u, r.comp FROM edges e2 JOIN reach r ON e2.v = r.id
+    )
+    SELECT id, MIN(comp) AS component
+    FROM reach
+    GROUP BY id
+    ORDER BY id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end at the VECTOR layer: embedding-cosine
+    near-dup pairs (label-bucketed, ``dedup_embedding_cosine``) fed through
+    the large-star/small-star connected components — the composition a
+    training pipeline runs to collapse paraphrase families, not just
+    byte-level dups.  Oracle replays the closure with a recursive CTE."""
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    return (
+        connected_components(pairs)
+        .select("id", "component")
+        .orderBy("id")
+    )

@@ -75,3 +75,44 @@ def mm_audio_book_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sr",
         F.size("samples").cast("long").alias("n_samples"),
     ).orderBy("book_id")
+
+
+@query(
+    "s7_pdf_text_extract",
+    oracle="""
+    SELECT doc_id, source || chr(10) || 'Lang: ' || lang AS text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def s7_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end with a REAL parser: per-row minimal PDFs synthesized
+    from documents (binary column), then text recovered by the pure
+    content-stream extractor (``multimodal/pdf.py`` — uncompressed +
+    FlateDecode, Tj/'/TJ literals) inside Arrow-batched ``mapInPandas``;
+    pymupdf slots into the same plumbing when installed (reference
+    ``process_all.py:265-279``).  Oracle = the synthesized ground-truth
+    text, so the whole binary→text path is value-checked."""
+    import pandas as pd
+
+    from tts_data_pipeline_spark.multimodal.pdf import make_minimal_pdf
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "lang"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        make_minimal_pdf(f"{s}\nLang: {lg}")
+                        for s, lg in zip(pdf["source"], pdf["lang"])
+                    ],
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, content binary")
+    out = A.extract_pdf_text(payloads, payload_col="content", engine="pure")
+    return out.select("doc_id", "text").orderBy("doc_id")
