@@ -60,6 +60,11 @@ HEADLINE = [
     "q21_multi_supplier_pending",
     "ev_funnel_steps",
     "stream_tumbling_counts",
+    "stream_stream_join",
+    "dedup_semantic_clusters",
+    "split_train_val_test",
+    "s9_html_css_extract",
+    "s7_pdf_text_extract",
 ]
 
 
