@@ -92,3 +92,21 @@ def test_no_cartesian_products_anywhere(spark):
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_similarity_never_evaluated_in_join_condition(spark):
+    """eval_once regression guard: the similarity expression must appear in
+    a Project, never inside a join's condition or a filter predicate —
+    pushed into the join it re-evaluates per matched row on the
+    interpreted path (measured 100x slower at sf0.1)."""
+    for name, marker in (
+        ("dedup_ngram_jaccard_bucketed", "array_intersect"),
+        ("dedup_minhash_lsh", "array_intersect"),
+        ("dedup_embedding_cosine", "aggregate"),
+        ("dedup_fuzzy_levenshtein", "levenshtein"),
+    ):
+        plan = optimized_of(spark, name)
+        for line in plan.splitlines():
+            stripped = line.strip().strip(":+- ")
+            if stripped.startswith(("Join ", "Filter ")):
+                assert marker not in line, (name, line)
