@@ -459,3 +459,164 @@ def ta_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ta_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), n1 AS (
+      SELECT COUNT(*) AS n FROM uni
+    ), big AS (
+      SELECT bg[1] AS w1, bg[2] AS w2
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+            FROM toks)
+    ), bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ), n2 AS (
+      SELECT COUNT(*) AS n FROM big
+    )
+    SELECT w1, w2, c12,
+           ROUND(LN((CAST(c12 AS DOUBLE) / n2.n)
+                    / ((CAST(a.c AS DOUBLE) / n1.n)
+                       * (CAST(b.c AS DOUBLE) / n1.n))), 4) AS pmi
+    FROM bcnt
+    JOIN ucnt a ON bcnt.w1 = a.w
+    JOIN ucnt b ON bcnt.w2 = b.w
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE c12 >= 25
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def ta_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information —
+    corpus-analytics staple for tokenizer/vocab curation.  One explode for
+    unigrams, one zip-slice explode for bigrams, two broadcast joins
+    against the unigram counts, scalar totals cross-joined (1 row).  At
+    100 TB the heavy shuffles are the two count aggregations, both
+    map-side-partial; the min-count filter bounds the join fan-in."""
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = d.select(toks.alias("t"))
+    uni = t.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.count("*").alias("n1"))
+    big = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n2 = big.agg(F.count("*").alias("n2"))
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # corpus totals ride as broadcast 1-row cross joins — no eager
+    # driver-side count() in the plan-building path
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("n2").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("n1").cast("double"))
+                * (F.col("c2").cast("double") / F.col("n1").cast("double"))
+            )
+        ),
+        4,
+    )
+    return (
+        bcnt.filter(F.col("c12") >= 25)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+BM25_TERMS = ("hash", "vector", "window")
+
+
+@query(
+    "ta_bm25_search",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM d
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'hash')) AS tf_hash,
+             len(list_filter(t, x -> x = 'vector')) AS tf_vector,
+             len(list_filter(t, x -> x = 'window')) AS tf_window
+      FROM d
+    ), df AS (
+      SELECT SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+             SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM tf
+    )
+    SELECT doc_id,
+           ROUND(
+             LN((stats.n - df_hash + 0.5) / (df_hash + 0.5) + 1)
+               * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + LN((stats.n - df_vector + 0.5) / (df_vector + 0.5) + 1)
+               * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + LN((stats.n - df_window + 0.5) / (df_window + 0.5) + 1)
+               * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           , 4) AS bm25
+    FROM tf CROSS JOIN stats CROSS JOIN df
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+)
+def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 (k1=1.2, b=0.75) for a fixed
+    3-term query, fully declarative — per-doc term frequencies via
+    ``filter(tokens, ...)`` (no explode for the scoring pass), corpus
+    stats (N, avgdl, per-term df) as a broadcast 1-row cross join.  The
+    per-doc pass is a single projection over the scan; at 100 TB only the
+    1-row stats aggregation shuffles."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    def _eq(w):
+        # one-arg lambda: a two-arg lambda would make F.filter pass the
+        # element INDEX as the second argument
+        return lambda x: x == F.lit(w)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf_{w}") for w in BM25_TERMS
+    ]
+    tf = d.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{w}") > 0).cast("long")).alias(f"df_{w}")
+            for w in BM25_TERMS
+        ],
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    norm = 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    score = None
+    for w in BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5) + 1
+        )
+        part = idf * (F.col(f"tf_{w}") * 2.2) / (F.col(f"tf_{w}") + norm)
+        score = part if score is None else score + part
+    return (
+        joined.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
