@@ -63,3 +63,27 @@ def test_spark_extract_pdf_text_pure(spark):
         .collect()
     }
     assert out == {i: f"doc {i}\nline two" for i in range(6)}
+
+
+from hypothesis import given, settings, strategies as st
+
+# printable text incl. Vietnamese, parens, backslashes; no control chars
+# other than newline (the synthesizer's line separator)
+_line = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S", "Zs"),
+        include_characters="()\\ àáảãạăắằẳẵặâấầẩẫậđèéẻẽẹêếềểễệìíỉĩịòóỏõọôốồổỗộơớờởỡợùúủũụưứừửữựỳýỷỹỵ",
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(lines):
+    orig = "\n".join(lines)
+    got = pdf_text(make_minimal_pdf(orig))
+    # the extractor strips leading/trailing newlines per block; normalize
+    assert got == orig.strip("\n") or got == orig

@@ -134,7 +134,10 @@ def make_minimal_pdf(text: str) -> bytes:
         text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     )
     shows = "\n".join(f"({line}) Tj T*" for line in esc.split("\n"))
-    content = f"BT /F1 12 Tf 14 TL 72 720 Td\n{shows}\nET".encode("latin-1")
+    # UTF-8 bytes in the literal strings: PDF literals are byte strings,
+    # and the extractor decodes utf-8-first — so Vietnamese text
+    # round-trips without a latin-1 bottleneck
+    content = f"BT /F1 12 Tf 14 TL 72 720 Td\n{shows}\nET".encode("utf-8")
     objs = [
         b"<</Type/Catalog/Pages 2 0 R>>",
         b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
