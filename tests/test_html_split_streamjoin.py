@@ -102,3 +102,33 @@ def test_star_cc_long_chain_converges(spark):
     out = {r.id: r.component for r in connected_components(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 301
+
+
+def test_transform_with_state_matches_batch(spark):
+    """Runs only where python protobuf exists (transformWithState's state
+    protocol needs it); the operator is complete either way."""
+    import pytest
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf not installed in this image")
+
+    from tts_data_pipeline_spark.sources import table
+    from tts_data_pipeline_spark.streaming.events import run_transform_with_state
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_transform_with_state(spark, SF_DIR, "t_tws").collect()
+    }
+    e = table(spark, SF_DIR, "events")
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want

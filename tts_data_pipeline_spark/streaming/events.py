@@ -385,6 +385,96 @@ def run_session_window_stream(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_transform_with_state(
+    spark: SparkSession, sf_dir: str, query_name: str = "tws_totals"
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (typed ValueState in a RocksDB state
+    store, timers available) that supersedes ``applyInPandasWithState``
+    for custom incremental operators.
+
+    State per user is two scalars (bounded, O(1) per key); each
+    micro-batch folds its rows into the ValueState and emits the updated
+    running totals, so with the finite one-file replay the final memory
+    table equals the batch per-user aggregate — which is the catalog
+    oracle.  The state store shards by the grouping key exactly like the
+    sessionizer's; RocksDB keeps per-shard state off-heap and
+    incrementally checkpointed at 100 TB key cardinalities."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                "user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+                "Update",
+                "None",
+            )
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_stream_join(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_joined"
 ) -> DataFrame:
