@@ -831,3 +831,107 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@query(
+    "ev_value_deciles",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi,
+           ROUND(AVG(value), 2) AS mean_value
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (feature bucketing for training prep): global
+    ntile(10) with a unique-key tiebreak for determinism, then per-bucket
+    bounds/stats.  The global ntile is a single range-partitioned sort —
+    at 100 TB you'd swap in approx_percentile cut points to avoid the
+    total order; this is the exact variant the approximate one is
+    validated against."""
+    e = table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    binned = e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 2).alias("mean_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "agg_correlations",
+    oracle="""
+    SELECT
+      ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+      ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+      ROUND(stddev_samp(l_extendedprice), 2) AS sd_price
+    FROM lineitem
+    """,
+)
+def agg_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profiling: correlation / covariance / stddev in ONE
+    map-side-partial aggregation pass over the fact table (all four
+    moments accumulate in the same partial aggregate — one shuffle of a
+    single row per partition)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@query(
+    "qc_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    ORDER BY e.event_id
+    """,
+)
+def qc_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional QC: per-group z-score outliers (|z| > 3).  Group
+    stats are one partial aggregation, broadcast back onto the scan — no
+    window over the fact table, so the fact side never sorts or
+    re-shuffles."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
