@@ -837,38 +837,40 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_value_deciles",
     oracle="""
     WITH binned AS (
-      SELECT event_type, value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
       FROM events
     )
-    SELECT decile,
+    SELECT event_type, decile,
            COUNT(*) AS n,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi,
            ROUND(AVG(value), 2) AS mean_value
     FROM binned
-    GROUP BY decile
-    ORDER BY decile
+    GROUP BY event_type, decile
+    ORDER BY event_type, decile
     """,
 )
 def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth binning (feature bucketing for training prep): global
-    ntile(10) with a unique-key tiebreak for determinism, then per-bucket
-    bounds/stats.  The global ntile is a single range-partitioned sort —
-    at 100 TB you'd swap in approx_percentile cut points to avoid the
-    total order; this is the exact variant the approximate one is
-    validated against."""
+    """Equi-depth binning per group (feature bucketing for training
+    prep): ntile(10) PARTITIONED by event_type with a unique-key tiebreak
+    for determinism, then per-bucket bounds/stats.  Partitioning the
+    window keeps the sort parallel (one range sort per key, never a
+    single-partition global window); a global binning at 100 TB would use
+    approx_percentile cut points instead of a total order."""
     e = table(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
     binned = e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
     return (
-        binned.groupBy("decile")
+        binned.groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("value"), 2).alias("lo"),
             F.round(F.max("value"), 2).alias("hi"),
             F.round(F.avg("value"), 2).alias("mean_value"),
         )
-        .orderBy("decile")
+        .orderBy("event_type", "decile")
     )
 
 
