@@ -225,3 +225,107 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def _lsh_planes(n_planes: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic literal hyperplanes shared verbatim by the Spark
+    expression and the DuckDB oracle — same decimal literals parse to the
+    same doubles, the dot-product folds are both sequential doubles, so
+    the sign bits (and therefore the buckets) are bit-identical."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec, planes):
+    from tts_data_pipeline_spark.operators.similarity import dot
+
+    b = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        b = b + (dot(vec, plane) > 0).cast("long") * (1 << i)
+    return b
+
+
+def _bucket_sql(planes):
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_PLANES = _lsh_planes()
+
+@query(
+    "sim_lsh_bucketed_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8
+    ), cand AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, b.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS BIGINT) AS rank
+      FROM cand
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, ORACLE-BACKED: sign-bit bucket from 8 fixed
+    literal hyperplanes (shared verbatim with the DuckDB oracle), then
+    exact cosine top-k only within each query's bucket.  The scale shape:
+    candidates come from an equi-join on the bucket key — one shuffle on
+    (bucket), never a crossJoin — and recall is tunable by planes/probes.
+    Complements the seeded-numpy ``sim_lsh_ann_topk`` (rows-only) by
+    making the LSH path itself value-checkable."""
+    from tts_data_pipeline_spark.operators.similarity import cosine
+    from tts_data_pipeline_spark.sources.readers import spread
+    from pyspark.sql import Window as W
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = e.select(
+        "vec_id", "v", D.eval_once(_bucket_expr(F.col("v"), _PLANES)).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    cand = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            D.eval_once(
+                F.round(cosine(F.col("qv"), F.col("v")), 6)
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
