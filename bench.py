@@ -65,6 +65,8 @@ HEADLINE = [
     "split_train_val_test",
     "s9_html_css_extract",
     "s7_pdf_text_extract",
+    "sim_lsh_bucketed_topk",
+    "ta_bigram_pmi",
 ]
 
 

@@ -181,10 +181,15 @@ def test_concat_book_audio_order_and_resample(spark):
     assert peak == pytest.approx(0.95, abs=1e-5)
 
 
-def test_pdf_extract_raises_without_pymupdf(spark):
+def test_pdf_extract_engines(spark):
     df = spark.createDataFrame([(b"%PDF-fake",)], ["content"])
+    # explicit pymupdf engine still raises when the lib is absent
     with pytest.raises(NotImplementedError):
-        A.extract_pdf_text(df)
+        A.extract_pdf_text(df, engine="pymupdf")
+    # auto falls back to the pure content-stream parser (empty text for a
+    # payload with no content streams, but no error)
+    rows = A.extract_pdf_text(df).collect()
+    assert rows[0].text == ""
 
 
 # ---------------------------------------------------------------------------
