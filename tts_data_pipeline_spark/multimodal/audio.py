@@ -208,8 +208,11 @@ def extract_pdf_text(
             yield out
 
     out_schema = ",".join(
-        f"{f.name}:{f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != payload_col
-    ) + ",text:string"
+        [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != payload_col
+        ]
+        + ["text:string"]
+    )
     return df.mapInPandas(gen, out_schema)
