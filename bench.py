@@ -103,13 +103,14 @@ def main() -> None:
         F.sum(_warm(F.col("id")))
     ).collect()
 
-    # Two passes, min per query: intermittent external load on the bench
-    # host inflated single-shot numbers by 5-10× for whichever queries it
-    # overlapped (measured: the same query 2.6 s and 29.5 s in one
-    # session).  The min isolates engine time; pass 2 reuses caches the
-    # operators build, exactly like a warm production session.
+    # Three passes, min per query: intermittent external load on the bench
+    # host inflates single-shot numbers by 5-10× for whichever queries it
+    # overlaps (measured: the same query 2.6 s and 29.5 s in one session,
+    # and load-average 11+ with zero guest processes — host steal).  The
+    # min isolates engine time; later passes reuse caches the operators
+    # build, exactly like a warm production session.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()

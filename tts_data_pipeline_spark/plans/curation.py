@@ -1,0 +1,344 @@
+"""Training-data curation queries — the published LLM-corpus heuristics
+(C4, Gopher, RefinedWeb families) expressed as pure Catalyst plans over the
+``documents`` table, each with an exact DuckDB oracle.
+
+These extend the driver-mandated text-analysis family (SURVEY.md §2.11)
+with the filters a real 100 TB pretraining pipeline runs between crawl and
+tokenization: rule-based quality gates, repetition filters, PII redaction,
+deterministic source mixing, and sequence packing.  Everything here is
+JVM-side expression work — no UDFs, no collect, one shuffle max per query
+(the reporting aggregate) — so the plans scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+from tts_data_pipeline_spark.sources.readers import spread
+
+# Small stopword list shared verbatim with the oracles (Gopher's "must
+# contain ≥2 of a small stopword set" rule; also a cheap language signal).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "be", "that", "it")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "ta_gopher_quality_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+             n_chars
+      FROM documents
+    ), s AS (
+      SELECT doc_id, word_count,
+             ROUND(CAST(n_chars - word_count + 1 AS DOUBLE) / word_count, 4)
+               AS mean_word_len,
+             ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                   / greatest(word_count, 1), 4) AS dup_word_fraction,
+             CAST(len(list_distinct(list_filter(w, x -> x IN {_SW_SQL})))
+                  AS BIGINT) AS n_stop_distinct
+      FROM m
+    )
+    SELECT doc_id, word_count, mean_word_len, dup_word_fraction,
+           n_stop_distinct,
+           CAST(word_count BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND dup_word_fraction < 0.55
+                AND n_stop_distinct >= 2 AS BIGINT) AS gopher_pass
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def ta_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, public
+    heuristics): word-count bounds, mean word length bounds, repeated-word
+    fraction, and a minimum distinct-stopword requirement.  All array
+    expressions inside whole-stage codegen — the 100 TB shape is a single
+    narrow scan + project, no shuffle."""
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    wc = F.size(w).cast("long")
+    mean_len = F.round(
+        (F.col("n_chars") - F.col("word_count") + 1).cast("double")
+        / F.col("word_count"),
+        4,
+    )
+    dup_frac = F.round(
+        1.0
+        - F.size(F.array_distinct(F.col("w"))).cast("double")
+        / F.greatest(F.col("word_count"), F.lit(1)),
+        4,
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS)))
+    ).cast("long")
+    base = d.select(
+        "doc_id", w.alias("w"), wc.alias("word_count"), "n_chars"
+    ).select(
+        "doc_id",
+        "word_count",
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_word_fraction"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    gate = (
+        F.col("word_count").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("dup_word_fraction") < 0.55)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return base.withColumn("gopher_pass", gate.cast("long")).orderBy("doc_id")
+
+
+@query(
+    "ta_repetition_topbigram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS max_bigram_count FROM cnt GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS word_count,
+           CAST(COALESCE(top.max_bigram_count, 0) AS BIGINT)
+             AS max_bigram_count,
+           ROUND(2.0 * COALESCE(top.max_bigram_count, 0)
+                 / greatest(len(t.w), 1), 4) AS top_bigram_fraction
+    FROM t LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def ta_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher §A1.1 "top 2-gram fraction"): the share of
+    a document's tokens covered by its most frequent bigram.  Bigrams are
+    built JVM-side with ``zip_with`` over two array slices (no UDF), then
+    exploded; the count and max aggregate both benefit from map-side partial
+    aggregation, so the only shuffle is on (doc_id) — scales as a plain
+    word-count job."""
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = d.select("doc_id", w.alias("w"), bigrams.alias("bigrams"))
+    counts = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_count"))
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("word_count"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "word_count",
+            F.coalesce(F.col("max_bigram_count"), F.lit(0))
+            .cast("long")
+            .alias("max_bigram_count"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("max_bigram_count"), F.lit(0))
+                / F.greatest(F.col("word_count"), F.lit(1)),
+                4,
+            ).alias("top_bigram_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Redaction patterns — intersection of Java regex (Spark) and RE2 (DuckDB)
+# syntax: no backreferences, no lookaround, plain classes and bounds only.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\d{3}-\d{4}"
+
+
+@query(
+    "ta_pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'contact ' || source || '@example.com or call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: '
+               || substr(text, 1, 40) AS msg
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(msg, '{_EMAIL_PAT}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(msg, '{_PHONE_PAT}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(msg, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                          '{_PHONE_PAT}', '[PHONE]', 'g') AS redacted
+    FROM raw
+    ORDER BY doc_id
+    """,
+)
+def ta_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/RefinedWeb-style scrubbing): email and phone
+    patterns replaced with typed placeholders, with per-document match
+    counts.  A deterministic contact line is synthesized from (source,
+    doc_id) so the patterns actually fire on the synthetic corpus; the
+    pattern dialect is the Java∩RE2 intersection so the Spark plan and the
+    DuckDB oracle run the identical regexes.  Pure projection — no shuffle."""
+    d = spread(table(spark, sf_dir, "documents"))
+    msg = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    base = d.select("doc_id", msg.alias("msg"))
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_PAT), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("msg", F.lit(_PHONE_PAT), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("msg", _EMAIL_PAT, "[EMAIL]"),
+            _PHONE_PAT,
+            "[PHONE]",
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mix_weighted_sources",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1.0
+                  WHEN source IN ('src4', 'src5', 'src6', 'src7', 'src8',
+                                  'src9') THEN 0.5
+                  ELSE 0.2 END AS weight,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6))
+               ::BIGINT % 10000) / 10000.0 AS u
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS kept_rate
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing (the data-mixture step of a
+    pretraining pipeline): each source gets a target keep-probability and
+    each document an md5-derived uniform in [0,1) — so the sample is a pure
+    function of the stable id: reproducible across runs and engines, no
+    sampling state, adding documents never reassigns existing ones.  The
+    only shuffle is the per-source reporting rollup."""
+    d = spread(table(spark, sf_dir, "documents"))
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(
+            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"),
+            0.5,
+        )
+        .otherwise(0.2)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    kept = (u < weight).cast("long")
+    return (
+        d.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept").cast("double") / F.count("*"), 4).alias(
+                "kept_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_sequences_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), running AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM running
+    GROUP BY 1, 2
+    ORDER BY lang, bin_id
+    """,
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a 2048-token context window: documents are
+    streamed in stable id order per language and assigned to a bin once the
+    *prior* running token total crosses a 2048 boundary — the same
+    running-sum bucketing used for X1 (``x1_running_bucket``), which is the
+    shuffle-once SQL form of the greedy packer (the exact sequential fold
+    lives in ``operators/grouping.py`` as the applyInPandas twin).  One
+    window shuffle on (lang), then a map-side-combinable rollup."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    running = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        running.withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 2048.0).cast("long"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )

@@ -115,4 +115,7 @@ def s7_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.mapInPandas(synth, "doc_id bigint, content binary")
     out = A.extract_pdf_text(payloads, payload_col="content", engine="pure")
-    return out.select("doc_id", "text").orderBy("doc_id")
+    # No orderBy: a range sort above mapInPandas re-executes both Python
+    # stages for the range-bounds sampling pass (2× the UDF work); the
+    # driver's hash compare is order-insensitive.
+    return out.select("doc_id", "text")

@@ -37,6 +37,20 @@ def _events_ts_unit(sf_dir: str) -> str:
     return getattr(ts_type, "unit", "us")
 
 
+def _state_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for the stateful replay streams.
+
+    One shuffle partition = one state-store shard, and each shard pays a
+    fixed open/commit/maintenance cost EVERY micro-batch regardless of how
+    many keys it holds.  So shard count is sized to expected state volume,
+    not core count: these finite replays carry ≤ ~100 k keys, where 8
+    shards is already single-digit MB per shard.  (On a real cluster this
+    is the one knob frozen into the checkpoint at first start — pick it
+    for the target state size, then it cannot change without a state
+    rebuild.)"""
+    return min(8, spark.sparkContext.defaultParallelism)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -171,12 +185,11 @@ def run_stateful_sessions_to_memory(
     """Drive the stateful sessionizer over the file stream to completion.
     Returns CLOSED sessions (each user's open tail stays in state — with an
     unbounded stream it would close via timeout or a later gap)."""
-    # state store shards = shuffle partitions; a plain session's default of
-    # 200 means 200 state stores for a local run — bound it to the core
-    # count for the stream, restoring the caller's conf afterwards
+    # state store shards = shuffle partitions — sized to state volume via
+    # _state_partitions, restoring the caller's conf afterwards
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
@@ -208,7 +221,7 @@ def run_stream_to_memory(
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         agg = windowed_counts(read_events_stream(spark, sf_dir))
@@ -262,7 +275,7 @@ def stream_merge_dedup(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
@@ -292,7 +305,7 @@ def run_stream_static_enrich(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         static_cohorts = (
@@ -331,7 +344,7 @@ def run_sliding_stream_to_memory(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
@@ -365,7 +378,7 @@ def run_session_window_stream(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         events = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
@@ -435,7 +448,7 @@ def run_transform_with_state(
         "spark.sql.streaming.stateStore.providerClass", None
     )
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
@@ -491,7 +504,7 @@ def run_stream_stream_join(
     the catalog oracle."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         base = read_events_stream(spark, sf_dir)
@@ -579,7 +592,7 @@ def run_late_data_stream(
     staging = tempfile.mkdtemp(prefix="late_stream_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
         # Stage the replay files in a canonical long-micros ts column so the
