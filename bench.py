@@ -67,6 +67,12 @@ HEADLINE = [
     "s7_pdf_text_extract",
     "sim_lsh_bucketed_topk",
     "ta_bigram_pmi",
+    "dedup_minhash_md5",
+    "ta_gopher_quality_rules",
+    "ta_repetition_topbigram",
+    "ta_pii_redaction",
+    "mix_weighted_sources",
+    "pack_sequences_bins",
 ]
 
 

@@ -96,6 +96,31 @@ def test_probe_urls_and_retries(spark):
     assert delays == [1.0, 2.0, 1.0, 2.0]
 
 
+def test_fetch_csv_malformed_lines_dropped(spark):
+    from tts_data_pipeline_spark.sources.http import fake_fetch_csv, fetch_csv
+
+    body = fake_fetch_csv("https://sheets.example.com/feed-3.csv")
+    assert body.splitlines()[0] == "id,label"
+    assert "30,item30" in body and "oops" in body
+
+    df = spark.createDataFrame(
+        [("https://sheets.example.com/feed-2.csv",)], ["url"]
+    )
+    fetched = fetch_csv(df)
+    lines = fetched.select(
+        F.posexplode(F.split("body", "\n")).alias("pos", "line")
+    ).filter((F.col("pos") > 0) & (F.length(F.trim("line")) > 0))
+    parsed = lines.select(
+        F.from_csv("line", "id bigint, label string").alias("rec")
+    ).select("rec.id", "rec.label")
+    rows = parsed.collect()
+    # 4 well-formed + 1 malformed line; the malformed one types to NULL id
+    assert len(rows) == 5
+    good = [r for r in rows if r.id is not None]
+    assert sorted(r.id for r in good) == [20, 21, 22, 23]
+    assert {r.label for r in good} == {"item20", "item21", "item22", "item23"}
+
+
 def test_read_alignment_tsv(spark, tmp_path):
     p = tmp_path / "book7.tsv"
     p.write_text("0.0\t2.5\t1f\n2.5\t6.0\t2f\n6.0\t30.0\t3f\n")

@@ -52,6 +52,10 @@ try:
     from tts_data_pipeline_spark.plans import curation  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from tts_data_pipeline_spark.plans import graphops  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # Scale-critical operators first: if the driver samples a prefix of the
@@ -62,8 +66,10 @@ _PRIORITY = (
     "dedup_exact_groups",
     "dedup_drop_duplicates",
     "dedup_minhash_lsh",
+    "dedup_minhash_md5",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",
+    "dedup_simhash_md5",
     "dedup_embedding_cosine",
     "dedup_fuzzy_levenshtein",
     "dedup_clusters",

@@ -737,6 +737,50 @@ def s11_url_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s5_remote_csv_scan",
+    oracle="""
+    SELECT (r.generate_series * 10 + i.generate_series) AS id,
+           'item' || CAST(r.generate_series * 10 + i.generate_series
+                          AS VARCHAR) AS label,
+           CAST(r.generate_series AS BIGINT) AS feed
+    FROM generate_series(0, 4) AS r, generate_series(0, 3) AS i
+    ORDER BY id
+    """,
+)
+def s5_remote_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — remote CSV feeds end-to-end: URL table → distributed fake-HTTP
+    GET (``sources/http.py:fetch_csv``) → declarative parse: split the
+    body into lines, drop the header positionally, ``from_csv`` each
+    record, and drop rows the parser could not type (each feed ships one
+    malformed line) — the reference's Google-Sheet ingest
+    (``crawler/metadata.py:303-332``) with the dirty-feed handling made
+    explicit.  The feed bodies are pure functions of the URL, so DuckDB
+    replays the whole "network" scan."""
+    from tts_data_pipeline_spark.sources.http import fetch_csv
+
+    urls = spark.range(5).select(
+        F.col("id").alias("feed"),
+        F.concat(
+            F.lit("https://sheets.example.com/feed-"),
+            F.col("id").cast("string"),
+            F.lit(".csv"),
+        ).alias("url"),
+    )
+    fetched = fetch_csv(urls)
+    lines = fetched.select(
+        "feed", F.posexplode(F.split("body", "\n")).alias("pos", "line")
+    ).filter((F.col("pos") > 0) & (F.length(F.trim("line")) > 0))
+    parsed = lines.select(
+        "feed", F.from_csv("line", "id bigint, label string").alias("rec")
+    )
+    return (
+        parsed.select(F.col("rec.id").alias("id"), F.col("rec.label").alias("label"), "feed")
+        .filter(F.col("id").isNotNull())
+        .orderBy("id")
+    )
+
+
+@query(
     "s9_html_css_extract",
     oracle="""
     WITH pages AS (

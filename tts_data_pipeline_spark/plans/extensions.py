@@ -114,6 +114,196 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
 
 
+def _md5_long(col):
+    """60-bit positive long from md5 — the engine-portable hash: Spark
+    ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` (identical digests, identical
+    15-hex-digit prefix, < 2^60 so no sign issues in either engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MH_SEEDS = 8
+_MH_BANDS = 4  # 2 rows per band
+
+
+@query(
+    "dedup_minhash_md5",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+      FROM t
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM sh
+    ), h AS (
+      SELECT doc_id, seed.generate_series AS seed,
+             MIN(('0x' || substr(md5(CAST(seed.generate_series AS VARCHAR)
+                                      || ':' || tok), 1, 15))::BIGINT) AS mh
+      FROM tok, generate_series(0, {_MH_SEEDS - 1}) AS seed
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM h GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.generate_series AS b,
+             sig[2 * b.generate_series + 1] AS v1,
+             sig[2 * b.generate_series + 2] AS v2
+      FROM sig, generate_series(0, {_MH_BANDS - 1}) AS b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.v1 = c.v1 AND a.v2 = c.v2 AND a.doc_id < c.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                      AS DOUBLE)
+                 / greatest(len(ta.toks) + len(tb.toks)
+                   - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))),
+                   1), 4) AS jaccard
+    FROM cand JOIN sh ta ON ta.doc_id = cand.id_a
+              JOIN sh tb ON tb.doc_id = cand.id_b
+    WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+               AS DOUBLE)
+          / greatest(len(ta.toks) + len(tb.toks)
+            - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))), 1)
+          >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the FULL pipeline value-checked: 3-word shingles →
+    8-seed md5 MinHash signature → 4 bands × 2 rows → within-band
+    equi-join candidates → exact shingle-Jaccard ≥ 0.5 verify.  Same
+    banded shape as the production xxhash64 variant
+    (``dedup_minhash_lsh``) but on the engine-portable md5 hash, so the
+    signature, the banding AND the verify stage all hash-match DuckDB —
+    closing the rows-only gap for the MinHash family.  All JVM
+    expressions: the signature is 8 ``array_min`` folds over one
+    materialized shingle attribute (Column trees aren't DAGs — inlining
+    would recompute the shingling per seed), and only (id, band, v1, v2)
+    rides the candidate shuffle."""
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim("text")), " ")
+    sh = d.select("doc_id", words.alias("w")).select(
+        "doc_id", F.array_distinct(D.word_shingles(F.col("w"), 3)).alias("toks")
+    )
+    signed = sh.select(
+        "doc_id",
+        "toks",
+        *[
+            F.array_min(
+                F.transform(
+                    "toks", lambda t, j=j: _md5_long(F.concat(F.lit(f"{j}:"), t))
+                )
+            ).alias(f"mh{j}")
+            for j in range(_MH_SEEDS)
+        ],
+    ).cache()
+    bands = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.col(f"mh{2 * b}").alias("v1"),
+                        F.col(f"mh{2 * b + 1}").alias("v2"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.b", "band.v1", "band.v2")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(c, ["b", "v1", "v2"])
+        .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    toksets = signed.select("doc_id", "toks")
+    pairs = cand.join(
+        toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tok_a")),
+        "id_a",
+    ).join(
+        toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tok_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard",
+            D.eval_once(
+                F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    ), bits AS (
+      SELECT doc_id, b.generate_series AS b,
+             CASE WHEN 2 * SUM((h >> b.generate_series) & 1) > COUNT(*)
+                  THEN 1 ELSE 0 END AS bit
+      FROM tok, generate_series(0, 31) AS b
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS simhash32
+    FROM bits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the fingerprint itself value-checked: distinct word
+    tokens → 60-bit md5 hash each → per-bit majority vote over the low 32
+    bits → packed fingerprint.  Engine-portable twin of the production
+    ``dedup_simhash`` (blake2b pandas UDF): this one is ALL JVM
+    expressions — one md5 transform materialized per row, then 32
+    codegen'd filter-counts over the hash array — no Python, no shuffle,
+    and an exact DuckDB hash match on every fingerprint."""
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+    hashed = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.transform("toks", _md5_long).alias("hs")
+    )
+    n = F.size("hs")
+
+    def bit_set(b: int):
+        # closure (not a default-arg lambda): a 2-param lambda would be
+        # handed the (element, index) higher-order-function form
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    fp = None
+    for b in range(32):
+        ones = F.size(F.filter("hs", bit_set(b)))
+        term = F.when(2 * ones > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return hashed.select(
+        "doc_id", fp.cast("long").alias("simhash32")
+    ).orderBy("doc_id")
+
+
 @query(
     "sim_bruteforce_cosine_topk",
     oracle="""

@@ -70,6 +70,50 @@ def probe_urls(
     return df.mapInPandas(_probe, out_schema)
 
 
+def fake_fetch_csv(url: str) -> str:
+    """Deterministic fake GET for a remote CSV feed (S5): the body is a
+    pure function of the trailing integer in the URL — feed ``r`` serves a
+    header line, four well-formed rows ``(r*10+i, item{r*10+i})``, and one
+    MALFORMED line (``oops``) so downstream parsing must handle dirty
+    feeds.  SQL-replicable, so the whole fetch→parse plan is
+    oracle-checkable; swap ``fetch_fn`` for a real httpx GET in
+    production."""
+    import re
+
+    m = re.search(r"(\d+)", url)
+    r = int(m.group(1)) if m else 0
+    rows = "".join(f"{r * 10 + i},item{r * 10 + i}\n" for i in range(4))
+    return f"id,label\n{rows}oops\n"
+
+
+def fetch_csv(
+    df: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    fetch_fn: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """S5 — remote CSV scan (reference ``crawler/metadata.py:303-332``:
+    Google-Sheet CSV fetched over HTTP into pandas).  Spark-first shape:
+    the URL table is a DataFrame, the GET runs inside Arrow-batched
+    ``mapInPandas`` (parallel per partition, retry via
+    :func:`with_retries` at the call site), and the body lands as a
+    column for the DECLARATIVE parse (`split` + `from_csv`) to consume —
+    never a driver-side download loop."""
+    fetch = fetch_fn or fake_fetch_csv
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField(body_col, T.StringType())]
+    )
+
+    def _fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bodies = pdf[url_col].map(
+                lambda u: fetch(u) if isinstance(u, str) else None
+            )
+            yield pdf.assign(**{body_col: bodies})
+
+    return df.mapInPandas(_fetch, out_schema)
+
+
 def with_retries(
     fn: Callable,
     max_retries: int = 3,
