@@ -43,6 +43,15 @@ def eval_once(col: Column) -> Column:
     return col + F.spark_partition_id() * F.lit(0)
 
 
+def eval_once_any(col: Column) -> Column:
+    """:func:`eval_once` for non-numeric columns (arrays, strings): wrap in
+    a ``when`` whose condition is non-deterministic but always true —
+    project-collapsing and predicate-through-project inlining both require
+    deterministic expressions, so downstream consumers reference the
+    materialized attribute instead of re-evaluating the tree."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def content_fingerprint(col: Column) -> Column:
     """Stable content hash for exact dedup (md5 here; sha2 for prod)."""
     return F.md5(col.cast("binary"))

@@ -127,6 +127,8 @@ def ta_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded; the count and max aggregate both benefit from map-side partial
     aggregation, so the only shuffle is on (doc_id) — scales as a plain
     word-count job."""
+    from tts_data_pipeline_spark.operators.dedup import eval_once_any
+
     d = spread(table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n = F.size(w)
@@ -135,7 +137,12 @@ def ta_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    base = d.select("doc_id", w.alias("w"), bigrams.alias("bigrams"))
+    # eval_once_any: Catalyst's generate-pushdown synthesizes a
+    # size(bigrams)>0 filter below the explode and inlines the zip_with
+    # into it — 3 evaluations per row without the pin.
+    base = d.select(
+        "doc_id", w.alias("w"), eval_once_any(bigrams).alias("bigrams")
+    )
     counts = (
         base.select("doc_id", F.explode("bigrams").alias("bigram"))
         .groupBy("doc_id", "bigram")
