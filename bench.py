@@ -73,6 +73,9 @@ HEADLINE = [
     "ta_pii_redaction",
     "mix_weighted_sources",
     "pack_sequences_bins",
+    "emb_kmeans_lloyd",
+    "graph_pagerank_trade",
+    "s5_remote_csv_scan",
 ]
 
 

@@ -77,6 +77,8 @@ _PRIORITY = (
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
     "sim_lsh_ann_topk",
+    "emb_kmeans_lloyd",
+    "graph_pagerank_trade",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

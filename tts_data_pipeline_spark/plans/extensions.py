@@ -378,6 +378,118 @@ def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, 8)) AS c
+      FROM e WHERE vec_id < {_KM_K}
+    ), d1 AS (
+      SELECT e.vec_id, e.v, c0.cid,
+             ROUND(list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, c0.c)
+                   + list_dot_product(c0.c, c0.c), 6) AS d2
+      FROM e CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ), c1 AS (
+      SELECT cid, list(ROUND(m, 8) ORDER BY i) AS c FROM (
+        SELECT cid, i.generate_series AS i, AVG(v[i.generate_series]) AS m
+        FROM a1, generate_series(1, {_KM_DIM}) AS i
+        GROUP BY 1, 2
+      ) GROUP BY cid
+    ), d2t AS (
+      SELECT e.vec_id, c1.cid,
+             ROUND(list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, c1.c)
+                   + list_dot_product(c1.c, c1.c), 6) AS d2
+      FROM e CROSS JOIN c1
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rn FROM d2t
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM a2 ORDER BY vec_id
+    """,
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 fixed rounds, deterministic first-k init)
+    over the embedding table, fully value-checked: the oracle replays both
+    assignment rounds and the centroid update as chained CTEs.
+
+    Spark shape: centroids are MODEL STATE — O(k·dim) doubles collected to
+    the driver per round (the same contract as ml.clustering.KMeans), so
+    each assignment is a pure broadcast-free literal expression over one
+    scan: squared distance per centroid via the codegen'd fold dot
+    product, then ``array_min`` over (distance, cid) structs — ties break
+    to the lower cid on both engines.  The centroid update is a
+    posexplode + (cid, dim)-keyed avg — map-side combinable, k·dim output
+    rows.  No crossJoin anywhere on the big side; rounds scale as plain
+    scans of n·k distance expressions."""
+    from tts_data_pipeline_spark.operators.similarity import dot
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    em = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = em.select(
+        "vec_id", "v", D.eval_once(dot(F.col("v"), F.col("v"))).alias("vv")
+    ).cache()
+
+    init = (
+        base.filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", F.transform("v", lambda x: F.round(x, 8)).alias("c"))
+        .collect()
+    )
+    cents: dict[int, list[float]] = {int(r.vec_id): list(r.c) for r in init}
+
+    assign = None
+    for it in range(_KM_ITERS):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.col("vv")
+                        - 2 * dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                        + F.lit(sum(x * x for x in c)),
+                        6,
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in sorted(cents.items())
+            ]
+        )
+        assign = base.select(
+            "vec_id", "v", F.array_min(cands).getField("cid").alias("cid")
+        )
+        if it < _KM_ITERS - 1:
+            new_c = (
+                assign.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("x"), 8).alias("m"))
+                .collect()
+            )
+            cents = {}
+            for r in new_c:
+                cents.setdefault(int(r.cid), [0.0] * _KM_DIM)[int(r.pos)] = float(
+                    r.m
+                )
+    return assign.select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    ).orderBy("vec_id")
+
+
 @query("dedup_minhash_ml")
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs via Spark ML's MinHashLSH /
