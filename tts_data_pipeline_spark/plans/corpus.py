@@ -1,0 +1,353 @@
+"""Corpus-scale curation round 3 — the remaining published LLM-pipeline
+stages between crawl and tokenization that the catalog didn't yet cover,
+each as a pure Catalyst plan with an exact DuckDB oracle:
+
+- paragraph/segment-level exact dedup (CCNet's line dedup, Wenzek et al.
+  2019 §3.1, re-expressed over fixed word windows since the synthetic docs
+  are single-line);
+- eval-set decontamination by n-gram overlap (GPT-3 appendix C / PaLM
+  §C.2 style: drop training docs sharing long n-grams with the eval set);
+- exact stratified sampling (k docs per language, deterministic hash
+  order);
+- temperature-based language resampling (multilingual alpha-sampling,
+  XLM-R §3: p_l proportional to c_l^alpha with alpha=0.5);
+- per-vector int8 embedding quantization (max-abs scale, the faiss-style
+  SQ8 layout) with reconstruction-error report.
+
+Everything is JVM-side expression work — no Python UDFs, no collect; the
+only shuffles are the semantically-required ones (the dedup shuffle on
+segment content, the per-language aggregate).  Determinism notes: every
+float that crosses the oracle hash is either rounded on both sides or
+derived from exact integer arithmetic, and the per-doc uniform used for
+resampling is a Knuth multiplicative hash (doc_id * 2654435761 mod 1e6) —
+exact BIGINT math in both engines, no float RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+from tts_data_pipeline_spark.sources.readers import spread
+
+# --- paragraph-level exact dedup -------------------------------------------
+
+_SEG_WORDS = 5  # words per segment; small so the tiny-vocab corpus collides
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               words[(i*{_SEG_WORDS}+1):((i+1)*{_SEG_WORDS})], ' ') AS seg
+      FROM w, UNNEST(range(CAST(ceil(len(words)/{_SEG_WORDS}.0) AS BIGINT)))
+              AS t(i)
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_segments,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS new_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (CCNet line dedup, Wenzek et al. 2019):
+    each doc splits into fixed word windows; a segment survives only at its
+    globally-first occurrence (min ``(doc_id, seg_idx)``); docs reassemble
+    from their surviving segments.
+
+    100 TB shape: the only data-sized shuffle is the window partition on
+    segment content — exactly the hash partition the dedup semantically
+    requires (same key a groupBy-min would use); per-group state is the
+    handful of rows sharing one segment string.  The regroup to doc_id is
+    the second, equally irreducible shuffle.  No UDFs; the segment explode
+    carries (doc_id, seg_idx, seg) only — never the full document."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    n_seg = F.ceil(F.size(words) / F.lit(float(_SEG_WORDS))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS), " "
+        ),
+    )
+    seg_rows = d.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    ).select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
+    rn = F.row_number().over(
+        W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    ranked = seg_rows.select("doc_id", "seg_idx", "seg", rn.alias("rn"))
+    kept_seg = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_segments"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("kept_segments"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_seg)),
+                    lambda s: s.seg,
+                ),
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- eval-set decontamination ----------------------------------------------
+
+_NGRAM = 8  # overlap n-gram length (GPT-3 used 13-grams; 8 fits short docs)
+
+
+@query(
+    "ta_decontaminate_eval",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= {_NGRAM} THEN
+               list_transform(range(CAST(len(words) - {_NGRAM - 1} AS BIGINT)),
+                              i -> array_to_string(words[(i+1):(i+{_NGRAM})],
+                                                   ' '))
+             ELSE [] END AS grams
+      FROM w
+    ), ev AS (
+      SELECT DISTINCT g AS gram FROM sh, UNNEST(grams) AS t(g)
+      WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT doc_id, g AS gram FROM sh, UNNEST(grams) AS t(g)
+      WHERE doc_id % 97 <> 0
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(o.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN (
+      SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_overlap
+      FROM tr JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id
+    ) o ON d.doc_id = o.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def ta_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix C style): flag training
+    docs that share any word {_NGRAM}-gram with a held-out eval set (here
+    the deterministic ``doc_id % 97 == 0`` slice standing in for the
+    benchmark suite).
+
+    100 TB shape: the eval n-gram set is benchmark-sized (MBs), so it
+    BROADCASTS — the 100 TB training side never shuffles for the probe;
+    per-doc overlap counts aggregate map-side first.  In production the
+    grams would be hashed (xxhash64) before the join to shrink the
+    broadcast; kept as strings here so the oracle stays engine-portable."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    grams = F.when(
+        F.size(words) >= _NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - _NGRAM),
+            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = sh.filter(is_eval).select("gram").distinct()
+    tr = sh.filter(~is_eval)
+    overlap = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )
+    train_docs = (
+        table(spark, sf_dir, "documents").filter(~is_eval).select("doc_id")
+    )
+    return (
+        train_docs.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0)
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- stratified sampling ----------------------------------------------------
+
+
+@query(
+    "o6_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10 ORDER BY lang, rn
+    """,
+)
+def o6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: k=10 docs per language, chosen by md5 hash
+    order so the draw is deterministic, uniform within stratum, and stable
+    under re-partitioning.
+
+    100 TB shape: one shuffle on the stratum key.  Strata are languages —
+    heavily skewed (en >> rest) — so at scale the window sort would be
+    replaced by the two-phase top-k also in this catalog (per-partition
+    ``sort_array(collect_list)[:k]`` then re-merge, or `j8`-style salting);
+    at k=10 the per-group heap is tiny either way."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "lang", rn.cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .orderBy("lang", "rn")
+    )
+
+
+# --- temperature resampling -------------------------------------------------
+
+
+@query(
+    "mix_temperature_resample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), p AS (
+      SELECT lang, n,
+             ROUND(LEAST(1.0, sqrt(n) / (SELECT SUM(sqrt(n)) FROM c)
+                                * 250.0 / n), 6) AS rate
+      FROM c
+    )
+    SELECT d.doc_id, d.lang, p.rate,
+           CAST((d.doc_id * 2654435761) % 1000000 < p.rate * 1000000
+                AS BIGINT) AS kept
+    FROM documents d JOIN p ON d.lang = p.lang
+    ORDER BY d.doc_id
+    """,
+)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language resampling (XLM-R §3.1 alpha-sampling,
+    alpha=0.5): sampling rate per language proportional to sqrt(count),
+    normalized to a 250-doc budget, capped at 1.  Per-doc keep decision is
+    a Knuth multiplicative hash on doc_id — exact integer math, so the
+    draw is reproducible across engines and runs (no RNG state).
+
+    100 TB shape: the language histogram is a tiny aggregate that
+    BROADCASTS back onto the corpus scan; the keep filter is then pure
+    map-side — the resample itself adds zero shuffles."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum(F.sqrt("n")).alias("tot"))
+    rates = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("n") / F.col("tot") * 250.0 / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % 1000000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "rate",
+            (u < F.col("rate") * 1000000).cast("bigint").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale9,
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)),
+             ',') AS q_csv,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> (CAST(x AS DOUBLE)
+                   - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                  * (CAST(x AS DOUBLE)
+                   - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+             / 64.0), 6) AS rms_err
+    FROM s ORDER BY vec_id
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (faiss SQ8 layout): max-abs /
+    127 scale, symmetric round-to-nearest (spelled ``floor(x/s + 0.5)`` so
+    both engines share one rounding rule), plus the RMS reconstruction
+    error. 4x smaller ANN working set; the q codes feed the int8 dot-kernel
+    variant of the similarity family.
+
+    100 TB shape: pure per-row projection — no shuffle, no UDF; float →
+    double widenings are exact so the oracle hash is bit-stable."""
+    e = spread(table(spark, sf_dir, "embeddings"))
+    xd = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = amax.cast("double") / F.lit(127.0)
+    base = e.select("vec_id", "embedding", scale.alias("scale"))
+    s = F.col("scale")
+    qcode = lambda x: F.floor(xd(x) / s + 0.5)  # noqa: E731
+    diff = lambda x: xd(x) - qcode(x) * s  # noqa: E731
+    sse = F.aggregate(
+        F.transform("embedding", lambda x: diff(x) * diff(x)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        base.select(
+            "vec_id",
+            F.round(s, 9).alias("scale9"),
+            # stringified codes: raw array columns collect as Python lists
+            # vs DuckDB's numpy arrays and break the driver's value hash
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding", lambda x: qcode(x).cast("bigint").cast("string")
+                ),
+            ).alias("q_csv"),
+            F.round(F.sqrt(sse / 64.0), 6).alias("rms_err"),
+        )
+        .orderBy("vec_id")
+    )
