@@ -132,3 +132,28 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_css_attr_all_and_fake_render(spark):
+    from tts_data_pipeline_spark.functions.html import css_attr_all
+    from tts_data_pipeline_spark.sources.browser import fake_render, render_pages
+
+    # the fake hydrated DOM: key 5 -> 5 % 3 + 1 = 3 track anchors
+    html = fake_render("https://catalog.example.com/book/5")
+    df = spark.createDataFrame([(html,)], ["html"])
+    row = df.select(
+        css_attr_all(F.col("html"), "a.ai-track-btn", "href").alias("hrefs")
+    ).head()
+    assert row.hrefs == [
+        "https://cdn.example.com/audio/5/0.mp3",
+        "https://cdn.example.com/audio/5/1.mp3",
+        "https://cdn.example.com/audio/5/2.mp3",
+    ]
+    # seam: render_pages appends the html column through mapInPandas
+    pages = render_pages(
+        spark.createDataFrame(
+            [("https://catalog.example.com/book/7",)], ["url"]
+        )
+    )
+    out = pages.head()
+    assert out.html == fake_render(out.url)

@@ -43,6 +43,26 @@ def css_text(col: Column, selector: str) -> Column:
     return F.regexp_extract(col, pattern, 1)
 
 
+def css_attr_all(col: Column, selector: str, attr: str) -> Column:
+    """All matching elements' ``attr`` values as an array — the
+    ``css('a.ai-track-btn')`` + ``.attributes['href']`` form the dynamic
+    scan uses (``crawler/utils.py:404-412``).  Supports ``tag.class``
+    compounds; assumes the class attribute precedes ``attr`` in the markup
+    (true for the pages in scope — a full parser UDF remains the escape
+    hatch)."""
+    if "." in selector and not selector.startswith("."):
+        tag, cls = selector.split(".", 1)
+    elif selector.startswith("."):
+        tag, cls = r"\w+", selector[1:]
+    else:
+        tag, cls = selector, None
+    if cls is not None:
+        pattern = f'<{tag}[^>]*class="{cls}"[^>]*{attr}="([^"]*)"'
+    else:
+        pattern = f'<{tag}[^>]*{attr}="([^"]*)"'
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(1))
+
+
 def css_text_all(col: Column, selector: str) -> Column:
     """All matching elements' text as an array — the ``css(...)`` list form
     (``crawler/utils.py:283-294`` iterates every ``.book-item``)."""

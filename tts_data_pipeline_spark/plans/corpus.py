@@ -351,3 +351,101 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- int8 ANN top-k ---------------------------------------------------------
+
+
+@query(
+    "sim_int8_topk",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) / 127.0 AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+               AS q
+      FROM s
+    ), n AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+      FROM c
+    ), p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             ROUND(CAST(list_sum(list_transform(range(64),
+                     i -> a.q[i+1] * b.q[i+1])) AS DOUBLE)
+                   / sqrt(CAST(a.nq * b.nq AS DOUBLE)), 6) AS sim_q8
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 125 = 0 AND a.nq > 0 AND b.nq > 0
+    ), r AS (
+      SELECT query_id, vec_id, sim_q8,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_q8 DESC, vec_id) AS rn
+      FROM p
+    )
+    SELECT query_id, vec_id, sim_q8, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over the SQ8 codes from ``emb_int8_quantize`` — the
+    production ANN memory layout: 4x smaller vectors, integer dot kernel,
+    and (unlike float accumulation) an EXACT dot product, which is why
+    this query can be value-hashed against the oracle bit-for-bit: every
+    similarity is integer-sum / sqrt(exact-int), deterministic in any
+    engine.
+
+    100 TB shape: identical to ``sim_bruteforce_cosine_topk`` — the
+    benchmark-sized query set broadcasts (at int8 width, 4x more queries
+    fit the same broadcast budget), the corpus side streams map-side, and
+    the only shuffle is the per-query top-k.  The IVF/LSH variants in this
+    catalog bound the candidate set the same codes feed."""
+    e = spread(table(spark, sf_dir, "embeddings"))
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = amax.cast("double") / F.lit(127.0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / scale + 0.5).cast("long"),
+    )
+    codes = e.select("vec_id", q.alias("q")).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform("q", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    ).filter(F.col("nq") > 0)
+    queries = codes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("nqq"),
+    ).filter(F.col("query_id") % 125 == 0)
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = F.round(
+        dot.cast("double")
+        / F.sqrt((F.col("nq") * F.col("nqq")).cast("double")),
+        6,
+    )
+    pairs = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim_q8"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("sim_q8"), "vec_id")
+    )
+    return (
+        pairs.select("query_id", "vec_id", "sim_q8", rn.alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "vec_id", "sim_q8", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )

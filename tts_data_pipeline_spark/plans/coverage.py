@@ -830,6 +830,55 @@ def s9_html_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s10_dynamic_render_scan",
+    oracle="""
+    SELECT d.doc_id,
+           'Book ' || CAST(d.doc_id AS VARCHAR) AS title,
+           CAST(i AS BIGINT) AS track_no,
+           'https://cdn.example.com/audio/' || CAST(d.doc_id AS VARCHAR)
+             || '/' || CAST(i AS VARCHAR) || '.mp3' AS href
+    FROM documents d, UNNEST(range(d.doc_id % 3 + 1)) AS t(i)
+    ORDER BY d.doc_id, track_no
+    """,
+)
+def s10_dynamic_render_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 end-to-end: catalog URLs → browser render (deterministic fake
+    hydrated DOM; Playwright slots into the same per-partition seam,
+    reference ``crawler/utils.py:395-416`` + ``playwright_server.py:7-84``)
+    → declarative extraction of the JS-injected ``a.ai-track-btn`` hrefs
+    plus the static title.  The fake render derives everything from the
+    URL, so the oracle replays the whole scan in SQL — the browser step is
+    value-checked, not just smoke-tested."""
+    from tts_data_pipeline_spark.functions.html import css_attr_all, css_text
+    from tts_data_pipeline_spark.sources.browser import render_pages
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://catalog.example.com/book/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    pages = render_pages(d)
+    return (
+        pages.select(
+            "doc_id",
+            css_text(F.col("html"), "title").alias("title"),
+            F.posexplode(
+                css_attr_all(F.col("html"), "a.ai-track-btn", "href")
+            ).alias("track_no", "href"),
+        )
+        .select(
+            "doc_id",
+            "title",
+            F.col("track_no").cast("long").alias("track_no"),
+            "href",
+        )
+        .orderBy("doc_id", "track_no")
+    )
+
+
+@query(
     "split_train_val_test",
     oracle="""
     WITH b AS (
