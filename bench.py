@@ -76,6 +76,12 @@ HEADLINE = [
     "emb_kmeans_lloyd",
     "graph_pagerank_trade",
     "s5_remote_csv_scan",
+    "dedup_paragraph_exact",
+    "ta_decontaminate_eval",
+    "mix_temperature_resample",
+    "emb_int8_quantize",
+    "sim_int8_topk",
+    "s10_dynamic_render_scan",
 ]
 
 
