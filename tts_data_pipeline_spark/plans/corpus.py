@@ -449,3 +449,56 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --- per-source quota caps --------------------------------------------------
+
+
+@query(
+    "mix_source_caps",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS keep_ratio
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def mix_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (the C4/RefinedWeb "no domain dominates"
+    rule): each source keeps at most 15 docs, chosen in deterministic md5
+    order, and the query reports kept/total per source.
+
+    100 TB shape: one shuffle on the source key; the cap makes per-group
+    state O(k).  Skewed mega-domains are exactly the case the rule exists
+    for — at scale the rank would run as the two-phase top-k (partial
+    per-partition heads, then merge), keeping the skewed group's work
+    bounded per partition rather than landing on one reducer."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = d.select("source", rn.alias("rn"))
+    kept = F.sum((F.col("rn") <= 15).cast("bigint"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            F.round(
+                kept.cast("double") / F.count(F.lit(1)), 4
+            ).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -224,3 +224,25 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_late_data_stream(spark, sf_dir, "q_stream_late")
     return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup performed BY THE STREAMING RUNTIME (``dropDuplicates``
+    state store, append mode): the streaming counterpart of the batch
+    ``dedup_exact_groups`` family, value-hashed against a batch DISTINCT
+    oracle.  See ``streaming/events.py::run_stream_dedup_to_memory`` for
+    the watermark-bounded production variant note."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_dedup_to_memory,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_dedup_to_memory(spark, sf_dir, "q_stream_dedup")
+    return out.orderBy("user_id", "event_type")

@@ -664,3 +664,41 @@ def run_late_data_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def run_stream_dedup_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` over the event key columns
+    in append mode — each key's FIRST arrival is emitted, later copies are
+    absorbed by the dedup state store.  Projecting to the key columns first
+    makes the emitted set deterministic (which physical row wins is not),
+    so the result is oracle-checkable as ``SELECT DISTINCT``.
+
+    100 TB shape: state is one entry per distinct key, partitioned by the
+    key hash across the state store.  Without a watermark that state grows
+    with key cardinality — the production variant bounds it with
+    ``withWatermark("ts", ...)`` + ``dropDuplicatesWithinWatermark`` (exact
+    within the lateness horizon, which is the published dedup contract for
+    at-least-once sources); here the key space is finite so the unbounded
+    form is the one whose output a batch oracle can hash."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    try:
+        keys = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+        q = (
+            keys.dropDuplicates(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
