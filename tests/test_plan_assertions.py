@@ -110,3 +110,31 @@ def test_similarity_never_evaluated_in_join_condition(spark):
             stripped = line.strip().strip(":+- ")
             if stripped.startswith(("Join ", "Filter ")):
                 assert marker not in line, (name, line)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # the eval n-gram set is benchmark-sized: it must broadcast; the
+    # training side must never shuffle for a join
+    plan = plan_of(spark, "ta_decontaminate_eval")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_int8_topk_broadcasts_query_side(spark):
+    # scored corpus x queries: broadcast nested loop on the tiny query
+    # side, never a CartesianProduct (which would shuffle both sides)
+    plan = plan_of(spark, "sim_int8_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup_shuffles_segments_not_docs(spark):
+    # the dedup exchange partitions by segment content and must carry only
+    # (doc_id, seg_idx, seg) -- never the full document text column
+    plan = plan_of(spark, "dedup_paragraph_exact")
+    assert "SortMergeJoin" not in plan
+    seg_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(seg" in ln
+    ]
+    assert seg_exchanges, plan
+    assert not any("text#" in ln for ln in seg_exchanges), seg_exchanges
