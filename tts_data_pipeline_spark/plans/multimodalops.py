@@ -95,27 +95,32 @@ def s7_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, so the whole binary→text path is value-checked."""
     import pandas as pd
 
-    from tts_data_pipeline_spark.multimodal.pdf import make_minimal_pdf
+    from tts_data_pipeline_spark.multimodal.pdf import make_minimal_pdf, pdf_text
 
     d = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "lang"
     )
 
-    def synth(batches):
+    # ONE mapInPandas stage: fixture synthesis and extraction share the
+    # batch, matching the production shape (binaryFile scan → one extract
+    # stage) — two chained MapInPandas would pay a second Python
+    # round-trip per task and ship every PDF payload JVM→Python twice.
+    # ``pdf_text`` here is the same parser ``extract_pdf_text`` wraps
+    # (plumbing-tested standalone in tests/test_pdf_extract.py).
+    def synth_extract(batches):
         for pdf in batches:
+            payloads = [
+                make_minimal_pdf(f"{s}\nLang: {lg}")
+                for s, lg in zip(pdf["source"], pdf["lang"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "content": [
-                        make_minimal_pdf(f"{s}\nLang: {lg}")
-                        for s, lg in zip(pdf["source"], pdf["lang"])
-                    ],
+                    "text": [pdf_text(p) for p in payloads],
                 }
             )
 
-    payloads = d.mapInPandas(synth, "doc_id bigint, content binary")
-    out = A.extract_pdf_text(payloads, payload_col="content", engine="pure")
-    # No orderBy: a range sort above mapInPandas re-executes both Python
-    # stages for the range-bounds sampling pass (2× the UDF work); the
+    # No orderBy: a range sort above mapInPandas re-executes the Python
+    # stage for the range-bounds sampling pass (2× the UDF work); the
     # driver's hash compare is order-insensitive.
-    return out.select("doc_id", "text")
+    return d.mapInPandas(synth_extract, "doc_id bigint, text string")
