@@ -502,3 +502,103 @@ def mix_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- bigram-LM perplexity filter --------------------------------------------
+
+
+@query(
+    "ta_perplexity_bigram",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM w, UNNEST(words) AS t(word) GROUP BY word
+    ), vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+    ), bi AS (
+      SELECT words[i+1] AS w1, words[i+2] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM w, UNNEST(range(CAST(len(words) - 1 AS BIGINT))) AS t(i)
+      WHERE len(words) >= 2
+      GROUP BY 1, 2
+    ), docbi AS (
+      SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+      FROM w, UNNEST(range(CAST(len(words) - 1 AS BIGINT))) AS t(i)
+      WHERE len(words) >= 2
+    ), scored AS (
+      SELECT d.doc_id,
+             ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * vocab.v)) AS logp
+      FROM docbi d
+      JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+      JOIN uni ON d.w1 = uni.word
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS avg_logp,
+           ROUND(exp(-AVG(logp)), 2) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity scoring (the CCNet/RefinedWeb quality
+    signal, Wenzek et al. 2019 §4.2): an add-0.5-smoothed bigram model
+    trained on the corpus itself scores every document; outlier perplexity
+    marks boilerplate (too predictable) or garbage (too surprising).
+
+    100 TB shape: the model is corpus-vocabulary-sized, not corpus-sized —
+    bigram counts aggregate map-side first, then the (pruned, in
+    production) count tables BROADCAST back onto the per-doc bigram
+    stream, so scoring is map-side; the only per-doc shuffle is the final
+    avg keyed by doc_id.  Numerics: one ``ln`` per distinct model row,
+    avg of ≤ doc-length terms, rounded 4dp — far above the cross-engine
+    libm ulp noise."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    w = d.select("doc_id", words.alias("words")).filter(
+        F.size("words") >= 2
+    )
+    uni = (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 2),
+            lambda i: F.struct(
+                F.col("words")[i].alias("w1"),
+                F.col("words")[i + 1].alias("w2"),
+            ),
+        )
+    )
+    docbi = w.select("doc_id", bigram.alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bi = docbi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    scored = (
+        docbi.join(F.broadcast(bi), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.withColumnRenamed("word", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
