@@ -937,3 +937,61 @@ def qc_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ev_pattern_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(regexp_matches(s, 'v.*c.*p') AS BIGINT) AS has_funnel,
+           CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_strict_vcp,
+           CAST(len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) AS BIGINT)
+             AS n_lazy_funnels
+    FROM seq ORDER BY user_id
+    """,
+)
+def ev_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern detection without the SQL
+    extension: each user's ts-ordered event stream collapses to a compact
+    symbol string (one char per event), and funnel patterns become plain
+    regexes over it — subsequence (`v.*c.*p`), strict adjacency (`vcp`),
+    and lazy non-overlapping funnels (`v[^p]*c[^p]*p`).
+
+    100 TB shape: one shuffle on user_id; per-group state is the symbol
+    string (1 byte/event — a 10k-event user is 10 KB), regex evaluation is
+    JVM codegen.  This is the standard trick for sequence-pattern analytics
+    on engines without MATCH_RECOGNIZE, and it parallelizes per user."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+    )
+    s = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+            lambda r: r.sym,
+        ),
+    )
+    seq = e.groupBy("user_id").agg(s.alias("s"))
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("bigint").alias("n_events"),
+            F.col("s").rlike("v.*c.*p").cast("bigint").alias("has_funnel"),
+            F.size(F.regexp_extract_all("s", F.lit("vcp"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_strict_vcp"),
+            F.size(
+                F.regexp_extract_all("s", F.lit("v[^p]*c[^p]*p"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lazy_funnels"),
+        )
+        .orderBy("user_id")
+    )
