@@ -82,6 +82,8 @@ HEADLINE = [
     "emb_int8_quantize",
     "sim_int8_topk",
     "s10_dynamic_render_scan",
+    "ta_perplexity_bigram",
+    "ev_pattern_detect",
 ]
 
 

@@ -59,13 +59,23 @@ def brute_force_topk(
     tiebreak so results are engine-reproducible (floating-point ranking with
     no tiebreak is run-dependent at the boundary).
     """
+    # norms are per-vector: compute them on the n + |Q| input rows, not on
+    # the |Q|·n scored pairs (bit-identical floats — same sequential fold —
+    # at a third of the per-pair fold work)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
     )
     e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnrm"),
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), round_dp)
+    sim = F.round(
+        dot(F.col("qvec"), F.col("nvec")) / (F.col("qnrm") * F.col("nnrm")),
+        round_dp,
+    )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
