@@ -157,25 +157,32 @@ def ivf_topk(
     Determinism: ranking on ROUNDED sim + neighbor id; centroid argmax
     tiebreaks on smallest cid (both mirrored in the DuckDB oracle).
     """
+    # per-vector norms computed once on the input rows — inside the k-wide
+    # assignment transform, l2_norm(v) would otherwise re-fold PER CENTROID
+    # (loop-invariant work, k× per row); same floats, same folds
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     cent = (
         e.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("ncv"),
+        )
     )
     # one row holding the whole codebook -> broadcast nested-loop, no shuffle
-    cent1 = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
-
-    def _sim(v: Column, cv: Column) -> Column:
-        return dot(v, cv) / F.greatest(l2_norm(v) * l2_norm(cv), F.lit(1e-12))
+    cent1 = cent.agg(F.collect_list(F.struct("cid", "cv", "ncv")).alias("cents"))
 
     scored_cells = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            _sim(F.col("v"), c["cv"]).alias("sim"),
+            (
+                dot(F.col("v"), c["cv"])
+                / F.greatest(F.col("nrm") * c["ncv"], F.lit(1e-12))
+            ).alias("sim"),
             (-c["cid"]).alias("nc"),
             c["cid"].alias("cid"),
         ),
@@ -185,12 +192,16 @@ def ivf_topk(
     # k cosine folds twice per row (Column trees are not DAGs)
     assigned = (
         e.crossJoin(F.broadcast(cent1))
-        .select("vec_id", "v", scored_cells.alias("scored"))
+        .select("vec_id", "v", "nrm", scored_cells.alias("scored"))
         .select(
-            "vec_id", "v", F.array_max("scored")["cid"].alias("cell"), "scored"
+            "vec_id",
+            "v",
+            "nrm",
+            F.array_max("scored")["cid"].alias("cell"),
+            "scored",
         )
     )
-    cells = assigned.select("vec_id", "v", F.col("cell").alias("cid"))
+    cells = assigned.select("vec_id", "v", "nrm", F.col("cell").alias("cid"))
     probe_cids = F.slice(
         F.array_sort(
             F.transform(
@@ -206,6 +217,7 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
             F.explode(F.transform(probe_cids, lambda s: s["cid"])).alias("cid"),
         )
     )
@@ -215,7 +227,11 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_dp).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                round_dp,
+            ).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
