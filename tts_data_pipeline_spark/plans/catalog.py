@@ -92,8 +92,15 @@ _PRIORITY = (
     "x1_running_bucket",
     "stream_tumbling_counts",
     "stream_stream_join",
+    "stream_dedup_exact",
     "split_train_val_test",
     "a11_salted_aggregation",
+    "dedup_paragraph_exact",
+    "ta_decontaminate_eval",
+    "ta_perplexity_bigram",
+    "mix_temperature_resample",
+    "emb_int8_quantize",
+    "sim_int8_topk",
 )
 
 
