@@ -194,3 +194,60 @@ def test_merge_into_partitioned_new_partition(spark, tmp_path):
         r.book_id: r.narrator_id for r in spark.read.parquet(target).collect()
     }
     assert after == {1: "n1", 9: "n9"}
+
+
+def test_zorder_layout_skips_files_on_secondary_column(spark, tmp_path):
+    """Z-order vs 1-D sort: under a selective predicate on the SECOND
+    clustered column, parquet footer stats must let the Z-order layout
+    skip most files, while the 1-D-sorted-by-first-column layout leaves
+    (nearly) every file a candidate."""
+    import pyarrow.parquet as pq
+    import os
+    from pyspark.sql import functions as F
+
+    n_files = 16
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            (F.col("id") % 200).cast("double").alias("x"),
+            (F.col("id") / 200).cast("double").alias("y"),
+        )
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    sinks.write_zorder_layout(df, zpath, cols=("x", "y"), n_files=n_files)
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def files_matching(path, lo, hi):
+        hits, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            fmin = min(
+                md.row_group(i).column(1).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(1).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = files_matching(zpath, 10.0, 20.0)
+    s_hits, s_total = files_matching(spath, 10.0, 20.0)
+    assert z_total >= n_files // 2 and s_total >= n_files // 2
+    # y-range covers ~5% of the domain: z-order should skip most files;
+    # the x-sorted layout interleaves y everywhere so ~all files match
+    assert z_hits <= z_total // 2, (z_hits, z_total)
+    assert s_hits >= s_total - 1, (s_hits, s_total)
+    assert z_hits < s_hits
+    # layout changes bytes, not rows: both round-trip the full dataset
+    assert spark.read.parquet(zpath).count() == 40_000

@@ -7,4 +7,6 @@ from tts_data_pipeline_spark.sinks.writers import (  # noqa: F401
     write_lines,
     write_parquet,
     write_partitioned_dataset,
+    write_zorder_layout,
+    zorder_value,
 )

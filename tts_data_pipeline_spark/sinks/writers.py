@@ -195,3 +195,82 @@ def write_hf_dataset(
         out = df.join(F.broadcast(labels), class_col, "left")
     out.write.mode(mode).parquet(path)
     return out
+
+
+def zorder_value(cols, mins, maxes, bits: int = 8):
+    """Z-order (Morton) key for multi-dimensional clustering.
+
+    Each column is linearly binned to ``bits`` bits between its (min, max)
+    — the two aggregates broadcast, so binning is a pure map-side
+    projection (production variants use sampled QUANTILE boundaries for
+    skewed columns; linear suffices for the layout demo and keeps the
+    expression closed-form) — then the bit-planes of all dimensions
+    interleave into one long.  Sorting by that key gives files whose
+    min/max ranges are tight in EVERY dimension at once, which is what
+    lets parquet row-group stats skip files for predicates on any single
+    clustered column — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout,
+    built from plain Spark expressions.
+    """
+    from pyspark.sql import functions as F
+
+    n_bins = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    binned = []
+    for c, lo, hi in zip(cols, mins, maxes):
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(n_bins),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(span))
+                    * n_bins
+                ).cast("long"),
+            ),
+        )
+        binned.append(b)
+    d = len(binned)
+    for i in range(bits):
+        for j, b in enumerate(binned):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """K8 — multi-dimensionally clustered parquet layout (Z-order).
+
+    Two-pass: a tiny min/max aggregate per clustered column (one row,
+    driver-held scalars — the same planning-time collect every
+    OPTIMIZE-style command performs), then a map-side Morton key,
+    ``repartitionByRange`` on it (range exchange = the one data-sized
+    shuffle, same cost as the 1-D sort layout it replaces), sort within
+    partitions, write.  ``tests/test_sinks.py`` measures the payoff: under
+    a selective predicate on the SECOND clustered column, the Z-order
+    layout's parquet footer stats let most files be skipped, where a 1-D
+    sort on the first column leaves every file a candidate."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    stats = df.agg(*aggs).head()
+    mins = [stats[2 * i] for i in range(len(cols))]
+    maxes = [stats[2 * i + 1] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxes, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
