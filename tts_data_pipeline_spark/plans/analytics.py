@@ -995,3 +995,152 @@ def ev_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "j12_cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_delete,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), latest AS (
+      SELECT user_id, is_delete, ROUND(value, 2) AS last_value
+      FROM log WHERE rn = 1
+    ), ops AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_deletes
+      FROM events GROUP BY user_id
+    )
+    SELECT o.user_id, o.n_ops, o.n_deletes,
+           CASE WHEN l.is_delete = 1 THEN NULL ELSE l.last_value END
+             AS live_value,
+           CAST(l.is_delete = 0 AS BIGINT) AS is_live
+    FROM ops o JOIN latest l ON o.user_id = l.user_id
+    ORDER BY o.user_id
+    """,
+)
+def j12_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application — the lakehouse MERGE-from-changelog primitive:
+    last-writer-wins per key ordered by ``(ts, event_id)``, with one event
+    class acting as the tombstone (delete resurrects on a later upsert,
+    the standard CDC contract).  Compaction = exactly one shuffle on the
+    key; per-key state is the single winning row (``row_number`` stops at
+    1 — at scale, ``max_by(struct(...))`` gives the same plan with pure
+    map-side partials)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    log = e.select(
+        "user_id",
+        "value",
+        (F.col("event_type") == "error").cast("int").alias("is_delete"),
+        F.row_number().over(w).alias("rn"),
+    )
+    latest = log.filter(F.col("rn") == 1).select(
+        "user_id", "is_delete", F.round("value", 2).alias("last_value")
+    )
+    ops = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias(
+            "n_deletes"
+        ),
+    )
+    return (
+        ops.join(latest, "user_id")
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes",
+            F.when(F.col("is_delete") == 1, F.lit(None))
+            .otherwise(F.col("last_value"))
+            .alias("live_value"),
+            (F.col("is_delete") == 0).cast("bigint").alias("is_live"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w11_gap_fill_ffill",
+    oracle="""
+    WITH m AS (
+      -- exact-integer mean: values are 2dp, so cents sum exactly; the
+      -- shared floor(+0.5) rule avoids the cross-engine ROUND(.5) trap
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             FLOOR(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                   / COUNT(*) + 0.5) / 100.0 AS v
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM m GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, h0 + INTERVAL (x) HOUR AS h
+      FROM spans s,
+           UNNEST(range(CAST(date_diff('hour', h0, h1) + 1 AS BIGINT)))
+             AS t(x)
+    ), joined AS (
+      SELECT g.user_id, g.h, m.v,
+             CAST(m.v IS NOT NULL AS BIGINT) AS observed
+      FROM grid g LEFT JOIN m ON g.user_id = m.user_id AND g.h = m.h
+    )
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h, observed,
+           COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_ffill
+    FROM joined ORDER BY user_id, h
+    """,
+)
+def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each key's hourly grid between its
+    first and last observation (``sequence`` + explode — generated
+    server-side, no driver loop), left-join the observed aggregates, and
+    forward-fill gaps with ``last(..., ignorenulls)`` — the standard
+    downsample→densify→ffill resampling chain.
+
+    100 TB shape: the grid explode is bounded by span-hours per key (not
+    event count); one shuffle groups each key's grid+observations for the
+    ordered ffill window, which scans each partition once."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    m = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(cents) / F.count(F.lit(1)) + 0.5
+                )
+                / 100.0
+            ).alias("v")
+        )
+    )
+    spans = m.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(m, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.col("v").isNotNull().cast("bigint").alias("observed"),
+    )
+    ffill = F.last("v", ignorenulls=True).over(
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            "h",
+            "observed",
+            F.coalesce("v", ffill).alias("v_ffill"),
+        )
+        .orderBy("user_id", "h")
+    )
