@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tts_data_pipeline_spark.functions import exact as X
 from tts_data_pipeline_spark.operators.skew import salted_join
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
@@ -56,7 +57,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
-           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           FLOOR(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) + 0.5) / 100.0 AS avg_price,
            COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -69,7 +71,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            X.mean_fixed(F.col("o_totalprice")).alias("avg_price"),
             F.count("*").alias("n"),
         )
         .select(
@@ -846,7 +848,8 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi,
-           ROUND(AVG(value), 2) AS mean_value
+           FLOOR(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) + 0.5) / 100.0 AS mean_value
     FROM binned
     GROUP BY event_type, decile
     ORDER BY event_type, decile
@@ -868,7 +871,7 @@ def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.min("value"), 2).alias("lo"),
             F.round(F.max("value"), 2).alias("hi"),
-            F.round(F.avg("value"), 2).alias("mean_value"),
+            X.mean_fixed(F.col("value")).alias("mean_value"),
         )
         .orderBy("event_type", "decile")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from tts_data_pipeline_spark.functions import vi_text
 from tts_data_pipeline_spark.operators import dedup as D
+from tts_data_pipeline_spark.functions import exact as X
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
@@ -570,7 +571,8 @@ def a10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
            COUNT(*) AS n,
-           ROUND(AVG(value), 2) AS avg_value
+           FLOOR(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) + 0.5) / 100.0 AS avg_value
     FROM events
     GROUP BY 1
     ORDER BY k_value
@@ -586,7 +588,7 @@ def c21_json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(m.getItem("k").alias("k_value"), "value")
         .groupBy("k_value")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+        .agg(F.count("*").alias("n"), X.mean_fixed(F.col("value")).alias("avg_value"))
         .orderBy("k_value")
     )
 
@@ -901,7 +903,8 @@ def s10_dynamic_render_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 2) AS avg_chars
+           FLOOR(SUM(CAST(n_chars AS BIGINT)) * 100.0
+                 / COUNT(*) + 0.5) / 100.0 AS avg_chars
     FROM b
     GROUP BY 1, 2
     ORDER BY split, lang
@@ -929,7 +932,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            X.mean_fixed(F.col("n_chars"), dp=2, in_dp=0).alias("avg_chars"),
         )
         .orderBy("split", "lang")
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tts_data_pipeline_spark.functions import exact as X
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
@@ -69,7 +70,8 @@ def f2_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (p_size >= 16) AS qualified,
            COUNT(*) AS n_parts,
-           ROUND(AVG(p_retailprice), 2) AS avg_price
+           FLOOR(SUM(CAST(ROUND((p_retailprice) * 100, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) + 0.5) / 100.0 AS avg_price
     FROM part
     GROUP BY 1
     ORDER BY qualified
@@ -84,7 +86,7 @@ def f4_quality_gate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qualified")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            X.mean_fixed(F.col("p_retailprice")).alias("avg_price"),
         )
         .orderBy("qualified")
     )
@@ -137,10 +139,14 @@ def f6_min_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f7_threshold_on_aggregate",
     oracle="""
-    SELECT o_custkey, ROUND(AVG(o_totalprice), 2) AS avg_price, COUNT(*) AS n_orders
+    SELECT o_custkey,
+           FLOOR(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) + 0.5) / 100.0 AS avg_price,
+           COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
-    HAVING AVG(o_totalprice) < 150000
+    HAVING SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT))
+           < 15000000 * COUNT(*)
     ORDER BY o_custkey
     """,
 )
@@ -148,15 +154,21 @@ def f7_threshold_on_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 — threshold predicate on a per-group aggregate (reference
     ``post_process.py:324-347``: book kept iff avg WER < threshold)."""
     o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.avg("o_totalprice").alias("_avg"),
+            F.sum(cents).alias("_cents"),
             F.count("*").alias("n_orders"),
         )
-        .filter(F.col("_avg") < 150000)
+        # exact integer threshold: avg < 150000 <=> sum_cents < 15e6 * n —
+        # no float in the membership decision at all
+        .filter(F.col("_cents") < 15000000 * F.col("n_orders"))
         .select(
-            "o_custkey", F.round(F.col("_avg"), 2).alias("avg_price"), "n_orders"
+            "o_custkey",
+            (F.floor(F.col("_cents") * 1.0 / F.col("n_orders") + 0.5) / 100.0)
+            .alias("avg_price"),
+            "n_orders",
         )
         .orderBy("o_custkey")
     )
@@ -526,8 +538,8 @@ def a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a5_invalid_ratio",
     oracle="""
-    SELECT ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 4)
-           AS error_ratio
+    SELECT FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS error_ratio
     FROM events
     """,
 )
@@ -535,9 +547,10 @@ def a5_invalid_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — count/total ratio (reference ``crawler/metadata.py:396-399``:
     invalid-source share) as a single-pass avg-of-indicator."""
     e = table(spark, sf_dir, "events")
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     return e.agg(
-        F.round(
-            F.avg(F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)), 4
+        (
+            F.floor(F.sum(err) * 10000.0 / F.count(F.lit(1)) + 0.5) / 10000.0
         ).alias("error_ratio")
     )
 
@@ -584,7 +597,10 @@ def a7_per_row_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a8_group_avg_metric",
     oracle="""
-    SELECT event_type, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n
+    SELECT event_type,
+           FLOOR(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*) + 0.5) / 10000.0 AS avg_value,
+           COUNT(*) AS n
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -596,7 +612,10 @@ def a8_group_avg_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(
+            X.mean_fixed(F.col("value"), dp=4, in_dp=2).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
         .orderBy("event_type")
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_data_pipeline_spark.functions import exact as X
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
@@ -27,9 +28,12 @@ from tts_data_pipeline_spark.sources import table
       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-      ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      FLOOR(SUM(CAST(l_quantity AS BIGINT)) * 100.0
+            / COUNT(*) + 0.5) / 100.0                                  AS avg_qty,
+      FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) * 1.0
+            / COUNT(*) + 0.5) / 100.0                                  AS avg_price,
+      FLOOR(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) * 100.0
+            / COUNT(*) + 0.5) / 10000.0                                AS avg_disc,
       COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -50,9 +54,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # exact fixed-point means (see functions/exact.py): the test
+            # data is discrete (integer qty, 2dp money/discount), where
+            # ROUND(AVG(double)) diverges across engines at half-boundaries
+            X.mean_fixed(F.col("l_quantity"), dp=2, in_dp=0).alias("avg_qty"),
+            X.mean_fixed(F.col("l_extendedprice")).alias("avg_price"),
+            X.mean_fixed(F.col("l_discount"), dp=4, in_dp=2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
