@@ -468,8 +468,8 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS keep_ratio
+           FLOOR(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END)
+                 * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS keep_ratio
     FROM ranked GROUP BY source ORDER BY source
     """,
 )
@@ -496,8 +496,8 @@ def mix_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             kept.alias("n_kept"),
-            F.round(
-                kept.cast("double") / F.count(F.lit(1)), 4
+            (
+                F.floor(kept * 10000.0 / F.count(F.lit(1)) + 0.5) / 10000.0
             ).alias("keep_ratio"),
         )
         .orderBy("source")

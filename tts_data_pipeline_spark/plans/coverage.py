@@ -696,8 +696,8 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT status,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / SUM(COUNT(*)) OVER (), 4) AS pct
+           FLOOR(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER () + 0.5)
+             / 10000.0 AS pct
     FROM s
     GROUP BY status
     ORDER BY status
@@ -739,9 +739,10 @@ def s11_url_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select(
             "status",
             "n",
-            F.round(F.col("n").cast("double") / F.sum("n").over(total), 4).alias(
-                "pct"
-            ),
+            (
+                F.floor(F.col("n") * 10000.0 / F.sum("n").over(total) + 0.5)
+                / 10000.0
+            ).alias("pct"),
         )
         .orderBy("status")
     )

@@ -247,8 +247,8 @@ def ta_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS kept_rate
+           FLOOR(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END)
+                 * 10000.0 / COUNT(*) + 0.5) / 10000.0 AS kept_rate
     FROM w
     GROUP BY source
     ORDER BY source
@@ -289,9 +289,9 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum("kept").cast("long").alias("n_kept"),
-            F.round(F.sum("kept").cast("double") / F.count("*"), 4).alias(
-                "kept_rate"
-            ),
+            (
+                F.floor(F.sum("kept") * 10000.0 / F.count("*") + 0.5) / 10000.0
+            ).alias("kept_rate"),
         )
         .orderBy("source")
     )
