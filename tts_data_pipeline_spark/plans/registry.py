@@ -6,7 +6,12 @@ ANSI-SQL oracle string for DuckDB.  The driver hash-compares the two at
 sf0.01 — column names are aliased identically on both sides, computed
 integers are cast to ``bigint`` on the Spark side (DuckDB aggregates/len()
 return int64), and floating aggregates are rounded to a fixed scale on BOTH
-sides so order-of-accumulation noise can't flip the hash.
+sides so order-of-accumulation noise can't flip the hash.  Means/ratios of
+DISCRETE data (2dp money, counts) go further: ``ROUND(AVG(x))`` rounds
+differently in Spark (shortest-decimal-string HALF_UP) vs DuckDB (binary),
+and discrete data hits the half-boundary ~1/n per group — those use the
+exact fixed-point form in ``functions/exact.py`` (integer units + shared
+``floor(x+0.5)``) on both sides.
 """
 
 from __future__ import annotations
