@@ -55,3 +55,24 @@ def mean_fixed_sql(expr: str, dp: int = 2, in_dp: int = 2) -> str:
     else:
         scaled = f"SUM({units}) / {si // so}.0 / COUNT(*)"
     return f"FLOOR({scaled} + 0.5) / {so}.0"
+
+
+def money_units(col: Column, dp: int = 2) -> Column:
+    """Exact integer units from a dp-decimal double (cents for money)."""
+    return F.round(col * (10**dp), 0).cast("bigint")
+
+
+def sum_units_round(units: Column, unit_dp: int, out_dp: int = 2) -> Column:
+    """SUM of exact integer units → out_dp-decimal double, shared
+    ``floor(x+0.5)`` rule.  Aggregate expression.
+
+    The revenue family (``price * (1 - disc)``, ``* (1 + tax)``) is where
+    the ROUND(SUM(double)) trap bites hardest: products of 2-dp decimals
+    are exact 4/6-dp decimals, so the group sum lands EXACTLY on a 2-dp
+    half-boundary for ~1% of groups (measured: 183 of 14 743 per-order
+    revenue sums at sf0.01) — and there the two engines' independently
+    accumulated doubles pick sides at random.  Integer units make the sum
+    exact and order-independent; the one float op left is a division both
+    engines perform on the same integer."""
+    div = 10 ** (unit_dp - out_dp)
+    return F.floor(F.sum(units) * 1.0 / div + F.lit(0.5)) / float(10**out_dp)

@@ -230,7 +230,9 @@ def f10_null_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderstatus,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+                 * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
@@ -247,8 +249,10 @@ def j1_equi_join_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount"))),
+                4,
             ).alias("revenue"),
         )
         .orderBy("o_orderstatus")

@@ -26,8 +26,9 @@ from tts_data_pipeline_spark.sources import table
       l_linestatus,
       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) * 1.0 / 100 + 0.5) / 100.0                    AS sum_disc_price,
+      FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) * 1.0 / 10000 + 0.5)
+        / 100.0                                                        AS sum_charge,
       FLOOR(SUM(CAST(l_quantity AS BIGINT)) * 100.0
             / COUNT(*) + 0.5) / 100.0                                  AS avg_qty,
       FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) * 1.0
@@ -45,15 +46,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the reference's A3 global sums + A4 conditional counts
     generalized (reference ``push_to_hf.py:99,125-127``; ``process_all.py:852-866``)."""
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer revenue units (see functions/exact.py:sum_units_round)
+    rev_u = X.money_units(F.col("l_extendedprice")) * (
+        100 - X.money_units(F.col("l_discount"))
+    )
+    charge_u = rev_u * (100 + X.money_units(F.col("l_tax")))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            X.sum_units_round(rev_u, 4).alias("sum_disc_price"),
+            X.sum_units_round(charge_u, 6).alias("sum_charge"),
             # exact fixed-point means (see functions/exact.py): the test
             # data is discrete (integer qty, 2dp money/discount), where
             # ROUND(AVG(double)) diverges across engines at half-boundaries
@@ -71,7 +76,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l.l_orderkey                                            AS o_key,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)   AS revenue,
+      FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            * 1.0 / 100 + 0.5) / 100.0                          AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -99,8 +106,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("o_key"), "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount"))),
+                4,
             ).alias("revenue")
         )
         .select("o_key", "revenue", "o_orderdate", "o_orderpriority")
@@ -114,7 +123,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -146,8 +157,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount"))),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -178,9 +191,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), c.c_nationkey == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
             F.round(F.min("l_quantity"), 2).alias("min_qty"),
             F.count("*").alias("n_items"),
         )
@@ -194,7 +209,9 @@ query(
     SELECT
       r.r_name,
       n.n_name,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            * 1.0 / 100 + 0.5) / 100.0 AS revenue,
       ROUND(MIN(l.l_quantity), 2)                           AS min_qty,
       COUNT(*)                                              AS n_items
     FROM lineitem l
@@ -212,7 +229,9 @@ query(
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -233,9 +252,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * X.money_units(F.col("l_discount")),
+                4,
+            ).alias("revenue")
         )
     )
 
@@ -384,7 +405,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -411,8 +434,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            X.sum_units_round(
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount"))),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -423,7 +448,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -465,11 +492,14 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_nation_volume",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           FLOOR(SUM(volume_u) * 1.0 / 100 + 0.5) / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+               AS volume_u
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -517,10 +547,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (
+                X.money_units(F.col("l_extendedprice"))
+                * (100 - X.money_units(F.col("l_discount")))
+            ).alias("volume_u"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(X.sum_units_round(F.col("volume_u"), 4).alias("revenue"))
     )
 
 
