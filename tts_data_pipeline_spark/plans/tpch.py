@@ -329,10 +329,14 @@ def q18_large_volume_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_ratio",
     oracle="""
-    SELECT ROUND(
-      100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-      / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    SELECT FLOOR(
+      1000000.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                       ELSE 0 END)
+      / SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+      + 0.5) / 10000.0 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -343,7 +347,11 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the A5 count-ratio pattern generalized to CASE-weighted sums."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact-unit numerator/denominator: both engines divide the SAME two
+    # integers, and floor(x+0.5) is the shared rounding rule
+    disc_u = X.money_units(F.col("l_extendedprice")) * (
+        100 - X.money_units(F.col("l_discount"))
+    )
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
@@ -351,13 +359,18 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)
+            (
+                F.floor(
+                    1000000.0
+                    * F.sum(
+                        F.when(
+                            F.col("p_type").startswith("PROMO"), disc_u
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    )
+                    / F.sum(disc_u)
+                    + 0.5
                 )
-                / F.sum(disc),
-                4,
+                / 10000.0
             ).alias("promo_revenue_pct")
         )
     )
@@ -561,11 +574,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           FLOOR(10000.0
+                 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_u
+                            ELSE 0 END)
+                 / SUM(volume_u) + 0.5) / 10000.0 AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS volume_u,
              n2.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -611,19 +627,30 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_u = X.money_units(F.col("l_extendedprice")) * (
+        100 - X.money_units(F.col("l_discount"))
+    )
     return (
         j.select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            vol.alias("volume"),
+            vol_u.alias("volume_u"),
             "supp_nation",
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                4,
+            (
+                F.floor(
+                    10000.0
+                    * F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3",
+                            F.col("volume_u"),
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    )
+                    / F.sum("volume_u")
+                    + 0.5
+                )
+                / 10000.0
             ).alias("mkt_share")
         )
     )
