@@ -602,3 +602,150 @@ def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE merge learning -----------------------------------------------------
+
+
+_BPE_ORACLE = """WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> '' GROUP BY w
+), seq0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(list_transform(range(length(word)),
+                                i -> word[i+1]), ' ') || ' ' AS s
+  FROM words
+), pairs1 AS (
+  SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
+    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq0),
+         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
+  )
+  GROUP BY 1
+), best1 AS (
+  SELECT pair, cnt FROM pairs1 ORDER BY cnt DESC, pair ASC LIMIT 1
+), seq1 AS (
+  SELECT word, freq,
+         replace(replace(replace(s, ' ', '  '),
+                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best1) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM best1) || ' '),
+                 '  ', ' ') AS s
+  FROM seq0
+), pairs2 AS (
+  SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
+    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq1),
+         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
+  )
+  GROUP BY 1
+), best2 AS (
+  SELECT pair, cnt FROM pairs2 ORDER BY cnt DESC, pair ASC LIMIT 1
+), seq2 AS (
+  SELECT word, freq,
+         replace(replace(replace(s, ' ', '  '),
+                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best2) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM best2) || ' '),
+                 '  ', ' ') AS s
+  FROM seq1
+), pairs3 AS (
+  SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
+    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq2),
+         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
+  )
+  GROUP BY 1
+), best3 AS (
+  SELECT pair, cnt FROM pairs3 ORDER BY cnt DESC, pair ASC LIMIT 1
+), seq3 AS (
+  SELECT word, freq,
+         replace(replace(replace(s, ' ', '  '),
+                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best3) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM best3) || ' '),
+                 '  ', ' ') AS s
+  FROM seq2
+)
+SELECT CAST(1 AS BIGINT) AS rank, (SELECT pair FROM best1) AS pair, (SELECT replace(pair,' ','') FROM best1) AS merged, (SELECT cnt FROM best1) AS cnt
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS rank, (SELECT pair FROM best2) AS pair, (SELECT replace(pair,' ','') FROM best2) AS merged, (SELECT cnt FROM best2) AS cnt
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS rank, (SELECT pair FROM best3) AS pair, (SELECT replace(pair,' ','') FROM best3) AS merged, (SELECT cnt FROM best3) AS cnt
+ORDER BY rank"""
+
+
+@query("ta_bpe_learn_merges", oracle=_BPE_ORACLE)
+def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) — the
+    tokenizer-training step of an LLM data pipeline, run as a
+    driver-coordinated iterative job like the k-means and PageRank entries:
+    each round counts adjacent-symbol pairs over the (distinct-word, freq)
+    table, picks the argmax pair (one 4-byte scalar to the driver — model
+    selection, not data), and applies the merge corpus-wide with pure
+    string expressions (the double-space ``replace`` trick gives exact
+    greedy left-to-right merge semantics, bit-identical in both engines —
+    no UDF anywhere).
+
+    100 TB shape: state is the DISTINCT-WORD table (vocabulary-sized, not
+    corpus-sized — the word-frequency rollup is the only corpus-wide
+    shuffle, done once); each merge round is a narrow map over that table
+    plus a tiny argmax aggregate.  The oracle replays all rounds as
+    unrolled CTEs, so the learned merge table is value-checked."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        lambda i: F.col("word").substr(i + 1, F.lit(1)),
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s"),
+    )
+    merges = []
+    for k in range(1, 4):
+        toks = F.split(F.trim("s"), " ")
+        # guard: sequence(0, -1) DESCENDS in Spark; single-symbol words
+        # have no pairs
+        pair = F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat(toks[i], F.lit(" "), toks[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        best = (
+            cur.select("freq", pair.alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .first()
+        )
+        a_b, cnt = best["pair"], best["cnt"]
+        merged = a_b.replace(" ", "")
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.replace(
+                    F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
+                    F.lit(" " + a_b.replace(" ", "  ") + " "),
+                    F.lit(" " + merged + " "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            ),
+        )
+        merges.append((k, a_b, merged, cnt))
+    return spark.createDataFrame(
+        merges, "rank bigint, pair string, merged string, cnt bigint"
+    ).orderBy("rank")
