@@ -84,6 +84,9 @@ HEADLINE = [
     "s10_dynamic_render_scan",
     "ta_perplexity_bigram",
     "ev_pattern_detect",
+    "ta_bpe_learn_merges",
+    "j12_cdc_apply_log",
+    "w11_gap_fill_ffill",
 ]
 
 

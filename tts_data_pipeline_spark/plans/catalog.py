@@ -101,6 +101,7 @@ _PRIORITY = (
     "mix_temperature_resample",
     "emb_int8_quantize",
     "sim_int8_topk",
+    "ta_bpe_learn_merges",
 )
 
 

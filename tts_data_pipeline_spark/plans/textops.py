@@ -261,11 +261,68 @@ def tx_normalizer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", out.alias("normalized")).orderBy("doc_id")
 
 
-@query("tx_sentence_grouping_exact")
+X1_EXACT_ORACLE = """
+WITH RECURSIVE sent AS (
+  SELECT CAST(doc_id AS VARCHAR) AS book_id,
+         CAST(i AS BIGINT) AS seq,
+         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS sentence
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       UNNEST(range(CAST(floor((len(words) - 1) / 10) + 1 AS BIGINT))) AS t(i)
+), s AS (
+  SELECT book_id,
+         ROW_NUMBER() OVER (PARTITION BY book_id
+                            ORDER BY seq, sentence) AS rn,
+         sentence,
+         CAST(len(string_split(sentence, ' ')) AS BIGINT) AS wc,
+         COUNT(*) OVER (PARTITION BY book_id) AS n_max
+  FROM sent WHERE length(sentence) > 0
+), walk AS (
+  SELECT DISTINCT book_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS gidx,
+         '' AS buf, CAST(0 AS BIGINT) AS bw, CAST(0 AS BIGINT) AS bs,
+         CAST(NULL AS VARCHAR) AS out_text, CAST(NULL AS BIGINT) AS out_wc,
+         CAST(NULL AS BIGINT) AS out_ns, FALSE AS emitted
+  FROM s
+  UNION ALL
+  SELECT w.book_id, w.rn + 1,
+         CASE WHEN w.bw + s.wc >= 20 THEN w.gidx + 1 ELSE w.gidx END,
+         CASE WHEN w.bw + s.wc >= 20 THEN ''
+              WHEN w.buf = '' THEN s.sentence
+              ELSE w.buf || ' ' || s.sentence END,
+         CASE WHEN w.bw + s.wc >= 20 THEN 0 ELSE w.bw + s.wc END,
+         CASE WHEN w.bw + s.wc >= 20 THEN 0 ELSE w.bs + 1 END,
+         CASE WHEN w.bw + s.wc >= 20 THEN
+           CASE WHEN w.buf = '' THEN s.sentence
+                ELSE w.buf || ' ' || s.sentence END END,
+         CASE WHEN w.bw + s.wc >= 20 THEN w.bw + s.wc END,
+         CASE WHEN w.bw + s.wc >= 20 THEN w.bs + 1 END,
+         w.bw + s.wc >= 20
+  FROM walk w JOIN s ON s.book_id = w.book_id AND s.rn = w.rn + 1
+), closed AS (
+  SELECT book_id AS group_key, gidx - 1 AS group_idx, out_text AS text,
+         out_wc AS word_count, out_ns AS n_sentences
+  FROM walk WHERE emitted
+), tail_g AS (
+  SELECT w.book_id AS group_key, w.gidx AS group_idx, w.buf AS text,
+         w.bw AS word_count, w.bs AS n_sentences
+  FROM walk w JOIN (SELECT book_id, MAX(n_max) AS n_max FROM s
+                    GROUP BY book_id) m
+    ON w.book_id = m.book_id AND w.rn = m.n_max
+  WHERE w.bw >= 10
+)
+SELECT * FROM closed UNION ALL SELECT * FROM tail_g
+ORDER BY group_key, group_idx
+"""
+
+
+@query("tx_sentence_grouping_exact", oracle=X1_EXACT_ORACLE)
 def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 exact (rows-only): sentences derived from documents (sentence =
-    10-word slices), folded per-doc until ≥20 words per group via
-    applyInPandas.  Invariants property-tested in tests/test_grouping.py."""
+    """X1 exact: sentences derived from documents (sentence = 10-word
+    slices), folded per-doc until >=20 words per group via applyInPandas —
+    the reference's genuinely stateful operator (``process_all.py:305-335``).
+    Now ORACLE-BACKED: a recursive CTE replays the sequential fold row by
+    row in DuckDB (same pattern as the dedup_clusters closure oracle), so
+    the stateful grouped-map is value-checked, not just rows-counted.
+    Invariants additionally property-tested in tests/test_grouping.py."""
     d = spread(table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     sentences = (
