@@ -34,11 +34,45 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("win_start", "event_type")
 
 
-@query("stream_stateful_sessions")
+SESSIONS_CLOSED_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), agg AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM sessions GROUP BY user_id, session_id
+), open_tail AS (
+  SELECT user_id, MAX(session_id) AS last_sid FROM agg GROUP BY user_id
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+FROM agg a JOIN open_tail o
+  ON a.user_id = o.user_id AND a.session_id < o.last_sid
+ORDER BY a.user_id, a.session_start
+"""
+
+
+@query("stream_stateful_sessions", oracle=SESSIONS_CLOSED_ORACLE)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed gap-sessions from the applyInPandasWithState operator
-    (rows-only; batch parity test in
-    tests/test_sources_multimodal_streaming.py)."""
+    """Closed gap-sessions from the ``applyInPandasWithState`` operator.
+    ORACLE-BACKED: closed sessions are exactly the batch gap-sessionization
+    minus each user's final (still-open) session, so the custom stateful
+    operator's output is value-checked against that SQL replay — state
+    carry, gap splits, and per-session aggregates included.  (Batch parity
+    is additionally pinned in tests/test_sources_multimodal_streaming.py.)"""
     ensure_utc(spark)
     out = run_stateful_sessions_to_memory(spark, sf_dir, "q_stream_sessions")
     return out.orderBy("user_id", "session_start")
