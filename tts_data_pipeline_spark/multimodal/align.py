@@ -27,23 +27,39 @@ SEGMENT_SCHEMA = (
 
 
 def fake_align_book(book_id: str, lines: list[str], total_dur: float) -> pd.DataFrame:
-    """Deterministic fake sync-map: time split proportional to line length."""
+    """Deterministic fake sync-map: time split proportional to line length.
+
+    Closed-form (no float accumulation): segment boundaries come from
+    integer cumulative weights, so ``start``/``end``/``duration`` are pure
+    functions of (total_dur, cum_w, total_w) with ONE shared rounding rule
+    (``floor(x*1e4+0.5)/1e4``).  That makes the whole aligner replayable in
+    SQL — the catalog's ``align_segments_pipeline`` hash-checks it against
+    a DuckDB oracle — where Python's banker's ``round`` plus a sequential
+    ``t += dur`` float walk could not be reproduced engine-side."""
+    import math
+
     weights = [max(len(ln), 1) for ln in lines]
     total_w = sum(weights) or 1
-    rows, t = [], 0.0
+
+    def r4(cum: int) -> float:
+        return math.floor(total_dur * cum / total_w * 10000.0 + 0.5) / 10000.0
+
+    rows, cum = [], 0
     for i, (ln, w) in enumerate(zip(lines, weights)):
-        dur = total_dur * w / total_w
         rows.append(
             {
                 "book_id": book_id,
                 "line_id": i + 1,
-                "start": round(t, 4),
-                "end": round(t + dur, 4),
-                "duration": round(dur, 4),
+                "start": r4(cum),
+                "end": r4(cum + w),
+                "duration": math.floor(
+                    total_dur * w / total_w * 10000.0 + 0.5
+                )
+                / 10000.0,
                 "text": ln,
             }
         )
-        t += dur
+        cum += w
     return pd.DataFrame(rows)
 
 

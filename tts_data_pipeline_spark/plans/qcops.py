@@ -58,9 +58,51 @@ def qc_wer_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("book_id")
 
 
-@query("align_segments_pipeline")
+ALIGN_ORACLE = """
+WITH lines AS (
+  SELECT source AS book_id, text, doc_id,
+         CAST(greatest(length(text), 1) AS BIGINT) AS w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS INTEGER) AS line_id
+  FROM documents
+), books AS (
+  SELECT source AS book_id,
+         SUM(n_chars) / 100.0 AS total_dur
+  FROM documents GROUP BY source
+), wsum AS (
+  SELECT book_id, SUM(w) AS total_w FROM lines GROUP BY book_id
+), cum AS (
+  SELECT l.book_id, l.line_id, l.text, l.w,
+         COALESCE(SUM(l.w) OVER (PARTITION BY l.book_id ORDER BY l.line_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM lines l
+), seg AS (
+  SELECT c.book_id, c.line_id,
+         FLOOR(b.total_dur * c.cum_prev / s.total_w * 10000.0 + 0.5)
+           / 10000.0 AS start,
+         FLOOR(b.total_dur * (c.cum_prev + c.w) / s.total_w * 10000.0 + 0.5)
+           / 10000.0 AS "end",
+         FLOOR(b.total_dur * c.w / s.total_w * 10000.0 + 0.5)
+           / 10000.0 AS duration,
+         c.text
+  FROM cum c
+  JOIN books b ON c.book_id = b.book_id
+  JOIN wsum s ON c.book_id = s.book_id
+)
+SELECT book_id, line_id, start, "end", duration, text
+FROM seg
+WHERE duration BETWEEN 3.0 AND 12.0
+ORDER BY book_id, line_id
+"""
+
+
+@query("align_segments_pipeline", oracle=ALIGN_ORACLE)
 def align_segments_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5+F5 — forced-alignment pipeline (rows-only: grouped-map UDF).
+    """X5+F5 — forced-alignment pipeline.  ORACLE-BACKED: the fake aligner
+    is closed-form over integer cumulative weights with the shared
+    floor-rounding rule (``multimodal/align.py``), so DuckDB replays the
+    whole grouped-map — segment boundaries, durations, and the F5 filter
+    are value-checked, not just row-counted.
 
     Books assembled from documents (book=source, lines=texts in doc_id
     order, duration ∝ total chars), aligned per book via ``applyInPandas``,
