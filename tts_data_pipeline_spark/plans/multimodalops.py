@@ -30,13 +30,62 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_features")
+@query(
+    "mm_image_features",
+    oracle="""
+    WITH px AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS path,
+             CAST(k % 3 AS BIGINT) AS c,
+             CAST(ord(substr(text, CAST(k % strlen(text) AS INTEGER) + 1, 1))
+                  AS DOUBLE) AS v
+      FROM documents, UNNEST(range(768)) AS t(k)
+    ), ch AS (
+      SELECT path, c,
+             SUM(v) / 256.0 AS m,
+             sqrt(SUM(v * v) / 256.0 - (SUM(v) / 256.0) * (SUM(v) / 256.0))
+               AS sd
+      FROM px GROUP BY path, c
+    ), img AS (
+      SELECT path, SUM(v) / 768.0 AS bright FROM px GROUP BY path
+    )
+    SELECT ch.path,
+           round_even(MAX(CASE WHEN c = 0 THEN m END), 4) AS mean_r,
+           round_even(MAX(CASE WHEN c = 1 THEN m END), 4) AS mean_g,
+           round_even(MAX(CASE WHEN c = 2 THEN m END), 4) AS mean_b,
+           round_even(MAX(CASE WHEN c = 0 THEN sd END), 4) AS std_r,
+           round_even(MAX(CASE WHEN c = 1 THEN sd END), 4) AS std_g,
+           round_even(MAX(CASE WHEN c = 2 THEN sd END), 4) AS std_b,
+           round_even(MAX(img.bright), 4) AS brightness
+    FROM ch JOIN img ON ch.path = img.path
+    GROUP BY ch.path
+    ORDER BY ch.path
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → decode (fake codec, real plumbing) → per-image channel
-    stats.  One mapInPandas chain, no shuffle until the final sort."""
+    stats.  One mapInPandas chain, no shuffle until the final sort.
+
+    ORACLE-BACKED: the fake codec tiles payload bytes over the 16x16x3
+    grid, so every channel mean/std is exact integer arithmetic over the
+    text's (pure-ASCII) byte values — DuckDB replays it with ``ord`` +
+    integer sums (all partial sums are multiples of 2^-16 below 2^24, so
+    the float math is EXACT and order-free on both engines), mirroring
+    Python's banker's ``round`` with ``round_even``.  Channel stats are
+    flattened to scalar columns: raw array columns collect as Python lists
+    in the driver's plain session and break its value hash."""
     p = _payloads(spark, sf_dir)
     decoded = I.decode_images(p.select("path", "content"), height=16, width=16)
-    return I.image_features(decoded).orderBy("path")
+    feats = I.image_features(decoded)
+    return feats.select(
+        "path",
+        feats.mean_rgb[0].alias("mean_r"),
+        feats.mean_rgb[1].alias("mean_g"),
+        feats.mean_rgb[2].alias("mean_b"),
+        feats.std_rgb[0].alias("std_r"),
+        feats.std_rgb[1].alias("std_g"),
+        feats.std_rgb[2].alias("std_b"),
+        "brightness",
+    ).orderBy("path")
 
 
 @query("mm_video_motion")
@@ -54,12 +103,28 @@ def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.frame_motion_features(frames).orderBy("path")
 
 
-@query("mm_audio_book_concat")
+@query(
+    "mm_audio_book_concat",
+    oracle="""
+    SELECT source AS book_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           4000 AS sr,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_samples
+    FROM documents GROUP BY source ORDER BY book_id
+    """,
+)
 def mm_audio_book_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2-X4 end-to-end: per-part decode (fake codec) → per-book ordered
     concat + resample + peak-normalize (reference ``process_all.py:409-438``)
     — grouped-map with per-book bounded state.  Parts = documents grouped by
-    source; sequence = doc_id order."""
+    source; sequence = doc_id order.
+
+    ORACLE-BACKED on the reported aggregates: the fake codec emits 4 bytes
+    of waveform per payload byte at 16 kHz, and the 16k→4k linear resample
+    divides lengths by exactly 4, so ``n_samples`` must equal the book's
+    total payload bytes — the oracle checks that arithmetic through the
+    REAL decode→resample→concat path (waveform values themselves are
+    pinned by unit/property tests)."""
     p = _payloads(spark, sf_dir).select(
         F.col("source").alias("book_id"),
         F.col("doc_id").alias("seq"),
