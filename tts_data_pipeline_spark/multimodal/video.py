@@ -91,19 +91,23 @@ def frame_motion_features(frames: DataFrame) -> DataFrame:
     import pyspark.sql.functions as F
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # integer-exact accumulation: per-pair |delta| sums stay BIGINT and
+        # divide once at the end, so the reported motion is a pure function
+        # of the pixel ints — reproducible in SQL (the mm_video_motion
+        # oracle) where a float mean-of-means would drift by ulps
         pdf = pdf.sort_values("frame_idx")
-        imgs = [
-            np.asarray(p, dtype=np.float64) for p in pdf["pixels"]
-        ]
-        deltas = [
-            float(np.abs(a - b).mean()) for a, b in zip(imgs[1:], imgs[:-1])
-        ]
+        imgs = [np.asarray(p, dtype=np.int64) for p in pdf["pixels"]]
+        sums = [int(np.abs(a - b).sum()) for a, b in zip(imgs[1:], imgs[:-1])]
+        npx = len(imgs[0]) if imgs else 1
+        n = len(sums)
         return pd.DataFrame(
             {
                 "path": [pdf["path"].iloc[0]],
                 "n_frames_sampled": [len(imgs)],
-                "mean_motion": [round(float(np.mean(deltas)), 4) if deltas else 0.0],
-                "max_motion": [round(float(np.max(deltas)), 4) if deltas else 0.0],
+                "mean_motion": [
+                    round(sum(sums) / (npx * n), 4) if n else 0.0
+                ],
+                "max_motion": [round(max(sums) / npx, 4) if n else 0.0],
             }
         )
 

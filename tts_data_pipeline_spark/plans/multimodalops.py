@@ -88,11 +88,54 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("path")
 
 
-@query("mm_video_motion")
+@query(
+    "mm_video_motion",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, 'doc://' || CAST(doc_id AS VARCHAR) AS path, text,
+         strlen(text) AS nb,
+         CAST(20 + doc_id % 30 AS BIGINT) AS n_frames
+  FROM documents
+), pairs AS (
+  SELECT path, text, nb,
+         CAST(j * 10 AS BIGINT) AS i1, CAST((j + 1) * 10 AS BIGINT) AS i2
+  FROM vids, UNNEST(range(CAST(ceil(n_frames / 10.0) - 1 AS BIGINT))) AS t(j)
+), px AS (
+  SELECT path, i1,
+         abs(CAST((ord(substr(text, CAST(k % nb AS INTEGER) + 1, 1)) + i2) % 256
+               AS BIGINT)
+           - CAST((ord(substr(text, CAST(k % nb AS INTEGER) + 1, 1)) + i1) % 256
+               AS BIGINT)) AS d
+  FROM pairs, UNNEST(range(192)) AS t(k)
+), dsums AS (
+  SELECT path, i1, SUM(d) AS s FROM px GROUP BY path, i1
+), agg AS (
+  SELECT path,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(s) AS tot, MAX(s) AS mx
+  FROM dsums GROUP BY path
+), nfs AS (
+  SELECT path, CAST(ceil(n_frames / 10.0) AS BIGINT) AS n_frames_sampled
+  FROM vids
+)
+SELECT n.path, n.n_frames_sampled,
+       COALESCE(round_even(a.tot * 1.0 / (192 * a.n_pairs), 4), 0.0)
+         AS mean_motion,
+       COALESCE(round_even(a.mx * 1.0 / 192, 4), 0.0) AS max_motion
+FROM nfs n LEFT JOIN agg a ON n.path = a.path
+ORDER BY n.path
+""",
+)
 def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → frame-sample+decode (one row per sampled frame) → per-video
     motion aggregate.  Frame rows shuffle by video key; per-group state is
-    bounded by sampled-frame count, not video length."""
+    bounded by sampled-frame count, not video length.
+
+    ORACLE-BACKED: frame pixels are index-salted payload bytes and the
+    motion operator accumulates integer |delta| sums, so DuckDB replays
+    sample indices, per-pair pixel deltas, and the final exact-integer
+    means — the full decode → frame-sample → keyed-aggregate path is
+    value-checked (``round_even`` mirrors Python's banker's round)."""
     p = _payloads(spark, sf_dir).select(
         "path",
         "content",
