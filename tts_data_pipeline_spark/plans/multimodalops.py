@@ -1,6 +1,8 @@
-"""Multimodal pipeline queries (rows-only: pixel/waveform UDF stages have
-no SQL equivalent; unit tests in tests/test_multimodal_* and
-tests/test_sources_multimodal_streaming.py pin the math).
+"""Multimodal pipeline queries — ALL oracle-backed as of round 3: the
+fake codecs are deterministic byte arithmetic, so DuckDB replays the
+decode/feature stages exactly (see each query's docstring); unit tests in
+tests/test_multimodal_* and tests/test_sources_multimodal_streaming.py
+additionally pin the waveform/pixel math the reports summarize.
 
 Binary payloads are synthesized from the documents table (utf-8 text bytes)
 — the same opaque-binary + typed-metadata convention a binaryFile scan
