@@ -234,3 +234,59 @@ def s7_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage for the range-bounds sampling pass (2× the UDF work); the
     # driver's hash compare is order-insensitive.
     return d.mapInPandas(synth_extract, "doc_id bigint, text string")
+
+
+@query(
+    "mm_audio_qc",
+    oracle="""
+WITH by AS (
+  SELECT doc_id, strlen(text) AS n,
+         CAST(ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) - 128 AS u
+  FROM documents, UNNEST(range(strlen(text))) AS t(i)
+), agg AS (
+  SELECT doc_id, MAX(abs(u)) AS peak_u,
+         SUM(u * u) AS sq, COUNT(*) AS n,
+         SUM(CASE WHEN abs(u) >= 127 THEN 1 ELSE 0 END) AS n_clip
+  FROM by GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(4 * n AS BIGINT) AS n_samples,
+       FLOOR(peak_u / 128.0 * 10000.0 + 0.5) / 10000.0 AS peak,
+       FLOOR(sqrt(sq * 1.0 / n) / 128.0 * 10000.0 + 0.5) / 10000.0 AS rms,
+       FLOOR(n_clip * 10000.0 / n + 0.5) / 10000.0 AS clip_ratio
+FROM agg ORDER BY doc_id
+""",
+)
+def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QC stats — the gate the reference applies before accepting a
+    book's audio (``process_all.py:465-510`` checks sample rate/duration;
+    peak/RMS/clipping are the standard additions): binary payload → fake
+    codec decode (mapInPandas) → JVM-side array expressions for peak, RMS,
+    and clipping ratio.
+
+    ORACLE-BACKED: decoded samples are exact multiples of 2^-7 and their
+    squares multiples of 2^-14, so every sum here is EXACT in double
+    regardless of accumulation order — DuckDB replays the stats from the
+    payload bytes and the shared floor-rounding rule seals the hash."""
+    p = _payloads(spark, sf_dir).select("doc_id", "path", "content")
+    decoded = A.decode_audio(p, payload_col="content")
+    s = F.col("samples")
+    absx = F.transform(s, lambda x: F.abs(x.cast("double")))
+    sumsq = F.aggregate(
+        F.transform(s, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n = F.size(s)
+    clip = F.size(F.filter(absx, lambda a: a >= 127.0 / 128.0))
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        decoded.select(
+            "doc_id",
+            n.cast("bigint").alias("n_samples"),
+            r4(F.array_max(absx)).alias("peak"),
+            r4(F.sqrt(sumsq / n)).alias("rms"),
+            r4(clip.cast("double") / n).alias("clip_ratio"),
+        )
+        .orderBy("doc_id")
+    )
