@@ -138,3 +138,20 @@ def test_paragraph_dedup_shuffles_segments_not_docs(spark):
     ]
     assert seg_exchanges, plan
     assert not any("text#" in ln for ln in seg_exchanges), seg_exchanges
+
+
+def test_perplexity_model_broadcasts(spark):
+    # the bigram/unigram count tables are vocabulary-sized: they must
+    # broadcast onto the per-doc bigram stream, never sort-merge it
+    plan = plan_of(spark, "ta_perplexity_bigram")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_and_gapfill_single_keyed_shuffle_shapes(spark):
+    # CDC compaction and the gap-fill window each need exactly the keyed
+    # shuffles their semantics require — no stray sort-merge joins
+    for name in ("j12_cdc_apply_log", "w11_gap_fill_ffill"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
