@@ -749,3 +749,72 @@ def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank bigint, pair string, merged string, cnt bigint"
     ).orderBy("rank")
+
+
+# --- linear quality classifier ---------------------------------------------
+
+
+@query(
+    "ta_quality_classifier",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, w,
+         CAST(('0x' || substr(md5(w), 1, 4))::BIGINT % 64 AS BIGINT) AS b
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM((b * 2654435761) % 1000 - 500) AS z_milli
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       FLOOR(z_milli * 10.0 / n_tokens + 0.5) / 10000.0 AS z,
+       FLOOR(1.0 / (1.0 + exp(-(z_milli / (1000.0 * n_tokens)))) * 10000.0
+             + 0.5) / 10000.0 AS quality_prob,
+       CAST(z_milli * 2 > n_tokens * 100 AS BIGINT) AS keep
+FROM scored ORDER BY doc_id
+""",
+)
+def ta_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering — the fasttext/CCNet classifier
+    pattern with a deterministic stand-in model: tokens hash into 64
+    feature buckets (md5), each bucket carries a fixed integer
+    milli-weight (Knuth-hash-derived, so both engines share the literal
+    model), the document logit is the exact INTEGER weight sum scaled by
+    token count, and the keep decision compares integers only.  Swap the
+    weight expression for a broadcast learned-weight table and the shape
+    is production fasttext scoring.
+
+    100 TB shape: pure map-side expression work over the token explode +
+    one keyed aggregate — the model never shuffles (it is an expression
+    here; as a real 10^6-bucket table it broadcasts).  Sigmoid is the one
+    transcendental — applied to identical doubles on both sides and
+    rounded 4dp."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    b = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint") % 64
+    )
+    w_milli = (b * 2654435761) % 1000 - 500
+    scored = tok.select("doc_id", w_milli.alias("wm")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("wm").alias("z_milli"),
+    )
+    z = F.floor(F.col("z_milli") * 10.0 / F.col("n_tokens") + 0.5) / 10000.0
+    logit = F.col("z_milli") / (1000.0 * F.col("n_tokens"))
+    prob = F.floor(1.0 / (1.0 + F.exp(-logit)) * 10000.0 + 0.5) / 10000.0
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            z.alias("z"),
+            prob.alias("quality_prob"),
+            (F.col("z_milli") * 2 > F.col("n_tokens") * 100)
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
