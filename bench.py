@@ -87,6 +87,8 @@ HEADLINE = [
     "ta_bpe_learn_merges",
     "j12_cdc_apply_log",
     "w11_gap_fill_ffill",
+    "ta_quality_classifier",
+    "mm_audio_qc",
 ]
 
 
