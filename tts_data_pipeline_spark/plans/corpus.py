@@ -12,7 +12,13 @@ each as a pure Catalyst plan with an exact DuckDB oracle:
 - temperature-based language resampling (multilingual alpha-sampling,
   XLM-R §3: p_l proportional to c_l^alpha with alpha=0.5);
 - per-vector int8 embedding quantization (max-abs scale, the faiss-style
-  SQ8 layout) with reconstruction-error report.
+  SQ8 layout) with reconstruction-error report, plus the int8-code ANN
+  top-k consuming it (exact integer dot products);
+- per-source quota caps (C4/RefinedWeb "no domain dominates");
+- bigram-LM perplexity scoring (the CCNet quality signal);
+- BPE merge learning (Sennrich et al. 2016) as a driver-coordinated
+  iterative job with an unrolled-CTE oracle;
+- a fasttext-pattern linear quality classifier over hashed features.
 
 Everything is JVM-side expression work — no Python UDFs, no collect; the
 only shuffles are the semantically-required ones (the dedup shuffle on
