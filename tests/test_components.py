@@ -33,3 +33,47 @@ def test_long_path_converges_within_iterations(spark):
     out = {r.id: r.component for r in connected_components(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 41
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property: on random graphs, the distributed large-star/small-star
+    labels must equal a sequential union-find's min-label components."""
+    import random
+
+    def union_find_labels(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min reachable id per node, only for nodes with >=1 edge
+        touched = {u for e in edges for u in e}
+        out = {}
+        for x in touched:
+            r = find(x)
+            out[x] = min(y for y in touched if find(y) == r)
+        return out
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        expected = union_find_labels(n, edges)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.id: r.component
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, (trial, edges)
