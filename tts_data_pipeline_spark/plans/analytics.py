@@ -1147,3 +1147,43 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "h")
     )
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ), binned AS (
+      SELECT e.event_type,
+             LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 20))
+                        AS BIGINT), 19) AS bin
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the global [min, max]) — the
+    fixed-bin companion to the equi-depth ``ev_value_deciles``.  The
+    bounds are a 1-row aggregate that BROADCASTS back onto the scan, so
+    binning is pure map-side expression work and the only data-sized
+    shuffle is the final (event_type, bin) rollup with map-side partials
+    — the standard two-pass histogram at any scale."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_ = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20)
+        ).cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "bin")
+    )
