@@ -677,3 +677,135 @@ def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+_BM25_CORE_SQL = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM d
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'hash')) AS tf_hash,
+             len(list_filter(t, x -> x = 'vector')) AS tf_vector,
+             len(list_filter(t, x -> x = 'window')) AS tf_window
+      FROM d
+    ), df AS (
+      SELECT SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+             SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM tf
+    ), scores AS (
+      SELECT doc_id,
+             LN((stats.n - df_hash + 0.5) / (df_hash + 0.5) + 1)
+               * (tf_hash * 2.2)
+               / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + LN((stats.n - df_vector + 0.5) / (df_vector + 0.5) + 1)
+               * (tf_vector * 2.2)
+               / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + LN((stats.n - df_window + 0.5) / (df_window + 0.5) + 1)
+               * (tf_window * 2.2)
+               / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             AS bm25
+      FROM tf CROSS JOIN stats CROSS JOIN df
+    )
+"""
+
+
+@query(
+    "sim_hybrid_search",
+    oracle=_BM25_CORE_SQL
+    + """
+    , q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), hybrid AS (
+      SELECT s.doc_id, ROUND(s.bm25, 4) AS bm25,
+             ROUND(list_dot_product(e.v, q.qv)
+                   / greatest(sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv)), 1e-12),
+                   6) AS cos_sim
+      FROM scores s JOIN emb e ON s.doc_id = e.vec_id CROSS JOIN q
+    )
+    SELECT doc_id, bm25, cos_sim,
+           ROUND(0.1 * bm25 + cos_sim, 4) AS hybrid_score
+    FROM hybrid
+    ORDER BY hybrid_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-standard two-signal ranker: lexical BM25
+    over the text plus embedding cosine to a query vector, fused by linear
+    combination (scores rounded on both sides BEFORE fusing, so the rank
+    is engine-reproducible).
+
+    100 TB shape: the BM25 pass is the same single-projection scan as
+    ``ta_bm25_search`` (1-row corpus stats broadcast); the embedding join
+    is keyed on the document id (co-partitioned storage in production);
+    the query vector is a broadcast single row; the only wide operation is
+    the final top-k.  In a real deployment the cosine side would consume
+    the int8 codes of ``emb_int8_quantize`` and an ANN candidate set
+    rather than scoring every document."""
+    from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+
+    def _eq(w):
+        return lambda x: x == F.lit(w)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf_{w}")
+        for w in BM25_TERMS
+    ]
+    tf = d.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{w}") > 0).cast("long")).alias(f"df_{w}")
+            for w in BM25_TERMS
+        ],
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    norm = 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    score = None
+    for w in BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5) + 1
+        )
+        part = idf * (F.col(f"tf_{w}") * 2.2) / (F.col(f"tf_{w}") + norm)
+        score = part if score is None else score + part
+    scores = joined.select("doc_id", F.round(score, 4).alias("bm25"))
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(
+        dot(F.col("v"), F.col("qv"))
+        / F.greatest(F.col("nrm") * F.col("qnrm"), F.lit(1e-12)),
+        6,
+    )
+    hybrid = (
+        scores.join(e, scores.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", "bm25", cos.alias("cos_sim"))
+    )
+    return (
+        hybrid.select(
+            "doc_id",
+            "bm25",
+            "cos_sim",
+            F.round(0.1 * F.col("bm25") + F.col("cos_sim"), 4).alias(
+                "hybrid_score"
+            ),
+        )
+        .orderBy(F.desc("hybrid_score"), "doc_id")
+        .limit(10)
+    )
