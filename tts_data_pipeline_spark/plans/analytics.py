@@ -1187,3 +1187,101 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "qc_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT a.event_type,
+           ROUND(a.med, 4) AS med, ROUND(a.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - a.med) > 3 * 1.4826 * a.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN mad a ON e.event_type = a.event_type
+    GROUP BY a.event_type, a.med, a.mad
+    ORDER BY a.event_type
+    """,
+)
+def qc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    companion to ``qc_zscore_outliers`` that a heavy-tailed metric needs
+    (mean/std are themselves dragged by the outliers; median/MAD are not).
+    Two exact-median passes (grouped sort each) then a broadcast of the
+    5-row (event_type, med, mad) table back onto the scan for the
+    threshold count.  At 100 TB the exact medians become the
+    ``approx_percentile`` sketch (its exact/approx twin pair is already in
+    this catalog); the plan shape is otherwise identical."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ev_new_users_daily",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily ORDER BY day
+    """,
+)
+def ev_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-curve analytics: per-day NEW users (first event) plus the
+    cumulative user count — the first-seen-flag pattern that stands in for
+    the unsupported distinct-count-over-expanding-window.  Per-user min
+    aggregates map-side first; the daily rollup is tiny, and its running
+    sum is a single-partition window over days, not events."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    cum = F.sum("new_users").over(
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        daily.select("day", "new_users", cum.cast("bigint").alias("cum_users"))
+        .orderBy("day")
+    )
