@@ -89,6 +89,8 @@ HEADLINE = [
     "w11_gap_fill_ffill",
     "ta_quality_classifier",
     "mm_audio_qc",
+    "sim_hybrid_search",
+    "agg_histogram_equiwidth",
 ]
 
 
