@@ -824,3 +824,70 @@ def ta_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- max-length truncation --------------------------------------------------
+
+
+@query(
+    "tx_truncate_max_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len(w) > 48 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(LEAST(len(w), 48)) AS BIGINT) AS kept_tokens,
+           CAST(SUM(GREATEST(len(w) - 48, 0)) AS BIGINT) AS dropped_tokens,
+           md5(string_agg(array_to_string(w[1:48], ' '), chr(10)
+               ORDER BY doc_id)) AS content_fingerprint
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tx_truncate_max_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-sequence truncation for training prep: clip every document to
+    48 tokens and report the per-language loss accounting — plus an md5
+    fingerprint over the doc_id-ordered truncated corpus, so the oracle
+    checks the truncated TEXT itself, not just the counts.
+
+    100 TB shape: the truncation is a pure map-side array slice; the
+    rollup is one small keyed aggregate.  (The fingerprint's ordered
+    collect is per-language here for verification; production would
+    fingerprint per file/partition.)"""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    trunc = F.array_join(F.slice("w", 1, 48), " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size("w").alias("n"),
+        trunc.alias("trunc"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n") > 48).cast("bigint")).alias("n_truncated"),
+            F.sum(F.least(F.col("n"), F.lit(48)).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+            F.sum(F.greatest(F.col("n") - 48, F.lit(0)).cast("bigint")).alias(
+                "dropped_tokens"
+            ),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "trunc"))
+                        ),
+                        lambda s: s.trunc,
+                    ),
+                )
+            ).alias("content_fingerprint"),
+        )
+        .orderBy("lang")
+    )
