@@ -613,7 +613,14 @@ def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge learning -----------------------------------------------------
 
 
-_BPE_ORACLE = """WITH words AS (
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of ``learn_bpe_merges`` for any round
+    count: seq0 is the space-delimited character sequence per distinct
+    word; each round k counts adjacent pairs over seq{k-1}, picks the
+    (cnt DESC, pair ASC) argmax, and applies the merge with the same
+    double-space ``replace`` trick the Spark side uses."""
+    parts = [
+        """WITH words AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
   WHERE w <> '' GROUP BY w
@@ -622,73 +629,55 @@ _BPE_ORACLE = """WITH words AS (
          ' ' || array_to_string(list_transform(range(length(word)),
                                 i -> word[i+1]), ' ') || ' ' AS s
   FROM words
-), pairs1 AS (
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", pairs{k} AS (
   SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (
     SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
-    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq0),
+    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq{k - 1}),
          UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
   )
   GROUP BY 1
-), best1 AS (
-  SELECT pair, cnt FROM pairs1 ORDER BY cnt DESC, pair ASC LIMIT 1
-), seq1 AS (
+), best{k} AS (
+  SELECT pair, cnt FROM pairs{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        if k < rounds:
+            parts.append(
+                f""", seq{k} AS (
   SELECT word, freq,
          replace(replace(replace(s, ' ', '  '),
-                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best1) || ' ',
-                 ' ' || (SELECT replace(pair, ' ', '') FROM best1) || ' '),
+                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best{k}) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM best{k}) || ' '),
                  '  ', ' ') AS s
-  FROM seq0
-), pairs2 AS (
-  SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
-  FROM (
-    SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
-    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq1),
-         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
-  )
-  GROUP BY 1
-), best2 AS (
-  SELECT pair, cnt FROM pairs2 ORDER BY cnt DESC, pair ASC LIMIT 1
-), seq2 AS (
-  SELECT word, freq,
-         replace(replace(replace(s, ' ', '  '),
-                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best2) || ' ',
-                 ' ' || (SELECT replace(pair, ' ', '') FROM best2) || ' '),
-                 '  ', ' ') AS s
-  FROM seq1
-), pairs3 AS (
-  SELECT tok1 || ' ' || tok2 AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
-  FROM (
-    SELECT freq, toks[i+1] AS tok1, toks[i+2] AS tok2
-    FROM (SELECT freq, string_split(trim(s), ' ') AS toks FROM seq2),
-         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
-  )
-  GROUP BY 1
-), best3 AS (
-  SELECT pair, cnt FROM pairs3 ORDER BY cnt DESC, pair ASC LIMIT 1
-), seq3 AS (
-  SELECT word, freq,
-         replace(replace(replace(s, ' ', '  '),
-                 ' ' || (SELECT replace(pair, ' ', '  ') FROM best3) || ' ',
-                 ' ' || (SELECT replace(pair, ' ', '') FROM best3) || ' '),
-                 '  ', ' ') AS s
-  FROM seq2
-)
-SELECT CAST(1 AS BIGINT) AS rank, (SELECT pair FROM best1) AS pair, (SELECT replace(pair,' ','') FROM best1) AS merged, (SELECT cnt FROM best1) AS cnt
-UNION ALL
-SELECT CAST(2 AS BIGINT) AS rank, (SELECT pair FROM best2) AS pair, (SELECT replace(pair,' ','') FROM best2) AS merged, (SELECT cnt FROM best2) AS cnt
-UNION ALL
-SELECT CAST(3 AS BIGINT) AS rank, (SELECT pair FROM best3) AS pair, (SELECT replace(pair,' ','') FROM best3) AS merged, (SELECT cnt FROM best3) AS cnt
-ORDER BY rank"""
+  FROM seq{k - 1}
+)"""
+            )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS rank, (SELECT pair FROM best{k}) AS"
+        f" pair, (SELECT replace(pair,' ','') FROM best{k}) AS merged,"
+        f" (SELECT cnt FROM best{k}) AS cnt"
+        for k in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank")
+    return "".join(parts)
 
 
-@query("ta_bpe_learn_merges", oracle=_BPE_ORACLE)
-def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def learn_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 3,
+    persist_every: int = 5,
+    on_round=None,
+) -> DataFrame:
     """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) — the
     tokenizer-training step of an LLM data pipeline, run as a
     driver-coordinated iterative job like the k-means and PageRank entries:
     each round counts adjacent-symbol pairs over the (distinct-word, freq)
-    table, picks the argmax pair (one 4-byte scalar to the driver — model
+    table, picks the argmax pair (one small scalar to the driver — model
     selection, not data), and applies the merge corpus-wide with pure
     string expressions (the double-space ``replace`` trick gives exact
     greedy left-to-right merge semantics, bit-identical in both engines —
@@ -696,9 +685,32 @@ def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: state is the DISTINCT-WORD table (vocabulary-sized, not
     corpus-sized — the word-frequency rollup is the only corpus-wide
-    shuffle, done once); each merge round is a narrow map over that table
-    plus a tiny argmax aggregate.  The oracle replays all rounds as
-    unrolled CTEs, so the learned merge table is value-checked."""
+    shuffle, done ONCE at the initial state persist; the old form redid it
+    every round inside ``first()``), and lineage is truncated every
+    ``persist_every`` rounds via the same parquet round-trip
+    ``operators/components.py`` uses, with the same explicit file
+    lifecycle (the previous state's files are deleted once the next is
+    written, everything is gone when the loop ends — the returned frame is
+    a local merge table, so nothing lazy outlives the tempdir).  Without
+    truncation, round k recomputed all k-1 prior merges from the raw word
+    table and the plan deepened linearly — O(R²) work and driver
+    plan-compilation blowup at real merge counts (a production tokenizer
+    is R≈30k).  The interval is the standard iterative-job checkpoint
+    cadence (GraphX's ``checkpointInterval`` is the same knob): plan depth
+    is bounded by ``persist_every`` regardless of R, total work is O(R)
+    (each round's argmax recomputes at most ``persist_every - 1`` pending
+    merges over the vocabulary-sized state — trivial next to the fixed
+    ~0.3 s/job scheduling cost a per-round persist would pay twice every
+    round).
+
+    ``on_round(k, state_df)`` is a test seam: called once per round with
+    the state the NEXT round will read, so plan-depth bounds can be
+    asserted from outside.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -715,46 +727,76 @@ def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s"),
     )
+    workdir = _tempfile.mkdtemp(prefix="bpe_state_")
     merges = []
-    for k in range(1, 4):
-        toks = F.split(F.trim("s"), " ")
-        # guard: sequence(0, -1) DESCENDS in Spark; single-symbol words
-        # have no pairs
-        pair = F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat(toks[i], F.lit(" "), toks[i + 1]),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-        best = (
-            cur.select("freq", pair.alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
-            .first()
-        )
-        a_b, cnt = best["pair"], best["cnt"]
-        merged = a_b.replace(" ", "")
-        cur = cur.withColumn(
-            "s",
-            F.replace(
-                F.replace(
-                    F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
-                    F.lit(" " + a_b.replace(" ", "  ") + " "),
-                    F.lit(" " + merged + " "),
-                ),
-                F.lit("  "),
-                F.lit(" "),
-            ),
-        )
-        merges.append((k, a_b, merged, cnt))
+    try:
+        _STATE = "word string, freq bigint, s string"
+        state_path = _os.path.join(workdir, "state_0")
+        cur.write.mode("overwrite").parquet(state_path)
+        # pinned schema: skips the per-read footer inference job
+        cur = spark.read.schema(_STATE).parquet(state_path)
+        if on_round is not None:
+            on_round(0, cur)
+        for k in range(1, rounds + 1):
+            toks = F.split(F.trim("s"), " ")
+            # guard: sequence(0, -1) DESCENDS in Spark; single-symbol words
+            # have no pairs
+            pair = F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.concat(toks[i], F.lit(" "), toks[i + 1]),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+            best = (
+                cur.select("freq", pair.alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .first()
+            )
+            if best is None:
+                break  # vocabulary fully merged before R rounds
+            a_b, cnt = best["pair"], best["cnt"]
+            merged = a_b.replace(" ", "")
+            merges.append((k, a_b, merged, cnt))
+            if k < rounds:
+                cur = cur.withColumn(
+                    "s",
+                    F.replace(
+                        F.replace(
+                            F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
+                            F.lit(" " + a_b.replace(" ", "  ") + " "),
+                            F.lit(" " + merged + " "),
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
+                    ),
+                )
+                if k % persist_every == 0:
+                    next_path = _os.path.join(workdir, f"state_{k}")
+                    cur.write.mode("overwrite").parquet(next_path)
+                    cur = spark.read.schema(_STATE).parquet(next_path)
+                    _shutil.rmtree(state_path, ignore_errors=True)
+                    state_path = next_path
+                if on_round is not None:
+                    on_round(k, cur)
+    finally:
+        _shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(
         merges, "rank bigint, pair string, merged string, cnt bigint"
     ).orderBy("rank")
+
+
+@query("ta_bpe_learn_merges", oracle=_bpe_oracle(3))
+def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for :func:`learn_bpe_merges` at R=3 — the oracle is
+    generated for the same round count, so the learned merge table is
+    value-checked end-to-end."""
+    return learn_bpe_merges(spark, sf_dir, rounds=3)
 
 
 # --- linear quality classifier ---------------------------------------------
