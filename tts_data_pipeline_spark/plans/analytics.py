@@ -109,18 +109,52 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_distinct_approx")
+@query(
+    "agg_distinct_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(1 AS BIGINT) AS orders_within_bound,
+           CAST(1 AS BIGINT) AS parts_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rows-only: HLL implementations
-    differ across engines by design).  At 100 TB this replaces exact
-    distinct wherever a 1-2% error is acceptable: fixed-size sketch per
-    group, no expand, mergeable across partitions."""
+    """HyperLogLog++ distinct estimate, ERROR-BOUND oracle-checked: the
+    sketch values themselves are engine-native (HLL register layouts
+    differ by design, so they can never hash-match an oracle), but the
+    sketch's accuracy CONTRACT is checkable — the query emits the exact
+    distinct counts plus a boolean per sketch asserting
+    |approx - exact| <= 5% of exact (5 sigma at the configured rsd=0.01),
+    and the DuckDB oracle expects every bound flag to be 1.  A Spark HLL
+    regression (or a mis-configured rsd) flips the flag and fails the
+    value hash.
+
+    At 100 TB the sketch replaces exact distinct wherever 1-2% error is
+    acceptable: fixed-size mergeable register set per group, no expand.
+    The exact countDistinct alongside it here is the verification
+    harness, not the production plan."""
     li = table(spark, sf_dir, "lineitem")
+    approx_o = F.approx_count_distinct("l_orderkey", 0.01)
+    approx_p = F.approx_count_distinct("l_partkey", 0.01)
+    exact_o = F.countDistinct("l_orderkey").cast("bigint")
+    exact_p = F.countDistinct("l_partkey").cast("bigint")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+            exact_o.alias("n_orders_exact"),
+            exact_p.alias("n_parts_exact"),
+            (
+                F.abs(approx_o - exact_o) <= exact_o * F.lit(0.05)
+            )
+            .cast("bigint")
+            .alias("orders_within_bound"),
+            (
+                F.abs(approx_p - exact_p) <= exact_p * F.lit(0.05)
+            )
+            .cast("bigint")
+            .alias("parts_within_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -483,21 +517,59 @@ def w7_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour.orderBy("hour", "event_type")
 
 
-@query("agg_percentiles_sketch")
+@query(
+    "agg_percentiles_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
+           MIN(l_extendedprice) AS price_min,
+           MAX(l_extendedprice) AS price_max,
+           CAST(1 AS BIGINT) AS p50_within_bound,
+           CAST(1 AS BIGINT) AS p95_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for percentiles (rows-only: sketch values are
-    implementation-defined): ``percentile_approx`` keeps a fixed-size
-    mergeable buffer per group instead of holding every value, which is
-    what survives a 100 TB group-by."""
+    """Percentile sketch, ERROR-BOUND oracle-checked: ``percentile_approx``
+    values are implementation-defined (KLL/GK summaries return different
+    dataset elements across engines), so the sketch value can't hash-match
+    — but its RANK-ERROR contract can: with accuracy=1000 the returned
+    element's rank error is <= 1/1000, so the p50 sketch must lie inside
+    the exact [0.45, 0.55] quantile interval and the p95 sketch inside
+    [0.90, 0.97] (both ±>=0.02 of rank slack, 20x the guarantee).  The
+    query emits a boolean per sketch asserting exactly that, computed
+    against Spark's exact interpolated ``percentile``; the oracle expects
+    all-true.  A broken summary or accuracy regression flips the flag.
+
+    At 100 TB only the sketch runs: fixed-size mergeable buffer per group
+    instead of holding every value.  The exact percentile bounds here are
+    the verification harness, not the production plan."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
-        )
-        .orderBy("l_returnflag")
+    bounds = F.expr(
+        "percentile(l_extendedprice, array(0.45D, 0.55D, 0.90D, 0.97D))"
     )
+    p50 = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    p95 = F.percentile_approx("l_extendedprice", 0.95, 1000)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").cast("bigint").alias("n_vals"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        bounds.alias("b"),
+        p50.alias("p50"),
+        p95.alias("p95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_vals",
+        "price_min",
+        "price_max",
+        ((F.col("p50") >= F.col("b")[0]) & (F.col("p50") <= F.col("b")[1]))
+        .cast("bigint")
+        .alias("p50_within_bound"),
+        ((F.col("p95") >= F.col("b")[2]) & (F.col("p95") <= F.col("b")[3]))
+        .cast("bigint")
+        .alias("p95_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 @query(
