@@ -94,6 +94,43 @@ def decode_audio(
     return df.mapInPandas(gen, out_schema)
 
 
+def fake_encode_bytes(samples: np.ndarray) -> bytes:
+    """K4 — deterministic fake ENCODER, the exact inverse of
+    :func:`fake_decode_bytes`: the decoded wave is ``(byte - 128) / 128``
+    tiled 4x, so the first quarter of the samples maps back to the
+    original bytes losslessly (every step is exact in float32).  Stands in
+    for ``sf.write`` (reference ``process_all.py:432,491``); a real codec
+    slots into the same signature."""
+    if samples is None or len(samples) == 0:
+        return b""
+    n = len(samples) // 4
+    b = np.round(np.asarray(samples[:n], dtype=np.float32) * 128.0 + 128.0)
+    return b.astype(np.uint8).tobytes()
+
+
+def encode_audio(
+    df: DataFrame, samples_col: str = "samples", out_col: str = "payload"
+) -> DataFrame:
+    """K4 — (samples array<float>) → binary payload via mapInPandas, the
+    write-side twin of :func:`decode_audio`.  The payload column then goes
+    through any binary-capable sink (parquet dataset layout, K7)."""
+    out_schema = (
+        df.schema.simpleString().removeprefix("struct<").removesuffix(">")
+        + f",{out_col}:binary"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                fake_encode_bytes(np.asarray(s, dtype=np.float32))
+                for s in pdf[samples_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 # --- X3: peak normalization — pure array expression, no UDF -------------------
 def peak_normalize(samples: Column, peak: float = 0.95) -> Column:
     """X3 — ``y / max(|y|) * peak`` (reference ``process_all.py:400-407``)

@@ -60,6 +60,10 @@ try:
     from tts_data_pipeline_spark.plans import corpus  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from tts_data_pipeline_spark.plans import scansinks  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # Scale-critical operators first: if the driver samples a prefix of the

@@ -1,0 +1,431 @@
+"""Scan/sink round-trip catalog entries (SURVEY.md §2.1-§2.2: S1-S4, S6,
+K1-K4, K6, K7).
+
+These were the last §2 operator families verified by pytest only; each now
+has a value-checked catalog entry using the round-trip-oracle pattern
+S7/S9/S10/S11 established: derive a fixture deterministically from the
+driver test tables, push it through the SINK under test, pull it back
+through the SCAN under test, emit a canonical frame, and let DuckDB
+recompute the expected content straight from the source tables.  A bug in
+either direction of the round trip (layout, quoting, schema imposition,
+nested-literal parsing, partition discovery, codec symmetry) breaks the
+value hash.
+
+Write targets are per-call temp dirs removed at interpreter exit (the
+returned frames read from them lazily — same explicit-lifecycle pattern as
+``operators/components.py``).  The writes themselves are executor-side
+(one file per partition); nothing here collects data to the driver.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"scansink_{prefix}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+# --- S1 + K1 + U3/U4: metadata CSV round trip -------------------------------
+
+
+@query(
+    "s1_k1_books_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey AS book_id,
+           c_name AS name,
+           n_name AS narrator_name,
+           CAST(1 AS BIGINT) AS n_narrators,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_urls,
+           c_acctbal AS duration,
+           CAST(16000 + (c_custkey % 3) * 8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS parse_ok
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY book_id
+    """,
+)
+def s1_k1_books_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+K1 end-to-end with the reference's nastiest ingest quirk live:
+    a books CSV whose narrator cell is a stringified PYTHON literal —
+    dict for even keys, list-of-dict for odd (the dict-or-list
+    polymorphism of ``__init__.py:263-267``) — and whose url-list cell is
+    a Python repr list (``crawler/download.py:225``).  The frame is
+    written with the K1 CSV sink (header, quoting) and read back with
+    ``read_books_csv`` (S1), whose repr→JSON fixup + ``from_json`` +
+    always-array normalization (U3/U4) must reproduce every field.  The
+    oracle recomputes the expected parse results directly from
+    customer⋈nation — any quoting/parsing/normalization bug on either
+    side of the round trip breaks the hash.  Header contract mirrors
+    ``crawler/metadata.py:242-300``."""
+    from tts_data_pipeline_spark.sinks.writers import write_csv
+    from tts_data_pipeline_spark.sources.readers import read_books_csv
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    narrator_dict = F.concat(
+        F.lit("{'name': '"), F.col("n_name"), F.lit("', 'url': None}")
+    )
+    narrator = F.when(
+        F.col("c_custkey") % 2 == 0, narrator_dict
+    ).otherwise(F.concat(F.lit("["), narrator_dict, F.lit("]")))
+    one_url = F.concat(
+        F.lit("'https://cdn.example.com/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/1.mp3'"),
+    )
+    two_url = F.concat(
+        one_url,
+        F.lit(", 'https://cdn.example.com/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/2.mp3'"),
+    )
+    urls = F.concat(
+        F.lit("["),
+        F.when(F.col("c_custkey") % 3 == 0, two_url).otherwise(one_url),
+        F.lit("]"),
+    )
+    books = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            narrator.alias("narrator"),
+            urls.alias("audio_download_url"),
+            F.col("c_acctbal").alias("duration"),
+            (16000 + (F.col("c_custkey") % 3) * 8000).alias("sample_rate"),
+            (F.col("c_custkey") % 997).alias("word_count"),
+            (F.col("c_custkey") % 89).alias("num_sentences"),
+            (F.col("c_custkey") * 1024).alias("audio_size"),
+            (F.col("c_custkey") * 64).alias("text_size"),
+        )
+    )
+    path = _tmpdir("s1k1")
+    write_csv(books, path)
+    parsed = read_books_csv(spark, path)
+    return (
+        parsed.select(
+            F.col("id").cast("bigint").alias("book_id"),
+            "name",
+            F.col("narrator")[0]["name"].alias("narrator_name"),
+            F.size("narrator").cast("bigint").alias("n_narrators"),
+            F.size("audio_download_url").cast("bigint").alias("n_urls"),
+            "duration",
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            F.col("_parse_ok").cast("bigint").alias("parse_ok"),
+        )
+        .orderBy("book_id")
+    )
+
+
+# --- S2 + C3/C4: alignment TSV round trip -----------------------------------
+
+
+@query(
+    "s2_alignment_tsv_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS DOUBLE) AS seg_id,
+           (o_orderkey % 100) * 0.25 AS start,
+           (o_orderkey % 100) * 0.25 + (o_orderkey % 7 + 1) * 0.5 AS "end",
+           ROUND((o_orderkey % 7 + 1) * 0.5, 4) AS duration,
+           'book-rt' AS book_id
+    FROM orders WHERE o_orderkey < 800
+    ORDER BY seg_id
+    """,
+)
+def s2_alignment_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the aeneas alignment TSV contract round-tripped: headerless
+    tab-separated ``(start, end, id)`` rows with the ``"f"``-suffixed id
+    (reference ``aeneas_batch_align.py:218-222``), written by the engine,
+    read back through ``read_alignment_tsv``'s imposed schema, id cleanup
+    (C4) and derived duration (C3).  Start/end are exact binary fractions
+    (quarters and halves) so the text round trip is lossless and the
+    oracle recomputes them from ``orders`` directly."""
+    from tts_data_pipeline_spark.sources.readers import read_alignment_tsv
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    start = (F.col("o_orderkey") % 100) * 0.25
+    end = start + (F.col("o_orderkey") % 7 + 1) * 0.5
+    rows = o.select(
+        start.alias("start"),
+        end.alias("end"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("f")).alias("id"),
+    )
+    path = _tmpdir("s2")
+    rows.write.mode("overwrite").option("sep", "\t").csv(path)
+    back = read_alignment_tsv(spark, path, book_id="book-rt")
+    return back.select("seg_id", "start", "end", "duration", "book_id").orderBy(
+        "seg_id"
+    )
+
+
+# --- S3 + K2: JSON-per-record round trip ------------------------------------
+
+
+@query(
+    "s3_k2_json_records_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(strlen(n_name) AS BIGINT) AS name_len
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def s3_k2_json_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+K2 — JSON-record files round-tripped the way the reference lays
+    them out (one JSON document per book, ``__init__.py:331-340``,
+    globbed back at ``crawler/metadata.py:248-274``): the K2 JSON sink
+    writes one single-record file per nation via a partitioned layout,
+    and the S3 multiLine reader globs them back, recovering the partition
+    key from the directory name.  Field values survive the JSON round
+    trip exactly; the oracle reads the source table."""
+    from tts_data_pipeline_spark.sources.readers import read_json_records
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("bigint").alias("name_len"),
+    )
+    path = _tmpdir("s3k2")
+    n.coalesce(1).write.mode("overwrite").partitionBy("n_nationkey").json(path)
+    back = read_json_records(spark, path)
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.col("name_len").cast("bigint").alias("name_len"),
+    ).orderBy("n_nationkey")
+
+
+# --- S4 + K3: delimited line-text round trip --------------------------------
+
+
+@query(
+    "s4_k3_delimited_roundtrip",
+    oracle="""
+    SELECT 'https://audio.example.com/' || n_name AS audio_url,
+           'https://text.example.com/' || n_name AS text_url,
+           r_name AS source
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY audio_url
+    """,
+)
+def s4_k3_delimited_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+K3 — the ``valid_book_urls.txt`` contract round-tripped: one
+    ``"{audio_url}, {text_url}, {source}"`` line per row (reference
+    ``crawler/metadata.py:80-91``), written with the K3 line-text sink and
+    split back into fields by the S4 delimited scan."""
+    from tts_data_pipeline_spark.sinks.writers import write_lines
+    from tts_data_pipeline_spark.sources.readers import read_delimited_urls
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    lines = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.concat_ws(
+            ", ",
+            F.concat(F.lit("https://audio.example.com/"), F.col("n_name")),
+            F.concat(F.lit("https://text.example.com/"), F.col("n_name")),
+            F.col("r_name"),
+        ).alias("line")
+    )
+    path = _tmpdir("s4k3")
+    write_lines(lines, "line", path)
+    return read_delimited_urls(spark, path).orderBy("audio_url")
+
+
+# --- S6: directory/binaryFile scan ------------------------------------------
+
+
+@query(
+    "s6_binary_dir_scan",
+    oracle="""
+    SELECT r_regionkey AS region_key,
+           CAST(strlen(r_name || '|' || CAST(r_regionkey * 7 AS VARCHAR)) + 1
+                AS BIGINT) AS n_bytes,
+           r_name || '|' || CAST(r_regionkey * 7 AS VARCHAR) AS body
+    FROM region ORDER BY region_key
+    """,
+)
+def s6_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — directory-listing scan of opaque files (reference globs audio
+    and text files and derives (entity, path) rows,
+    ``process_all.py:544-610``): a per-region text file is laid out under
+    ``region_key=<k>/`` dirs, then scanned back with the ``binaryFile``
+    source; the entity key is recovered from the path, the payload length
+    from the scan's ``length`` column, and the body by decoding the
+    content bytes — all three value-checked against the source table
+    (the +1 is the line sink's trailing newline)."""
+    from tts_data_pipeline_spark.sources.readers import read_binary_files
+
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.concat(
+            F.col("r_name"),
+            F.lit("|"),
+            (F.col("r_regionkey") * 7).cast("string"),
+        ).alias("value"),
+    )
+    path = _tmpdir("s6")
+    r.coalesce(1).write.mode("overwrite").partitionBy("r_regionkey").text(path)
+    files = read_binary_files(spark, path + "/*/*.txt")
+    return (
+        files.select(
+            F.regexp_extract("path", r"r_regionkey=(\d+)", 1)
+            .cast("bigint")
+            .alias("region_key"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.regexp_replace(F.decode("content", "UTF-8"), "\n+$", "")
+            .alias("body"),
+        )
+        .orderBy("region_key")
+    )
+
+
+# --- K4: audio encode round trip --------------------------------------------
+
+
+@query(
+    "k4_audio_encode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(1 AS BIGINT) AS payload_matches
+    FROM documents ORDER BY doc_id
+    """,
+)
+def k4_audio_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — audio write path value-checked through codec symmetry: payload
+    bytes → fake decode (S8) → fake ENCODE (the ``sf.write`` seam,
+    reference ``process_all.py:432,491``) → binary column persisted to a
+    parquet dataset → read back and compared byte-for-byte against the
+    original payload (the fake codec pair is an exact float32-lossless
+    inverse, so any corruption in the encode UDF, the binary sink, or the
+    read-back flips ``payload_matches``).  A real encoder slots into the
+    same ``encode_audio`` seam."""
+    from tts_data_pipeline_spark.multimodal.audio import (
+        decode_audio,
+        encode_audio,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    decoded = decode_audio(d, payload_col="content")
+    encoded = encode_audio(decoded).select("doc_id", "payload")
+    path = _tmpdir("k4")
+    encoded.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    src = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        back.join(src, "doc_id")
+        .select(
+            "doc_id",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            (F.decode("payload", "UTF-8") == F.col("text"))
+            .cast("bigint")
+            .alias("payload_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- K6: publish layout with class encode -----------------------------------
+
+
+@query(
+    "k6_hf_publish_roundtrip",
+    oracle="""
+    WITH labels AS (
+      SELECT source,
+             CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT)
+               AS speaker_label
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source AS speaker,
+           l.speaker_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN labels l ON d.source = l.source
+    GROUP BY 1, 2 ORDER BY speaker
+    """,
+)
+def k6_hf_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — publish layout round trip (reference class-encodes the speaker
+    column then pushes parquet, ``push_to_hf.py:16-24``): the sink's
+    deterministic dense-rank label assignment is re-read from the
+    published files and the (speaker, label, count) contract is
+    value-checked against a windowed dense_rank in DuckDB."""
+    from tts_data_pipeline_spark.sinks.writers import write_hf_dataset
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("speaker")
+    )
+    path = _tmpdir("k6")
+    write_hf_dataset(d, path, class_col="speaker")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("speaker", "speaker_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "speaker",
+            F.col("speaker_label").cast("bigint").alias("speaker_label"),
+            "n_docs",
+        )
+        .orderBy("speaker")
+    )
+
+
+# --- K7: speaker-partitioned dataset layout ---------------------------------
+
+
+@query(
+    "k7_partitioned_layout_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           MIN(s_suppkey) AS min_suppkey,
+           MAX(s_suppkey) AS max_suppkey
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def k7_partitioned_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — the speaker-partitioned dataset layout round-tripped
+    (reference writes ``dataset/{narrator_id}/...``,
+    ``aeneas_batch_align.py:198-213``): suppliers written Hive-partitioned
+    on nation, read back through partition discovery, and the per-partition
+    contents value-checked.  The partition column comes back from the
+    DIRECTORY NAMES, not the files — a layout bug (missing or misnamed
+    partition dirs) changes the recovered keys and breaks the hash.
+    ``tests/test_sinks.py`` separately asserts pruning reaches the scan."""
+    from tts_data_pipeline_spark.sinks.writers import write_partitioned_dataset
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = _tmpdir("k7")
+    write_partitioned_dataset(s, path, partition_col="s_nationkey")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.min("s_suppkey").alias("min_suppkey"),
+            F.max("s_suppkey").alias("max_suppkey"),
+        )
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+            "n_suppliers",
+            "min_suppkey",
+            "max_suppkey",
+        )
+        .orderBy("s_nationkey")
+    )
