@@ -256,3 +256,81 @@ def test_zorder_layout_skips_files_on_secondary_column(spark, tmp_path):
     assert z_hits < s_hits
     # layout changes bytes, not rows: both round-trip the full dataset
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_merge_tombstone_journal_handles_mobile_keys(spark, tmp_path):
+    """A key moving across partitions leaves a stale row in the old
+    partition on disk (Hive dynamic-overwrite semantics) — but the
+    tombstone journal + read_merged_partitioned shows exactly one live
+    row, in the key's latest partition, across repeated moves."""
+    target = str(tmp_path / "merge_mobile")
+    spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n1"), (3, "c", "n2")],
+        "book_id long, name string, narrator_id string",
+    ).write.partitionBy("narrator_id").parquet(target)
+
+    # move key 2 from n1 -> n9; n1 is NOT otherwise touched, so dynamic
+    # overwrite never rewrites it and the stale row survives on disk
+    sinks.merge_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(2, "b-moved", "n9")],
+            "book_id long, name string, narrator_id string",
+        ),
+        target,
+        key_col="book_id",
+        partition_col="narrator_id",
+    )
+    # raw read documents the hole: key 2 appears in BOTH n1 and n9
+    raw = spark.read.parquet(target).filter("book_id = 2").collect()
+    assert {r.narrator_id for r in raw} == {"n1", "n9"}
+
+    live = sinks.read_merged_partitioned(
+        spark, target, key_col="book_id", partition_col="narrator_id"
+    )
+    rows = {r.book_id: (r.name, r.narrator_id) for r in live.collect()}
+    assert rows == {
+        1: ("a", "n1"),
+        2: ("b-moved", "n9"),
+        3: ("c", "n2"),
+    }
+    assert live.filter("book_id = 2").count() == 1
+
+    # move key 2 BACK n9 -> n1: the later journal seq must win
+    sinks.merge_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(2, "b-back", "n1")],
+            "book_id long, name string, narrator_id string",
+        ),
+        target,
+        key_col="book_id",
+        partition_col="narrator_id",
+    )
+    live2 = sinks.read_merged_partitioned(
+        spark, target, key_col="book_id", partition_col="narrator_id"
+    )
+    assert [
+        (r.name, r.narrator_id)
+        for r in live2.filter("book_id = 2").collect()
+    ] == [("b-back", "n1")]
+
+    # sidecar is invisible to plain table reads (underscore-prefixed dir)
+    assert os.path.isdir(os.path.join(target, "_tombstones"))
+
+    # journal=False restores the reference's immobile-key contract: no
+    # sidecar growth
+    import glob as _glob
+
+    n_files = len(_glob.glob(os.path.join(target, "_tombstones", "*")))
+    sinks.merge_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(3, "c2", "n2")], "book_id long, name string, narrator_id string"
+        ),
+        target,
+        key_col="book_id",
+        partition_col="narrator_id",
+        journal=False,
+    )
+    assert len(_glob.glob(os.path.join(target, "_tombstones", "*"))) == n_files

@@ -1,5 +1,6 @@
 from tts_data_pipeline_spark.sinks.writers import (  # noqa: F401
     merge_into_partitioned,
+    read_merged_partitioned,
     write_bucketed_table,
     write_csv,
     write_hf_dataset,

@@ -105,6 +105,7 @@ def merge_into_partitioned(
     target_path: str,
     key_col: str,
     partition_col: str,
+    journal: bool = True,
 ) -> None:
     """J5 at scale — partition-pruned MERGE (upsert) into a Hive-partitioned
     parquet dataset.
@@ -124,13 +125,27 @@ def merge_into_partitioned(
     partition pruning happens at planning time; then one shuffle on
     ``key_col`` for the merge join of touched-target vs updates.
 
-    Constraint (documented, same as Hive/early-Delta dynamic overwrite): a
-    key's partition value must be stable — if an update moves a key to a new
-    partition, the stale row in the old partition is not deleted.  Callers
-    with mobile keys need a table format with delete files (Delta/Iceberg);
-    for the reference's speaker-partitioned dataset layout
+    Mobile keys (the Hive dynamic-overwrite hole): if an update moves a key
+    to a NEW partition, the dynamic overwrite never touches the old
+    partition, so the stale row survives on disk.  With ``journal=True``
+    (default) the sink closes that hole without a table-format dependency:
+    each merge appends a TOMBSTONE JOURNAL batch — ``(key,
+    live_partition, seq)`` for every upserted key — to the
+    underscore-prefixed sidecar ``{target_path}/_tombstones`` (Spark's
+    file listing skips ``_``-prefixed paths, so plain reads of the table
+    are unaffected).  The journal is an inverted tombstone: it asserts the
+    single LIVE partition per key, so a row for that key in any other
+    partition is dead.  :func:`read_merged_partitioned` applies it with
+    one broadcast join (the journal is bounded by upserted keys, not
+    table rows — the same scale class as Delta deletion vectors).
+    Journaling every upserted key, not just detected movers, avoids the
+    alternative's full ``(key, partition)`` scan of the target per merge.
+    Periodic compaction = rewrite the table from
+    ``read_merged_partitioned`` and clear the sidecar.
+
+    For the reference's speaker-partitioned dataset layout
     (``aeneas_batch_align.py:198-213``) the speaker of a segment never
-    changes, so the constraint holds.
+    changes, so ``journal=False`` skips the sidecar entirely.
     """
     import shutil
     import tempfile
@@ -162,6 +177,56 @@ def merge_into_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(staging, ignore_errors=True)
+    if journal:
+        jdir = _tombstone_dir(target_path)
+        try:
+            seq = (
+                spark.read.parquet(jdir).agg(F.max("seq")).head()[0] or 0
+            )
+        except Exception:  # first journal batch: sidecar doesn't exist yet
+            seq = 0
+        (
+            updates.select(
+                F.col(key_col),
+                F.col(partition_col).cast("string").alias("live_partition"),
+            )
+            .distinct()
+            .withColumn("seq", F.lit(seq + 1).cast("bigint"))
+            .write.mode("append")
+            .parquet(jdir)
+        )
+
+
+def _tombstone_dir(target_path: str) -> str:
+    return target_path.rstrip("/") + "/_tombstones"
+
+
+def read_merged_partitioned(
+    spark, target_path: str, key_col: str, partition_col: str
+) -> DataFrame:
+    """Read a :func:`merge_into_partitioned` table with its tombstone
+    journal applied: for every journaled key only the row in its latest
+    asserted live partition survives; un-journaled keys pass through
+    untouched.  One broadcast join — the journal is bounded by upserted
+    keys, so the 100 TB table side never shuffles for it."""
+    t = spark.read.parquet(target_path)
+    try:
+        j = spark.read.parquet(_tombstone_dir(target_path))
+    except Exception:  # no journal yet: plain read
+        return t
+    latest = (
+        j.groupBy(key_col)
+        .agg(F.max(F.struct("seq", "live_partition")).alias("m"))
+        .select(F.col(key_col), F.col("m.live_partition").alias("_live"))
+    )
+    return (
+        t.join(F.broadcast(latest), key_col, "left")
+        .filter(
+            F.col("_live").isNull()
+            | (F.col(partition_col).cast("string") == F.col("_live"))
+        )
+        .drop("_live")
+    )
 
 
 def write_hf_dataset(
