@@ -66,6 +66,9 @@ HEADLINE = [
     "s9_html_css_extract",
     "s7_pdf_text_extract",
     "sim_lsh_bucketed_topk",
+    "emb_pq_quantize",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "ta_bigram_pmi",
     "dedup_minhash_md5",
     "ta_gopher_quality_rules",

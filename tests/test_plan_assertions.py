@@ -216,3 +216,19 @@ def test_bpe_oracle_generator_matches_rounds(spark, ddb):
         _bpe_oracle(5),
         "bpe_r5",
     )
+
+
+def test_pq_adc_exchange_carries_codes_not_vectors(spark):
+    # the ADC top-k window shuffle must move only scalar (query, neighbor,
+    # dist, codes-free) rows — never the codebook column or raw vectors,
+    # which would undo PQ's whole compression argument
+    plan = plan_of(spark, "sim_pq_adc_topk")
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchange_lines, plan
+    for ln in exchange_lines:
+        assert "cbl" not in ln, ln
+        assert "qv#" not in ln, ln
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -276,3 +276,316 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# --- product quantization (IVFPQ-style codes + ADC scoring) ------------------
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row codebook frame for product quantization: the ``ksub``
+    vectors with smallest ``(md5(vec_id), vec_id)`` (the same fixed-size
+    deterministic sample :func:`ivf_topk` uses — codebook size never grows
+    with n), ORDER-PINNED by sorting the collected struct array on the
+    md5 key so code values are POSITIONS into a deterministic list (ADC
+    needs positional lookup; ``collect_list`` order alone is not
+    deterministic).  Column ``cbl`` is ``array<array<double>>`` of length
+    ``ksub``."""
+    e = embeddings.select(
+        F.md5(F.col(id_col).cast("string").cast("binary")).alias("mk"),
+        F.col(id_col).alias("cvid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cand = e.orderBy("mk", "cvid").limit(ksub)
+    return cand.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mk", "cvid", "cv"))),
+            lambda s: s["cv"],
+        ).alias("cbl")
+    )
+
+
+def _pq_subdist(v, cv, j, ds: int):
+    """Sequential-fold squared L2 distance between subvectors j of ``v``
+    and ``cv`` (both array<double>, 1-based element_at) — the identical
+    fold DuckDB's ``list_sum(list_transform(range(ds), ...))`` performs,
+    so the doubles match bit-for-bit."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(ds - 1)),
+            lambda d: (
+                (F.element_at(v, (j * ds + d + 1).cast("int"))
+                 - F.element_at(cv, (j * ds + d + 1).cast("int")))
+                * (F.element_at(v, (j * ds + d + 1).cast("int"))
+                   - F.element_at(cv, (j * ds + d + 1).cast("int")))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., PAMI'11 — the faiss
+    IVFPQ code layout): the vector splits into ``m`` subvectors; each maps
+    to the POSITION of its nearest codebook entry in that subspace (ties
+    to the smaller position via struct ordering).  Output columns:
+    ``(vec_id, v, scored)`` where ``scored[j] = struct(d2, p)`` — callers
+    project codes (``scored[j].p``) and reconstruction error
+    (sum of ``scored[j].d2``) without re-evaluating the m×ksub distance
+    grid.
+
+    Scale shape: the one-row codebook broadcasts (ksub·dim doubles);
+    encoding is a pure per-row O(m·ksub·dim/m) = O(ksub·dim) expression
+    inside codegen — ZERO shuffle of the corpus, no n×ksub rows ever
+    materialize.  Codes are m small ints (4 bytes here vs 256 bytes of
+    float32) — the compression that makes billion-vector ANN fit RAM."""
+    ds = dim // m
+    cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda p: F.struct(
+                    _pq_subdist(
+                        F.col("v"),
+                        F.element_at(F.col("cbl"), (p + 1).cast("int")),
+                        j,
+                        ds,
+                    ).alias("d2"),
+                    p.cast("int").alias("p"),
+                ),
+            )
+        ),
+    )
+    # cbl is dropped immediately: carrying ksub*dim doubles per row into
+    # any downstream exchange would undo the compression
+    return (
+        e.crossJoin(F.broadcast(cb1))
+        .select("vec_id", "v", scored.alias("scored"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    full-precision, the corpus is its m-byte codes, and the score is
+    ``sum_j ||q_sub_j - codebook[code_j]||^2`` — the faiss IVFPQ search
+    kernel as a Catalyst expression.
+
+    Scale shape: the corpus side carries only ``(vec_id, codes)`` — the
+    compressed representation — and never shuffles except the final
+    per-query top-k window on scalar rows; queries (+ the one-row
+    codebook) broadcast.  The distance lookups are positional
+    ``element_at`` into broadcast literals, all inside codegen."""
+    ds = dim // m
+    codes = pq_assign(embeddings, m, ksub, dim, id_col, vec_col).select(
+        "vec_id",
+        F.transform("scored", lambda s: s["p"]).alias("codes"),
+    )
+    cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
+    queries = (
+        embeddings.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(cb1))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _pq_subdist(
+            F.col("qv"),
+            F.element_at(
+                F.col("cbl"),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+            j,
+            ds,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFPQ pipeline (the faiss IVFPQ index as one Catalyst plan):
+    IVF cells bound the CANDIDATE SET (only ``nprobe`` cells per query are
+    scored), PQ codes bound the CANDIDATE MEMORY (the join moves m-byte
+    codes, not float vectors), ADC computes the distances.
+
+    Both assignments — nearest IVF centroid and per-subspace PQ code —
+    are derived in ONE pass over the corpus against two broadcast one-row
+    codebooks (no join between them, no shuffle).  The candidate
+    equi-join on the cell id then carries ``(cid, vec_id, codes)`` only;
+    queries ride the broadcast with their full-precision vector plus the
+    PQ codebook for the lookup tables.  The single data-sized exchange is
+    the final per-query top-k window over scalar rows — O(q·n/k·nprobe),
+    at code width, not vector width."""
+    ds = dim // m
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    ivf_cent = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("ncv"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cv", "ncv")).alias("cents"))
+    )
+    pq_cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
+
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                dot(F.col("v"), c["cv"])
+                / F.greatest(F.col("nrm") * c["ncv"], F.lit(1e-12))
+            ).alias("sim"),
+            (-c["cid"]).alias("nc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    pq_scored = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda p: F.struct(
+                    _pq_subdist(
+                        F.col("v"),
+                        F.element_at(F.col("cbl"), (p + 1).cast("int")),
+                        j,
+                        ds,
+                    ).alias("d2"),
+                    p.cast("int").alias("p"),
+                ),
+            )
+        ),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(ivf_cent))
+        .crossJoin(F.broadcast(pq_cb1))
+        .select(
+            "vec_id",
+            "v",
+            scored_cells.alias("cellsc"),
+            F.transform(pq_scored, lambda s: s["p"]).alias("codes"),
+        )
+    )
+    # corpus candidate side: codes + cell only — the compressed layout
+    cells = assigned.select(
+        F.array_max("cellsc")["cid"].alias("cid"), "vec_id", "codes"
+    )
+    probe_cids = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cellsc"),
+                lambda s: F.struct(
+                    (-s["sim"]).alias("ns"), s["cid"].alias("cid")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        assigned.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.transform(probe_cids, lambda s: s["cid"])).alias(
+                "cid"
+            ),
+        )
+        .crossJoin(F.broadcast(pq_cb1))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _pq_subdist(
+            F.col("qv"),
+            F.element_at(
+                F.col("cbl"),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+            j,
+            ds,
+        ),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

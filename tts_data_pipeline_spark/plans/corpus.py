@@ -933,3 +933,195 @@ def tx_truncate_max_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+
+_PQ_CODEBOOK_SQL = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+      SELECT md5(CAST(vec_id AS VARCHAR)) AS mk, vec_id AS cvid, v AS cv
+      FROM e ORDER BY mk, cvid LIMIT 16
+    ), cbp AS (
+      SELECT cv, ROW_NUMBER() OVER (ORDER BY mk, cvid) - 1 AS p FROM cand
+    ), g AS (
+      SELECT e.vec_id, e.v, jj.j, cbp.p, cbp.cv
+      FROM e, (SELECT UNNEST(range(8)) AS j) jj, cbp
+    ), d AS (
+      SELECT vec_id, j, p,
+             list_sum(list_transform(range(8), dd ->
+               (v[j*8 + dd + 1] - cv[j*8 + dd + 1])
+               * (v[j*8 + dd + 1] - cv[j*8 + dd + 1]))) AS d2
+      FROM g
+    ), r AS (
+      SELECT vec_id, j, p, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, p) AS rn
+      FROM d
+    )"""
+
+
+@query(
+    "emb_pq_quantize",
+    oracle=f"""
+    WITH {_PQ_CODEBOOK_SQL}
+    SELECT vec_id,
+           array_to_string(list(CAST(p AS VARCHAR) ORDER BY j), ',')
+             AS codes_csv,
+           ROUND(list_sum(list(d2 ORDER BY j)), 6) AS recon_err
+    FROM r WHERE rn = 1
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., PAMI'11 — the faiss
+    IVFPQ code layout): 64-dim vectors split into m=8 subspaces, each
+    subvector mapped to the position of its nearest entry in a
+    16-entry-per-subspace codebook (deterministic md5-sampled, size
+    independent of n), emitting the m 4-bit codes plus the exact
+    reconstruction error.  64x compression (8 code bytes vs 256 float32
+    bytes) — the memory layout that makes billion-vector ANN RAM-resident.
+
+    100 TB shape: the one-row codebook broadcasts; encoding is a pure
+    per-row codegen expression (no shuffle, no n×ksub rows); every
+    distance is the identical sequential double fold in both engines, so
+    codes AND the error hash exactly.  ``sim_pq_adc_topk`` consumes the
+    codes."""
+    from tts_data_pipeline_spark.operators.similarity import pq_assign
+
+    pq = pq_assign(spread(table(spark, sf_dir, "embeddings")))
+    return (
+        pq.select(
+            "vec_id",
+            F.concat_ws(
+                ",",
+                F.transform("scored", lambda s: s["p"].cast("string")),
+            ).alias("codes_csv"),
+            F.round(
+                F.aggregate(
+                    F.transform("scored", lambda s: s["d2"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CODEBOOK_SQL},
+    codes AS (SELECT vec_id, j, p FROM r WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 125 = 0),
+    part AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.j,
+             list_sum(list_transform(range(8), dd ->
+               (q.qv[c.j*8 + dd + 1] - cbp.cv[c.j*8 + dd + 1])
+               * (q.qv[c.j*8 + dd + 1] - cbp.cv[c.j*8 + dd + 1]))) AS d2
+      FROM codes c JOIN cbp ON cbp.p = c.p CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ), adc AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_sum(list(d2 ORDER BY j)), 6) AS adc_dist
+      FROM part GROUP BY query_id, neighbor_id
+    ), rk AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes — the faiss
+    IVFPQ search kernel as a Catalyst plan: queries stay full-precision,
+    the corpus side is its m-byte codes, score =
+    sum_j ||q_sub_j - codebook[code_j]||^2.
+
+    100 TB shape: the corpus never shuffles except the final per-query
+    top-k window over scalar (query, neighbor, dist) rows; the
+    compressed codes are all the big side carries (the codebook column is
+    dropped before any exchange), and queries + the one-row codebook
+    broadcast.  Composes with the IVF cells for the full IVFPQ pipeline:
+    cells bound the candidates, codes bound the memory."""
+    from tts_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    return pq_adc_topk(e, query_pred=F.col("vec_id") % 125 == 0, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_CODEBOOK_SQL},
+    codes AS (SELECT vec_id, j, p FROM r WHERE rn = 1),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 32
+    ), assign_ranked AS (
+      SELECT e.vec_id, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, cent.cv)
+                 / greatest(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cent.cv, cent.cv)),
+                            1e-12) DESC,
+                 cent.cid ASC) AS rn
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, cid FROM assign_ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM assign_ranked
+      WHERE vec_id < 8 AND rn <= 2
+    ), candpairs AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON p.cid = c.cid
+      WHERE c.vec_id <> p.query_id
+    ), part AS (
+      SELECT cp.query_id, cp.neighbor_id, k.j,
+             list_sum(list_transform(range(8), dd ->
+               (q.v[k.j*8 + dd + 1] - cbp.cv[k.j*8 + dd + 1])
+               * (q.v[k.j*8 + dd + 1] - cbp.cv[k.j*8 + dd + 1]))) AS d2
+      FROM candpairs cp
+      JOIN codes k ON k.vec_id = cp.neighbor_id
+      JOIN cbp ON cbp.p = k.p
+      JOIN e q ON q.vec_id = cp.query_id
+    ), adc AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_sum(list(d2 ORDER BY j)), 6) AS adc_dist
+      FROM part GROUP BY query_id, neighbor_id
+    ), rk AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ index as one Catalyst plan (faiss's workhorse
+    billion-vector configuration): IVF cells bound WHICH candidates are
+    scored (nprobe=2 of 32 cells per query), PQ codes bound WHAT the
+    candidate join carries (8 code bytes, not 256 vector bytes), ADC
+    computes the distances against the broadcast codebook.  Both corpus
+    assignments happen in one scan against two broadcast one-row
+    codebooks; the only data-sized exchange is the final per-query top-k
+    over scalar rows.  Oracle replays cells, probes, codes, and the ADC
+    sums as chained CTEs — the whole index is value-checked."""
+    from tts_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    return ivfpq_topk(
+        e, query_pred=F.col("vec_id") < 8, k=5, n_centroids=32, nprobe=2
+    ).orderBy("query_id", "rank")

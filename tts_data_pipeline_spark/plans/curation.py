@@ -349,3 +349,71 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+# --- URL/domain blocklist filtering -----------------------------------------
+
+_DOMAINS = (
+    "ok-news.example.com",
+    "blog.example.org",
+    "spam.badsite.example",
+    "forum.example.net",
+    "ads.tracker.example",
+    "wiki.example.org",
+    "shop.example.com",
+)
+_BLOCKLIST = ("badsite.example", "tracker.example")
+
+
+@query(
+    "ta_domain_blocklist",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             (['{"','".join(_DOMAINS)}'])[CAST(doc_id % 7 AS INTEGER) + 1]
+               AS domain
+      FROM documents
+    )
+    SELECT doc_id, domain,
+           'https://' || domain || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST((domain LIKE '%.badsite.example' OR domain = 'badsite.example'
+                 OR domain LIKE '%.tracker.example'
+                 OR domain = 'tracker.example') AS BIGINT) AS blocked
+    FROM u ORDER BY doc_id
+    """,
+)
+def ta_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist filtering — the C4/RefinedWeb curation gate
+    (block bad domains INCLUDING their subdomains): synthesize a stable
+    URL per document, extract the registrable domain, and flag documents
+    whose domain matches the blocklist by exact name or dot-suffix.
+
+    100 TB shape: the blocklist is list-sized and becomes a disjunction of
+    suffix predicates evaluated map-side (a real 10^6-entry blocklist
+    would broadcast-join on the reversed-domain prefix instead — same
+    zero-shuffle property on the corpus side); the whole query is one
+    projection over the scan."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    domain = F.element_at(
+        F.array(*[F.lit(x) for x in _DOMAINS]),
+        (F.col("doc_id") % 7).cast("int") + 1,
+    )
+    base = d.select("doc_id", domain.alias("domain"))
+    blocked = F.lit(False)
+    for b in _BLOCKLIST:
+        blocked = (
+            blocked
+            | (F.col("domain") == b)
+            | F.col("domain").endswith("." + b)
+        )
+    return base.select(
+        "doc_id",
+        "domain",
+        F.concat(
+            F.lit("https://"),
+            F.col("domain"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        blocked.cast("bigint").alias("blocked"),
+    ).orderBy("doc_id")
