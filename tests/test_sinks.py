@@ -334,3 +334,50 @@ def test_merge_tombstone_journal_handles_mobile_keys(spark, tmp_path):
         journal=False,
     )
     assert len(_glob.glob(os.path.join(target, "_tombstones", "*"))) == n_files
+
+
+def test_compact_partitioned_merge_folds_journal(spark, tmp_path):
+    """Compaction rewrites only partitions holding dead rows, removes
+    fully-dead partition directories, clears the sidecar, and afterwards a
+    PLAIN read (no journal application) equals the live view."""
+    target = str(tmp_path / "merge_compact")
+    spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n1"), (3, "c", "n2"), (4, "d", "n3")],
+        "book_id long, name string, narrator_id string",
+    ).write.partitionBy("narrator_id").parquet(target)
+
+    # key 2 moves n1 -> n9; key 4 moves n3 -> n9 (n3 becomes fully dead)
+    sinks.merge_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "n9"), (4, "d2", "n9")],
+            "book_id long, name string, narrator_id string",
+        ),
+        target,
+        key_col="book_id",
+        partition_col="narrator_id",
+    )
+    assert spark.read.parquet(target).count() == 6  # 2 stale rows on disk
+
+    sinks.compact_partitioned_merge(
+        spark, target, key_col="book_id", partition_col="narrator_id"
+    )
+    # sidecar gone, fully-dead partition dir gone
+    assert not os.path.isdir(os.path.join(target, "_tombstones"))
+    assert not os.path.isdir(os.path.join(target, "narrator_id=n3"))
+    # plain read now equals the live view — no journal needed
+    rows = {
+        r.book_id: (r.name, r.narrator_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {
+        1: ("a", "n1"),
+        2: ("b2", "n9"),
+        3: ("c", "n2"),
+        4: ("d2", "n9"),
+    }
+    # idempotent when no journal exists
+    sinks.compact_partitioned_merge(
+        spark, target, key_col="book_id", partition_col="narrator_id"
+    )
+    assert spark.read.parquet(target).count() == 4

@@ -1,4 +1,5 @@
 from tts_data_pipeline_spark.sinks.writers import (  # noqa: F401
+    compact_partitioned_merge,
     merge_into_partitioned,
     read_merged_partitioned,
     write_bucketed_table,

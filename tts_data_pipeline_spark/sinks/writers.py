@@ -229,6 +229,89 @@ def read_merged_partitioned(
     )
 
 
+def compact_partitioned_merge(
+    spark, target_path: str, key_col: str, partition_col: str
+) -> None:
+    """Fold the tombstone journal back into the table: rewrite every
+    partition that currently holds a DEAD row (a journaled key whose live
+    partition is elsewhere) from the journal-applied view, then clear the
+    sidecar.  Partitions with no dead rows are never read or rewritten —
+    the same pruning discipline as the merge itself — so compaction cost
+    is bounded by the moved keys' partitions, not the table.
+
+    Run periodically (or when the journal's broadcast size approaches the
+    driver's broadcast budget); between compactions readers pay one
+    broadcast join, after it they pay nothing."""
+    import shutil as _shutil
+
+    jdir = _tombstone_dir(target_path)
+    try:
+        j = spark.read.parquet(jdir)
+    except Exception:  # no journal: nothing to fold
+        return
+    latest = (
+        j.groupBy(key_col)
+        .agg(F.max(F.struct("seq", "live_partition")).alias("m"))
+        .select(F.col(key_col), F.col("m.live_partition").alias("_live"))
+    )
+    t = spark.read.parquet(target_path)
+    # partitions containing at least one dead row (bounded driver collect:
+    # distinct partition VALUES, not rows)
+    dead_parts = [
+        r[0]
+        for r in (
+            t.join(F.broadcast(latest), key_col)
+            .filter(F.col(partition_col).cast("string") != F.col("_live"))
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+    ]
+    if dead_parts:
+        live = (
+            read_merged_partitioned(spark, target_path, key_col, partition_col)
+            .filter(F.col(partition_col).isin(dead_parts))
+        )
+        import tempfile as _tempfile
+
+        # computed BEFORE the overwrite: `live`'s plan is bound to the
+        # pre-overwrite file listing and must not be re-run afterwards
+        live_parts = {
+            str(r[0])
+            for r in live.select(partition_col).distinct().collect()
+        }
+        staging = _tempfile.mkdtemp(prefix="compact_staging_")
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            live.write.mode("overwrite").parquet(staging)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _shutil.rmtree(staging, ignore_errors=True)
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # frame; a partition whose every row was dead writes nothing and
+        # would keep its stale files — drop those directories explicitly
+        # (on a cluster: the FileSystem API instead of local rmtree)
+        import os as _os
+
+        for p in dead_parts:
+            if str(p) not in live_parts:
+                _shutil.rmtree(
+                    _os.path.join(
+                        target_path, f"{partition_col}={p}"
+                    ),
+                    ignore_errors=True,
+                )
+    _shutil.rmtree(jdir, ignore_errors=True)
+
+
 def write_hf_dataset(
     df: DataFrame,
     path: str,
