@@ -232,3 +232,15 @@ def test_pq_adc_exchange_carries_codes_not_vectors(spark):
         assert "qv#" not in ln, ln
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_closure_is_equi_join(spark):
+    # the wedge-closure check must hash-join on the rank-ordered far pair;
+    # an OR-of-both-directions condition planned a nested loop (measured
+    # 3x slower at sf0.01 before the wedge pair was rank-ordered)
+    plan = plan_of(spark, "graph_triangle_copurchase")
+    assert "LeftSemi" in plan, plan
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert not any("BroadcastNestedLoopJoin" in ln for ln in semi_lines), (
+        semi_lines
+    )

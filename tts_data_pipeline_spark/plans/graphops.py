@@ -123,3 +123,124 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.round("rank", 6).alias("pagerank"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "graph_triangle_copurchase",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 7 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+      GROUP BY x
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), wedges AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+    ), tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN oriented e3 ON e3.s = w.b AND e3.t = w.c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts sharing an order are connected), via DEGREE ORIENTATION (Suri
+    & Vassilvitskii, WWW'11): every edge is directed from its
+    lower-(degree, id) endpoint to the higher, so each triangle is
+    enumerated from exactly one apex and the wedge join's per-vertex work
+    is bounded by out-degree² — out-degrees are degree-MINIMAL under this
+    orientation, which is what keeps the wedge count near m^1.5 instead
+    of sum(deg²) on power-law graphs (the celebrity vertex never fans
+    out).
+
+    100 TB shape: three keyed equi-joins (edge build on orderkey, wedge
+    join on apex, closure semi-check on the wedge's far pair) — all
+    shuffle-partitioned by vertex keys, no crossJoin, integer counts so
+    the oracle hash is exact."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "dt"
+            ),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # wedge pair ordered by the far endpoints' (degree, id) RANK — the same
+    # total order the orientation uses — so the closing edge, if it exists,
+    # is oriented exactly b->c and the closure check below stays a pure
+    # equi-join (an OR of both directions would plan a nested loop)
+    rank_lt = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & rank_lt
+    ).select(
+        F.col("e1.s").alias("a"),
+        F.col("e1.t").alias("b"),
+        F.col("e2.t").alias("c"),
+    )
+    closing = oriented.select(
+        F.col("s").alias("b"), F.col("t").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    return (
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(
+            wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+        )
+        .crossJoin(
+            tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        )
+    )
