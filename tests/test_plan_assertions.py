@@ -244,3 +244,36 @@ def test_triangle_closure_is_equi_join(spark):
     assert not any("BroadcastNestedLoopJoin" in ln for ln in semi_lines), (
         semi_lines
     )
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime-filter awareness: with broadcast off (both join sides
+    "big"), a selective build side must inject a bloom_filter_agg
+    semi-filter onto the probe side's scan — at 100 TB this is what cuts
+    the shuffled probe volume before the exchange.  Thresholds are
+    lowered to demo scale (the real ones are sized for TB scans); the
+    capability and the plan shape are what's pinned."""
+    from pyspark.sql import functions as F
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
