@@ -310,3 +310,37 @@ def test_stream_merge_dedup_keeps_one_row_per_key(spark, tmp_path):
     assert again.count() == n_keys
     assert again.select("user_id").distinct().count() == n_keys
     assert not os.path.exists(target + "__stage")
+
+
+def test_download_chunked_contract(spark):
+    """K5: chunked reassembly is exact, the retry schedule matches the
+    deterministic flaky-chunk predicate, and a permanently failing chunk
+    raises instead of silently truncating."""
+    import pytest as _pytest
+
+    from tts_data_pipeline_spark.sources import http as H
+
+    urls = spark.createDataFrame(
+        [(i, f"https://files.example.com/t/{i}.bin") for i in range(6)],
+        "id long, url string",
+    )
+    out = H.download_chunked(urls, chunk_size=100).collect()
+    assert len(out) == 6
+    for r in out:
+        payload = H.fake_payload_bytes(r.url)
+        assert bytes(r.content) == payload
+        assert r.length_ok
+        n_chunks = (len(payload) + 99) // 100
+        assert r.n_chunks == n_chunks
+        expected_retries = sum(
+            1 for s in range(0, len(payload), 100) if H.chunk_is_flaky(r.url, s)
+        )
+        assert r.n_retries == expected_retries
+
+    def always_fail(url, start, end, attempt):
+        raise H.TransientHTTPError("down")
+
+    with _pytest.raises(Exception):
+        H.download_chunked(
+            urls, chunk_size=100, fetch_range_fn=always_fail, max_retries=1
+        ).collect()

@@ -980,3 +980,76 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "component")
         .orderBy("id")
     )
+
+
+@query(
+    "k5_chunked_download",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'https://files.example.com/dl/' || CAST(p_partkey AS VARCHAR)
+               || '.bin' AS url
+      FROM part WHERE p_partkey % 9 = 0
+    ), m AS (
+      SELECT p_partkey, url,
+             256 + ('0x' || substr(md5(url), 1, 3))::BIGINT % 1500
+               AS n_bytes,
+             'PAYLOAD:' || url || '|' AS base
+      FROM u
+    ), c AS (
+      SELECT p_partkey, url, n_bytes,
+             substr(repeat(base,
+                           CAST(n_bytes / length(base) AS INTEGER) + 1),
+                    1, CAST(n_bytes AS INTEGER)) AS content
+      FROM m
+    ), r AS (
+      SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(m.url || '#' || CAST(i * 256 AS VARCHAR)),
+                           1, 1)) - 1 < 4
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_retries
+      FROM m, UNNEST(range(CAST(ceil(n_bytes / 256.0) AS BIGINT))) AS t(i)
+      GROUP BY m.p_partkey
+    )
+    SELECT c.p_partkey AS p_partkey, CAST(c.n_bytes AS BIGINT) AS n_bytes,
+           r.n_chunks, r.n_retries,
+           md5(c.content) AS checksum,
+           CAST(1 AS BIGINT) AS length_ok
+    FROM c JOIN r ON c.p_partkey = r.p_partkey
+    ORDER BY c.p_partkey
+    """,
+)
+def k5_chunked_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — streamed chunked download end-to-end (reference
+    ``crawler/download.py:62-117``: 8 KB ranged chunks, exponential
+    backoff, 3 retries): a URL table fans out across partitions, each URL
+    downloads chunk-by-chunk through the retry contract (the fake layer
+    deterministically fails ~25% of chunks' FIRST attempt, so the backoff
+    path actually executes), and the reassembled payload is length- and
+    checksum-verified.  Content, chunk grid, and retry schedule are all
+    pure md5 functions of the URL, so DuckDB replays the ENTIRE download
+    — bytes, chunk counts, retry counts — and a corruption anywhere in
+    the chunk loop breaks the hash."""
+    from tts_data_pipeline_spark.sources.http import download_chunked
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 9 == 0)
+    urls = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://files.example.com/dl/"),
+            F.col("p_partkey").cast("string"),
+            F.lit(".bin"),
+        ).alias("url"),
+    )
+    dl = download_chunked(urls, chunk_size=256)
+    return (
+        dl.select(
+            "p_partkey",
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_retries").cast("bigint").alias("n_retries"),
+            F.md5("content").alias("checksum"),
+            F.col("length_ok").cast("bigint").alias("length_ok"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -137,3 +137,128 @@ def with_retries(
                 sleep(base_delay * (2**attempt))
 
     return wrapped
+
+
+# --- K5: streamed chunked download ------------------------------------------
+
+
+class TransientHTTPError(Exception):
+    """Retryable fetch failure (the fake layer's stand-in for timeouts /
+    5xx on a range request)."""
+
+
+def fake_payload_length(url: str) -> int:
+    """Deterministic fake Content-Length: 256 + (first 3 md5 hex digits
+    mod 1500) — SQL-replicable as
+    ``256 + ('0x' || substr(md5(url), 1, 3))::BIGINT % 1500``."""
+    return 256 + int(hashlib.md5(url.encode()).hexdigest()[:3], 16) % 1500
+
+
+def fake_payload_bytes(url: str) -> bytes:
+    """Deterministic fake file content: ``'PAYLOAD:' + url + '|'`` tiled
+    to the fake Content-Length.  ASCII throughout, so DuckDB replays it as
+    ``substr(repeat(base, ...), 1, L)`` and checksums agree."""
+    base = f"PAYLOAD:{url}|".encode()
+    n = fake_payload_length(url)
+    return (base * (n // len(base) + 1))[:n]
+
+
+def chunk_is_flaky(url: str, start: int) -> bool:
+    """Deterministic transient failure schedule, keyed by the chunk's
+    START byte: the first attempt fails iff the first md5 hex digit of
+    ``url#start`` is 0-3 (~25%), and the retry succeeds — so retry counts
+    are exact functions of the URL and chunk grid, replayable in SQL."""
+    return _HEX.index(
+        hashlib.md5(f"{url}#{start}".encode()).hexdigest()[0]
+    ) < 4
+
+
+def fake_fetch_range(url: str, start: int, end: int, attempt: int) -> bytes:
+    """Fake ranged GET (``Range: bytes=start-end``-style): serves the
+    deterministic payload slice; the first attempt on a flaky chunk
+    raises :class:`TransientHTTPError`."""
+    if attempt == 0 and chunk_is_flaky(url, start):
+        raise TransientHTTPError(f"transient failure: {url} [{start}:{end}]")
+    return fake_payload_bytes(url)[start:end]
+
+
+def download_chunked(
+    df: DataFrame,
+    url_col: str = "url",
+    chunk_size: int = 8192,
+    max_retries: int = 3,
+    fetch_range_fn: Callable[[str, int, int, int], bytes] | None = None,
+    length_fn: Callable[[str], int] | None = None,
+) -> DataFrame:
+    """K5 — streamed chunked file download (reference
+    ``crawler/download.py:62-117``: 8 KB chunks, exponential backoff,
+    3 retries) as a distributed Arrow-batched source.
+
+    Spark-first shape: the URL table is a DataFrame; each partition
+    downloads its URLs independently (the reference's
+    ``Semaphore(3 books x 8 files)`` becomes partition-level parallelism
+    — ``repartition(n)`` IS the concurrency limit); each chunk fetch is
+    wrapped in the C20 exponential-backoff contract with zero sleep in
+    tests via the injectable clock.  Appends ``(content binary, n_chunks
+    int, n_retries int, length_ok boolean)``; a length mismatch after
+    retries surfaces as ``length_ok = false``, never a silent truncation.
+
+    The default fetch is the deterministic fake layer (no network in this
+    sandbox) — content, chunk count, AND retry schedule are pure
+    functions of the URL, so the whole download is value-checkable in
+    SQL.  A real deployment passes a pooled ranged-GET callable."""
+    fetch = fetch_range_fn or fake_fetch_range
+    length_of = length_fn or fake_payload_length
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("n_retries", T.IntegerType()),
+            T.StructField("length_ok", T.BooleanType()),
+        ]
+    )
+
+    def _one(url: str):
+        total = length_of(url)
+        buf = bytearray()
+        n_chunks = 0
+        n_retries = 0
+        for start in range(0, total, chunk_size):
+            end = min(start + chunk_size, total)
+            attempt = {"n": 0}
+
+            def _get():
+                a = attempt["n"]
+                attempt["n"] += 1
+                return fetch(url, start, end, a)
+
+            chunk = with_retries(
+                _get,
+                max_retries=max_retries,
+                sleep=lambda _s: None,
+                retry_on=(TransientHTTPError,),
+            )()
+            n_retries += attempt["n"] - 1
+            buf += chunk
+            n_chunks += 1
+        return bytes(buf), n_chunks, n_retries, len(buf) == total
+
+    def _dl(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [
+                _one(u) if isinstance(u, str) else (None, None, None, None)
+                for u in pdf[url_col]
+            ]
+            yield pdf.assign(
+                content=[r[0] for r in results],
+                n_chunks=pd.array(
+                    [r[1] for r in results], dtype="Int32"
+                ),
+                n_retries=pd.array(
+                    [r[2] for r in results], dtype="Int32"
+                ),
+                length_ok=[r[3] for r in results],
+            )
+
+    return df.mapInPandas(_dl, out_schema)
