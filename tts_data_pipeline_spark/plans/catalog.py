@@ -106,6 +106,13 @@ _PRIORITY = (
     "emb_int8_quantize",
     "sim_int8_topk",
     "ta_bpe_learn_merges",
+    "emb_pq_quantize",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "graph_triangle_copurchase",
+    "k5_chunked_download",
+    "s1_k1_books_csv_roundtrip",
+    "k7_partitioned_layout_roundtrip",
 )
 
 

@@ -429,3 +429,47 @@ def k7_partitioned_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- schema evolution: mergeSchema round trip --------------------------------
+
+
+@query(
+    "u8_schema_evolution_merge",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS region_v2,
+           CAST(n_nationkey % 2 AS BIGINT) AS from_v2
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def u8_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution the Spark way (SURVEY.md §1.3: ``mergeSchema``
+    instead of the reference's ad-hoc None-column injection,
+    ``crawler/metadata.py:227-239``): a v1 batch written without
+    ``region_v2``, a v2 batch written with it, both read back through one
+    ``mergeSchema`` scan — v1 rows surface NULL for the added column, v2
+    rows keep their values, and nothing is rewritten.  The oracle
+    recomputes the expected merged view from the source table."""
+    n = table(spark, sf_dir, "nation")
+    v1 = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name"
+    )
+    v2 = n.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").alias("region_v2"),
+    )
+    path = _tmpdir("u8")
+    v1.write.mode("overwrite").parquet(path + "/batch=1")
+    v2.write.mode("overwrite").parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/batch=1", path + "/batch=2"
+    )
+    return merged.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("region_v2").cast("bigint").alias("region_v2"),
+        (F.col("n_nationkey") % 2).cast("bigint").alias("from_v2"),
+    ).orderBy("n_nationkey")
