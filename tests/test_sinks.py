@@ -381,3 +381,31 @@ def test_compact_partitioned_merge_folds_journal(spark, tmp_path):
         spark, target, key_col="book_id", partition_col="narrator_id"
     )
     assert spark.read.parquet(target).count() == 4
+
+
+def test_merge_journal_survives_self_referential_updates(spark, tmp_path):
+    """The normal upsert idiom derives `updates` by READING the target
+    table; the journal batch must be materialized BEFORE the dynamic
+    overwrite deletes the files that plan references (regression: the
+    post-overwrite journal append re-executed the updates plan against
+    deleted files and crashed, leaving data written but no journal)."""
+    target = str(tmp_path / "merge_selfref")
+    spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n1")],
+        "book_id long, name string, narrator_id string",
+    ).write.partitionBy("narrator_id").parquet(target)
+
+    updates = (
+        spark.read.parquet(target)
+        .filter("book_id = 2")
+        .withColumn("name", F.lit("fixed"))
+        .withColumn("narrator_id", F.lit("n9"))
+    )
+    sinks.merge_into_partitioned(
+        spark, updates, target, key_col="book_id", partition_col="narrator_id"
+    )
+    live = sinks.read_merged_partitioned(
+        spark, target, key_col="book_id", partition_col="narrator_id"
+    )
+    rows = {r.book_id: (r.name, r.narrator_id) for r in live.collect()}
+    assert rows == {1: ("a", "n1"), 2: ("fixed", "n9")}

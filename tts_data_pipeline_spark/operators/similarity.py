@@ -336,6 +336,7 @@ def pq_assign(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., PAMI'11 — the faiss
     IVFPQ code layout): the vector splits into ``m`` subvectors; each maps
@@ -352,7 +353,11 @@ def pq_assign(
     materialize.  Codes are m small ints (4 bytes here vs 256 bytes of
     float32) — the compression that makes billion-vector ANN fit RAM."""
     ds = dim // m
-    cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
+    cb1 = (
+        codebook
+        if codebook is not None
+        else pq_codebook(embeddings, ksub, id_col, vec_col)
+    )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -403,11 +408,14 @@ def pq_adc_topk(
     codebook) broadcast.  The distance lookups are positional
     ``element_at`` into broadcast literals, all inside codegen."""
     ds = dim // m
-    codes = pq_assign(embeddings, m, ksub, dim, id_col, vec_col).select(
+    # one codebook job shared by the encode side and the query side
+    cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
+    codes = pq_assign(
+        embeddings, m, ksub, dim, id_col, vec_col, codebook=cb1
+    ).select(
         "vec_id",
         F.transform("scored", lambda s: s["p"]).alias("codes"),
     )
-    cb1 = pq_codebook(embeddings, ksub, id_col, vec_col)
     queries = (
         embeddings.filter(query_pred)
         .select(
@@ -465,8 +473,13 @@ def ivfpq_topk(
     codes, not float vectors), ADC computes the distances.
 
     Both assignments — nearest IVF centroid and per-subspace PQ code —
-    are derived in ONE pass over the corpus against two broadcast one-row
-    codebooks (no join between them, no shuffle).  The candidate
+    are derived against two broadcast one-row codebooks in the same
+    projection (no join between them, no shuffle).  The ``assigned``
+    relation is referenced by both the cells branch (full corpus, one
+    pass) and the probes branch — the query predicate pushes through the
+    projection to the scan, so the probe branch re-evaluates the
+    assignment expressions for the handful of QUERY rows only, which is
+    cheaper than caching the corpus-wide assignment to serve it.  The candidate
     equi-join on the cell id then carries ``(cid, vec_id, codes)`` only;
     queries ride the broadcast with their full-precision vector plus the
     PQ codebook for the lookup tables.  The single data-sized exchange is

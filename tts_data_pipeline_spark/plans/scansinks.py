@@ -11,10 +11,14 @@ either direction of the round trip (layout, quoting, schema imposition,
 nested-literal parsing, partition discovery, codec symmetry) breaks the
 value hash.
 
-Write targets are per-call temp dirs removed at interpreter exit (the
-returned frames read from them lazily — same explicit-lifecycle pattern as
-``operators/components.py``).  The writes themselves are executor-side
-(one file per partition); nothing here collects data to the driver.
+Write targets are per-QUERY temp dirs: re-invoking a query deletes and
+rewrites its own dir (so repeated bench/driver runs in a long session
+hold at most one dataset copy per query — the r3 kmeans-cache lesson
+applied to disk), and whatever remains is removed at interpreter exit.
+The previous call's returned frame must be materialized before the next
+call, which is how the driver, bench, and tests all run.  The writes
+themselves are executor-side (one file per partition); nothing here
+collects data to the driver.
 """
 
 from __future__ import annotations
@@ -30,9 +34,21 @@ from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 
 
+_DIRS: dict[str, str] = {}
+
+
 def _tmpdir(prefix: str) -> str:
+    prev = _DIRS.get(prefix)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     d = tempfile.mkdtemp(prefix=f"scansink_{prefix}_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    if prev is None:
+        atexit.register(
+            lambda p=prefix: shutil.rmtree(
+                _DIRS.get(p, ""), ignore_errors=True
+            )
+        )
+    _DIRS[prefix] = d
     return d
 
 
@@ -467,9 +483,15 @@ def u8_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.option("mergeSchema", "true").parquet(
         path + "/batch=1", path + "/batch=2"
     )
+    # provenance from the FILES, not recomputed from the key (which would
+    # be tautologically equal to the oracle and verify nothing): a row is
+    # v2 iff it physically came from the batch=2 directory
     return merged.select(
         F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
         "n_name",
         F.col("region_v2").cast("bigint").alias("region_v2"),
-        (F.col("n_nationkey") % 2).cast("bigint").alias("from_v2"),
+        F.input_file_name()
+        .contains("batch=2")
+        .cast("bigint")
+        .alias("from_v2"),
     ).orderBy("n_nationkey")

@@ -15,6 +15,7 @@ ingestion job, not a relational sink, and is intentionally out of scope.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -167,34 +168,52 @@ def merge_into_partitioned(
     # table; on a cluster the tempdir would be a scratch path on the same
     # filesystem as the table.
     staging = tempfile.mkdtemp(prefix="merge_staging_")
+    jstaging = None
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         merged.write.mode("overwrite").parquet(staging)
+        if journal:
+            # The journal batch derives from `updates`, whose plan may READ
+            # the target table (self-referential merges are the normal
+            # upsert idiom) — so it must be MATERIALIZED to staging BEFORE
+            # the dynamic overwrite deletes the files that plan references.
+            # Appending re-reads the staged snapshot, never `updates`.
+            jdir = _tombstone_dir(target_path)
+            try:
+                seq = (
+                    spark.read.parquet(jdir).agg(F.max("seq")).head()[0] or 0
+                )
+            except AnalysisException:  # first batch: no sidecar yet.  Any
+                # OTHER failure (corrupt footer, transient IO) must raise:
+                # silently restarting at seq 1 would flip latest-wins.
+                seq = 0
+            jstaging = tempfile.mkdtemp(prefix="merge_journal_staging_")
+            (
+                updates.select(
+                    F.col(key_col),
+                    F.col(partition_col)
+                    .cast("string")
+                    .alias("live_partition"),
+                )
+                .distinct()
+                .withColumn("seq", F.lit(seq + 1).cast("bigint"))
+                .write.mode("overwrite")
+                .parquet(jstaging)
+            )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.read.parquet(staging).write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(target_path)
+        if journal:
+            # data committed first, journal second: a failure between the
+            # two leaves a stale-but-visible row (the pre-journal
+            # semantics), never a key that vanished
+            spark.read.parquet(jstaging).write.mode("append").parquet(jdir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(staging, ignore_errors=True)
-    if journal:
-        jdir = _tombstone_dir(target_path)
-        try:
-            seq = (
-                spark.read.parquet(jdir).agg(F.max("seq")).head()[0] or 0
-            )
-        except Exception:  # first journal batch: sidecar doesn't exist yet
-            seq = 0
-        (
-            updates.select(
-                F.col(key_col),
-                F.col(partition_col).cast("string").alias("live_partition"),
-            )
-            .distinct()
-            .withColumn("seq", F.lit(seq + 1).cast("bigint"))
-            .write.mode("append")
-            .parquet(jdir)
-        )
+        if jstaging is not None:
+            shutil.rmtree(jstaging, ignore_errors=True)
 
 
 def _tombstone_dir(target_path: str) -> str:
@@ -212,7 +231,9 @@ def read_merged_partitioned(
     t = spark.read.parquet(target_path)
     try:
         j = spark.read.parquet(_tombstone_dir(target_path))
-    except Exception:  # no journal yet: plain read
+    except AnalysisException:  # no journal yet: plain read.  Other read
+        # failures (corrupt footer, transient IO) must raise — falling back
+        # to a plain read would serve dead rows as live.
         return t
     latest = (
         j.groupBy(key_col)
@@ -247,7 +268,7 @@ def compact_partitioned_merge(
     jdir = _tombstone_dir(target_path)
     try:
         j = spark.read.parquet(jdir)
-    except Exception:  # no journal: nothing to fold
+    except AnalysisException:  # no journal: nothing to fold
         return
     latest = (
         j.groupBy(key_col)
@@ -297,17 +318,22 @@ def compact_partitioned_merge(
             _shutil.rmtree(staging, ignore_errors=True)
         # dynamic overwrite only replaces partitions PRESENT in the written
         # frame; a partition whose every row was dead writes nothing and
-        # would keep its stale files — drop those directories explicitly
-        # (on a cluster: the FileSystem API instead of local rmtree)
+        # would keep its stale files — drop those directories explicitly.
+        # Spark Hive-escapes special characters in partition directory
+        # names (%2F for '/', etc.), so match by DECODING the listed dirs
+        # rather than re-encoding the value (on a cluster: the FileSystem
+        # API instead of local listdir/rmtree).
         import os as _os
+        from urllib.parse import unquote as _unquote
 
-        for p in dead_parts:
-            if str(p) not in live_parts:
+        fully_dead = {str(p) for p in dead_parts} - live_parts
+        prefix = f"{partition_col}="
+        for entry in _os.listdir(target_path):
+            if not entry.startswith(prefix):
+                continue
+            if _unquote(entry[len(prefix):]) in fully_dead:
                 _shutil.rmtree(
-                    _os.path.join(
-                        target_path, f"{partition_col}={p}"
-                    ),
-                    ignore_errors=True,
+                    _os.path.join(target_path, entry), ignore_errors=True
                 )
     _shutil.rmtree(jdir, ignore_errors=True)
 
