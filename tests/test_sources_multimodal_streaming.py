@@ -344,3 +344,52 @@ def test_download_chunked_contract(spark):
         H.download_chunked(
             urls, chunk_size=100, fetch_range_fn=always_fail, max_retries=1
         ).collect()
+
+
+def test_python_datasource_pushdown_prunes_partitions(spark):
+    """S12: the pushFilters contract — book_id range predicates narrow the
+    reader's bounds so pruned partitions are never planned; unsupported
+    filters are returned by reference for Spark to apply."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from tts_data_pipeline_spark.sources import pyds
+
+    r = pyds.BooksReader({"n_books": "1000", "rows_per_partition": "100"})
+    assert len(r.partitions()) == 10
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("book_id",), 250),
+                LessThan(("book_id",), 450),
+                EqualTo(("lang",), "vi"),
+            ]
+        )
+    )
+    # the lang equality cannot be pushed; the range bounds were consumed
+    assert [type(f).__name__ for f in unsupported] == ["EqualTo"]
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [(250, 300), (300, 400), (400, 450)]
+
+    # end-to-end: a fresh relation per query (reader state is per-relation)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+    df = spark.read.format("books_catalog").option("n_books", "300").load()
+    assert df.filter("book_id >= 290").count() == 10
+    df2 = spark.read.format("books_catalog").option("n_books", "300").load()
+    assert df2.count() == 300
+    row = (
+        spark.read.format("books_catalog")
+        .option("n_books", "300")
+        .load()
+        .filter("book_id = 7")
+        .collect()
+    )
+    import hashlib
+
+    h = hashlib.md5(b"7").hexdigest()
+    assert row[0].n_pages == 50 + int(h[:2], 16) % 400
+    assert row[0].narrator == "narrator-0"

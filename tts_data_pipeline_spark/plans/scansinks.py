@@ -495,3 +495,58 @@ def u8_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("from_v2"),
     ).orderBy("n_nationkey")
+
+
+# --- S12: Spark 4 Python DataSource with native filter pushdown --------------
+
+
+@query(
+    "s12_python_datasource_scan",
+    oracle="""
+    WITH b AS (
+      SELECT i AS book_id, md5(CAST(i AS VARCHAR)) AS h
+      FROM (SELECT UNNEST(range(100, 600)) AS i)
+    ), rows_ AS (
+      SELECT book_id,
+             'narrator-' || CAST(book_id % 7 AS VARCHAR) AS narrator,
+             CAST(50 + ('0x' || substr(h, 1, 2))::BIGINT % 400 AS BIGINT)
+               AS n_pages,
+             CASE WHEN strpos('0123456789abcdef', substr(h, 1, 1)) - 1 < 8
+                  THEN 'vi' ELSE 'en' END AS lang
+      FROM b
+    )
+    SELECT lang, narrator,
+           CAST(COUNT(*) AS BIGINT) AS n_books,
+           CAST(SUM(n_pages) AS BIGINT) AS total_pages
+    FROM rows_ GROUP BY lang, narrator ORDER BY lang, narrator
+    """,
+)
+def s12_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — the book catalog served through a Spark 4 PYTHON DATA SOURCE
+    (``pyspark.sql.datasource``): the planner asks the source for
+    partitions, executors read ranges independently, and the ``book_id``
+    range predicate is pushed into the source via the 4.1 ``pushFilters``
+    contract, where it prunes whole partitions at PLANNING time (the
+    Python-source analogue of parquet partition pruning — pinned by the
+    unit tests counting ``partitions()``).  Content is a deterministic
+    md5 function of the id, so the aggregate over the pushed-down scan is
+    value-checked end to end."""
+    from tts_data_pipeline_spark.sources import pyds
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+    df = (
+        spark.read.format("books_catalog")
+        .option("n_books", "800")
+        .option("rows_per_partition", "100")
+        .load()
+    )
+    sel = df.filter((F.col("book_id") >= 100) & (F.col("book_id") < 600))
+    return (
+        sel.groupBy("lang", "narrator")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_books"),
+            F.sum("n_pages").cast("bigint").alias("total_pages"),
+        )
+        .orderBy("lang", "narrator")
+    )
