@@ -409,3 +409,52 @@ def test_merge_journal_survives_self_referential_updates(spark, tmp_path):
     )
     rows = {r.book_id: (r.name, r.narrator_id) for r in live.collect()}
     assert rows == {1: ("a", "n1"), 2: ("fixed", "n9")}
+
+
+def test_jsonl_commit_writer_two_phase(spark, tmp_path):
+    """Python DataSource writer: task outputs stage under _staging and
+    become visible only at job commit; a failed job aborts with NO
+    partial output visible."""
+    import json
+
+    from tts_data_pipeline_spark.sources import pyds
+
+    pyds.register_all(spark)
+    target = str(tmp_path / "jsonl_ok")
+    os.makedirs(target)
+    df = (
+        spark.read.format("books_catalog")
+        .option("n_books", "100")
+        .load()
+        .repartition(4)
+    )
+    df.write.format("jsonl_commit").option("path", target).mode(
+        "append"
+    ).save()
+    files = sorted(glob.glob(os.path.join(target, "part-*.jsonl")))
+    rows = [json.loads(ln) for f in files for ln in open(f)]
+    assert len(files) == 4
+    assert sorted(r["book_id"] for r in rows) == list(range(100))
+    assert not os.path.exists(os.path.join(target, "_staging"))
+
+    # abort path: a task that fails mid-iteration must leave nothing
+    # visible (the tmp files never rename into place)
+    target2 = str(tmp_path / "jsonl_fail")
+    os.makedirs(target2)
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import LongType
+
+    @F2.udf(LongType())
+    def boom(i):
+        if i == 77:
+            raise RuntimeError("mid-write failure")
+        return i
+
+    bad = df.withColumn("book_id", boom("book_id"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("jsonl_commit").option("path", target2).mode(
+            "append"
+        ).save()
+    assert glob.glob(os.path.join(target2, "part-*.jsonl")) == []

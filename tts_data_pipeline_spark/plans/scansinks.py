@@ -550,3 +550,71 @@ def s12_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "narrator")
     )
+
+
+# --- S13: streaming Python DataSource feed -----------------------------------
+
+
+@query(
+    "stream_python_datasource_feed",
+    oracle="""
+    WITH b AS (
+      SELECT i AS book_id, md5(CAST(i AS VARCHAR)) AS h
+      FROM (SELECT UNNEST(range(200)) AS i)
+    ), rows_ AS (
+      SELECT book_id,
+             CAST(50 + ('0x' || substr(h, 1, 2))::BIGINT % 400 AS BIGINT)
+               AS n_pages,
+             CASE WHEN strpos('0123456789abcdef', substr(h, 1, 1)) - 1 < 8
+                  THEN 'vi' ELSE 'en' END AS lang
+      FROM b
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_books,
+           CAST(SUM(n_pages) AS BIGINT) AS total_pages
+    FROM rows_ GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — the crawl feed as a STREAMING Python data source
+    (``SimpleDataSourceStreamReader``): micro-batches of 60 ids at a time
+    through the real MicroBatchExecution (engine-checkpointed dict
+    offsets, ``readBetweenOffsets`` replay for exactly-once on restart),
+    drained to completion and aggregated.  The feed content is the same
+    md5 function the batch source serves, so the full stream —
+    batching, offset tracking, and drain — is value-checked against SQL."""
+    import time as _time
+
+    from tts_data_pipeline_spark.sources import pyds
+
+    pyds.register_all(spark)
+    name = "t_pyds_feed"
+    q = (
+        spark.readStream.format("books_catalog_stream")
+        .option("batch_size", "60")
+        .option("max_books", "200")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= 200:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_books"),
+            F.sum("n_pages").cast("bigint").alias("total_pages"),
+        )
+        .orderBy("lang")
+    )

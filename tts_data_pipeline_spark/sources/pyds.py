@@ -134,4 +134,138 @@ class BooksDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters, which Spark refuses to use unless
+    # the (runtime-settable) capability flag is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(BooksDataSource)
+
+
+# --- streaming Python data source (crawl feed) -------------------------------
+
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+
+class BooksStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the catalog — the crawl-feed shape (reference:
+    the crawler discovers new book URLs over time): each micro-batch
+    serves the next ``batch_size`` ids.  Offsets are plain dicts
+    ``{"next": n}`` checkpointed by the engine; ``readBetweenOffsets``
+    replays any committed range deterministically (exactly-once on
+    restart), which the deterministic ``_book_row`` makes trivial —
+    a real crawler would replay from its fetch journal."""
+
+    def __init__(self, options):
+        self.batch_size = int(options.get("batch_size", "50"))
+        self.max_books = int(options.get("max_books", "200"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_books)
+        return (iter([_book_row(i) for i in range(lo, hi)]), {"next": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_book_row(i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str = ""
+    n_rows: int = 0
+
+
+class JsonlWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink (K2 through the modern API): each task
+    writes a temp file and reports it in its commit message; ``commit``
+    atomically renames the complete set into the target directory;
+    ``abort`` removes the temp files — so a failed job leaves NO partial
+    output visible, the same job-commit contract Hadoop committers give
+    parquet."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PartFile:
+        import json as _json
+        import os as _os
+        import tempfile as _tempfile
+
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        fd, tmp = _tempfile.mkstemp(
+            prefix=f"part-{tid:05d}-", suffix=".jsonl.tmp", dir=staging
+        )
+        n = 0
+        with _os.fdopen(fd, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        for m in messages:
+            if m is None or not m.path:
+                continue
+            final = _os.path.join(
+                self.path, _os.path.basename(m.path).removesuffix(".tmp")
+            )
+            _os.replace(m.path, final)
+        _shutil.rmtree(
+            _os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+    def abort(self, messages) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            _os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class BooksStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "books_catalog_stream"
+
+    def schema(self) -> str:
+        return (
+            "book_id bigint, title string, narrator string, "
+            "n_pages int, lang string"
+        )
+
+    def simpleStreamReader(self, schema) -> BooksStreamReader:
+        return BooksStreamReader(self.options)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options)
+
+
+def register_all(spark) -> None:
+    register(spark)
+    spark.dataSource.register(BooksStreamDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
