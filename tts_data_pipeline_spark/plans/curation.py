@@ -417,3 +417,125 @@ def ta_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         blocked.cast("bigint").alias("blocked"),
     ).orderBy("doc_id")
+
+
+# --- DSIR importance resampling ---------------------------------------------
+
+_DSIR_B = 64  # hashed feature buckets (paper uses 10^4; 64 fits the corpus)
+_DSIR_K = 100  # selection budget
+
+
+@query(
+    "mix_dsir_importance",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             doc_id % 89 = 0 AS is_target
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(words[i+1] || ' ' || words[i+2]), 1, 4))
+               ::BIGINT % {_DSIR_B} AS b
+      FROM w, UNNEST(range(CAST(len(words) - 1 AS BIGINT))) AS t(i)
+    ), counts AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct,
+             CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+               AS cr
+      FROM bg GROUP BY b
+    ), totals AS (
+      SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM counts
+    ), bucket_w AS (
+      SELECT b,
+             ln((ct + 1) * 1.0 / (t_tot + {_DSIR_B}))
+               - ln((cr + 1) * 1.0 / (r_tot + {_DSIR_B})) AS wb
+      FROM counts, totals
+    ), doc_w AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(wb), 3) AS weight
+      FROM bg JOIN bucket_w ON bg.b = bucket_w.b
+      WHERE NOT bg.is_target
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id)
+                <= {_DSIR_K} AS BIGINT) AS selected
+    FROM doc_w ORDER BY doc_id
+    """,
+)
+def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al., 2023):
+    score raw documents by how target-like their hashed-bigram
+    distribution is, then keep the top-K.  The 'target domain' is the
+    deterministic ``doc_id % 89 == 0`` slice standing in for the curated
+    seed corpus; features are md5-hashed bigram buckets; each bucket's
+    importance weight is the add-1-smoothed log-probability ratio
+    target/raw, and a document's weight is the sum over its bigrams
+    (paper §2.2's bag-of-hashed-ngrams estimator; top-K selection is its
+    deterministic-selection variant).
+
+    100 TB shape: the bucket-count table is FEATURE-sized ({_DSIR_B}
+    rows; 10^4 in the paper) — it aggregates map-side and broadcasts
+    back, so the raw corpus shuffles once on doc_id for the final keyed
+    sum and never for the model.  Log-ratio weights are continuous sums,
+    rounded 3dp on both sides (boundary flips measure-zero — the
+    perplexity entry's discipline)."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", (F.col("doc_id") % 89 == 0).alias("is_target")
+    )
+    words = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat(words[i], F.lit(" "), words[i + 1]),
+    )
+    bg = d.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.when(F.size(words) >= 2, pairs).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 4), 16, 10).cast("bigint")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    counts = bg.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("bigint")).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    bucket_w = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) * 1.0 / (F.col("t_tot") + _DSIR_B))
+            - F.log((F.col("cr") + 1) * 1.0 / (F.col("r_tot") + _DSIR_B))
+        ).alias("wb"),
+    )
+    doc_w = (
+        bg.filter(~F.col("is_target"))
+        .join(F.broadcast(bucket_w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("wb"), 3).alias("weight"),
+        )
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("weight"), F.asc("doc_id")))
+    return (
+        doc_w.select(
+            "doc_id",
+            "n_bigrams",
+            "weight",
+            (rn <= _DSIR_K).cast("bigint").alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
