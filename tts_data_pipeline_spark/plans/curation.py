@@ -476,7 +476,7 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (paper §2.2's bag-of-hashed-ngrams estimator; top-K selection is its
     deterministic-selection variant).
 
-    100 TB shape: the bucket-count table is FEATURE-sized ({_DSIR_B}
+    100 TB shape: the bucket-count table is FEATURE-sized (64
     rows; 10^4 in the paper) — it aggregates map-side and broadcasts
     back, so the raw corpus shuffles once on doc_id for the final keyed
     sum and never for the model.  Log-ratio weights are continuous sums,
@@ -538,4 +538,140 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rn <= _DSIR_K).cast("bigint").alias("selected"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+
+@query(
+    "ta_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+               || '.COM:443/A/B/../C/index.html?utm_source=x&id='
+               || CAST(doc_id AS VARCHAR) || '&utm_campaign=y&b=2#frag'
+               AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           'https://example' || CAST(doc_id % 5 AS VARCHAR)
+             || '.com/a/c/index.html?b=2&id=' || CAST(doc_id AS VARCHAR)
+             AS canonical,
+           'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain
+    FROM u ORDER BY doc_id
+    """,
+)
+def ta_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-dedup normalizer every pipeline
+    runs before URL-level dedup (lowercase scheme+host, strip www. and
+    default ports, resolve ../ segments, drop fragments and tracking
+    params, sort the surviving query params): implemented as a pure
+    JVM regexp/split expression chain, no UDF.  The synthetic messy URLs
+    exercise every rule, and the oracle states the expected canonical
+    form directly — a normalizer regression breaks the hash.
+
+    100 TB shape: stateless per-row projection; at scale this feeds
+    ``dropDuplicates(canonical)`` before fetch, typically a 20-40% crawl
+    saving (the reference's crawler dedups raw URLs only)."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM:443/A/B/../C/index.html?utm_source=x&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=y&b=2#frag"),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    # scheme://host[:port]/path?query#fragment
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    # resolve single-level ../ (loop twice for demo depth), lowercase path
+    path = F.lower(path)
+    path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
+    path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
+    # drop tracking params, sort the rest
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return base.select(
+        "doc_id", "url", canonical.alias("canonical"), host.alias("domain")
+    ).orderBy("doc_id")
+
+
+# --- overlapping chunking for embeddings -------------------------------------
+
+_CHUNK = 32  # words per chunk
+_STRIDE = 24  # stride (8-word overlap)
+
+
+@query(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), n AS (
+      SELECT doc_id, words, len(words) AS nw,
+             CASE WHEN len(words) <= {_CHUNK} THEN 1
+                  ELSE CAST(ceil((len(words) - {_CHUNK})
+                                 / {_STRIDE}.0) AS BIGINT) + 1 END
+               AS n_chunks
+      FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+             words[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})], ' ') AS chunk,
+           CAST(least(len(words) - i*{_STRIDE}, {_CHUNK}) AS BIGINT)
+             AS n_tokens
+    FROM n, UNNEST(range(n_chunks)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the retrieval/embedding
+    preparation step (32-word chunks, stride 24, so consecutive
+    chunks share 8 words of context): each
+    document explodes into its windows with exact token counts, ready for
+    the embedding UDF and the ANN index builders in this catalog.
+
+    100 TB shape: pure per-row explode — output is input x (1/stride)
+    rows, no shuffle until whatever consumes the chunks; the window
+    arithmetic is all array slicing inside codegen."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    n_chunks = F.when(nw <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((nw - _CHUNK) / float(_STRIDE)).cast("bigint") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.array_join(
+                F.slice(words, i * _STRIDE + 1, _CHUNK), " "
+            ).alias("chunk"),
+            F.least(nw - i * _STRIDE, F.lit(_CHUNK))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk", "c.n_tokens")
+        .orderBy("doc_id", "chunk_idx")
     )
