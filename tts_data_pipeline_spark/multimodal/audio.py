@@ -253,3 +253,32 @@ def extract_pdf_text(
         + ["text:string"]
     )
     return df.mapInPandas(gen, out_schema)
+
+
+# --- X3': leading/trailing silence trim — pure array expressions -------------
+def trim_silence(samples: Column, eps: float = 0.125) -> Column:
+    """Trim leading/trailing samples with ``|x| < eps`` (the silence gate
+    every TTS segmenter applies before alignment; the reference relies on
+    aeneas to absorb silence instead).  Pure codegen array ops: one
+    boolean transform + two ``array_position`` probes + one ``slice`` —
+    no UDF.  Returns a struct ``(lead, trail, trimmed)``; an all-silent
+    input trims to an empty array."""
+    flags = F.transform(samples, lambda x: F.abs(x) < eps)
+    first_loud = F.array_position(flags, F.lit(False))  # 1-based, 0 = none
+    last_loud = F.when(
+        first_loud > 0,
+        F.size(flags) - F.array_position(F.reverse(flags), F.lit(False)) + 1,
+    ).otherwise(F.lit(0))
+    lead = F.when(first_loud > 0, first_loud - 1).otherwise(F.size(flags))
+    trail = F.when(first_loud > 0, F.size(flags) - last_loud).otherwise(
+        F.lit(0)
+    )
+    trimmed = F.when(
+        first_loud > 0,
+        F.slice(samples, first_loud, (last_loud - first_loud + 1).cast("int")),
+    ).otherwise(F.array().cast("array<float>"))
+    return F.struct(
+        lead.cast("bigint").alias("lead"),
+        trail.cast("bigint").alias("trail"),
+        trimmed.alias("trimmed"),
+    )

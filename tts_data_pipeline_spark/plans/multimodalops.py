@@ -290,3 +290,61 @@ def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_audio_silence_trim",
+    oracle="""
+WITH by AS (
+  SELECT doc_id, strlen(text) AS n, CAST(i AS BIGINT) AS i,
+         abs(CAST(ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT)
+             - 128) < 16 AS silent
+  FROM documents, UNNEST(range(strlen(text))) AS t(i)
+), agg AS (
+  SELECT doc_id, MAX(n) AS n,
+         COALESCE(MIN(i) FILTER (WHERE NOT silent), MAX(n)) AS first_loud,
+         COALESCE(MAX(i) FILTER (WHERE NOT silent), -1) AS last_loud,
+         CAST(SUM(CASE WHEN silent THEN 0 ELSE 1 END) AS BIGINT) AS n_loud
+  FROM by GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(4 * n AS BIGINT) AS n_samples,
+       CAST(CASE WHEN n_loud = 0 THEN 4 * n ELSE first_loud END AS BIGINT)
+         AS lead,
+       CAST(CASE WHEN n_loud = 0 THEN 0
+                 ELSE 4 * n - 1 - (3 * n + last_loud) END AS BIGINT)
+         AS trail,
+       CAST(CASE WHEN n_loud = 0 THEN 0
+                 ELSE (3 * n + last_loud) - first_loud + 1 END AS BIGINT)
+         AS n_trimmed
+FROM agg ORDER BY doc_id
+""",
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3' — leading/trailing silence trim over decoded audio (the gate a
+    TTS segmenter applies before alignment), as pure array expressions:
+    decode (fake codec: bytes tiled 4x), flag ``|x| < 0.125`` (exactly
+    byte distance < 16), trim both ends, report boundary counts.
+
+    ORACLE-BACKED with exact integers: the tiled structure means the
+    first loud sample sits in the first tile copy and the last in the
+    fourth, so lead/trail/length replay as pure byte-position arithmetic
+    over the payload text.  No UDF in the trim itself — codegen
+    transform + array_position + slice."""
+    p = _payloads(spark, sf_dir).select("doc_id", "content")
+    decoded = A.decode_audio(p, payload_col="content")
+    t = A.trim_silence(F.col("samples"))
+    return (
+        decoded.select(
+            "doc_id", F.size("samples").cast("bigint").alias("n_samples"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_samples",
+            F.col("t.lead").alias("lead"),
+            F.col("t.trail").alias("trail"),
+            F.size("t.trimmed").cast("bigint").alias("n_trimmed"),
+        )
+        .orderBy("doc_id")
+    )
