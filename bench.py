@@ -39,6 +39,7 @@ HEADLINE = [
     "w4_tumbling_window",
     "x1_running_bucket",
     "tx_normalizer_chain",
+    "pipeline_e2e_preprocess",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",

@@ -93,6 +93,7 @@ _PRIORITY = (
     "q18_large_volume_having",
     "qc_wer_gate",
     "tx_normalizer_chain",
+    "pipeline_e2e_preprocess",
     "x1_running_bucket",
     "stream_tumbling_counts",
     "stream_stream_join",

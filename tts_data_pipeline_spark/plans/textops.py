@@ -5,7 +5,7 @@ grouping (rows-only — its SQL approximation is ``x1_running_bucket``)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tts_data_pipeline_spark.functions import vi_text as V
@@ -808,4 +808,196 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hybrid_score"), "doc_id")
         .limit(10)
+    )
+
+
+# --- the reference's pre-processing pipeline, end to end ---------------------
+
+_E2E_NORM_CTE = _TX_CHAIN_ORACLE.rsplit("ORDER BY doc_id", 1)[0]
+
+_E2E_ORACLE = (
+    "WITH norm AS ("
+    + _E2E_NORM_CTE
+    + """
+    ), sent AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             CAST(least(len(words) - i*5, 5) AS BIGINT) AS wc
+      FROM (SELECT doc_id, string_split(normalized, ' ') AS words FROM norm),
+           UNNEST(range(CAST(ceil(len(words) / 5.0) AS BIGINT))) AS t(i)
+    ), f AS (
+      SELECT * FROM sent WHERE wc >= 2
+    ), run AS (
+      SELECT doc_id, wc,
+             SUM(wc) OVER (PARTITION BY doc_id ORDER BY seg_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM f
+    ), m AS (
+      SELECT doc_id,
+             CAST(SUM(wc) AS BIGINT) AS word_count,
+             CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(COUNT(DISTINCT FLOOR((cum - wc) / 20.0)) AS BIGINT)
+               AS n_groups
+      FROM run GROUP BY doc_id
+    ), sz AS (
+      SELECT doc_id, CAST(length(normalized) AS BIGINT) AS text_size
+      FROM norm
+    )
+    SELECT m.doc_id AS doc_id, word_count, n_sentences, n_groups,
+           sz.text_size,
+           CASE WHEN m.doc_id % 2 = 0 THEN 'updated' ELSE 'inserted' END
+             AS status
+    FROM m JOIN sz ON m.doc_id = sz.doc_id
+    ORDER BY doc_id
+    """
+)
+
+
+@query("pipeline_e2e_preprocess", oracle=_E2E_ORACLE)
+def pipeline_e2e_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE pre-processing entry point
+    (``process_all.py`` §3.2: PDF → extract → normalize → sentence split →
+    filter → sequential grouping → metadata upsert) as ONE Spark lineage,
+    value-checked end to end:
+
+    S7  per-doc PDFs synthesized and parsed back by the real
+        content-stream extractor (one fused Arrow stage);
+    C12-C17/C9-C11  the full normalizer chain applied to messy text built
+        around the EXTRACTED source token (so a PDF-parse regression
+        propagates into every downstream hash);
+    U5/F6  sentence windows with a min-word gate;
+    X1'  running-word-count grouping (threshold 20, the window-bucket
+        form);
+    A7  per-doc metrics (word/sentence/group counts, text size);
+    J5  full-outer + coalesce upsert into the existing metadata table
+        (stale rows for even doc_ids), with an update/insert status.
+
+    The driver-side for-loops of the reference are gone: every stage is a
+    DataFrame op on the same plan, the only shuffles are the per-doc
+    window and the upsert join, and DuckDB replays all seven stages as
+    chained CTEs."""
+    import pandas as pd
+
+    from tts_data_pipeline_spark.multimodal.pdf import (
+        make_minimal_pdf,
+        pdf_text,
+    )
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    def synth_extract(batches):
+        for pdf in batches:
+            payloads = [
+                make_minimal_pdf(f"{s}\nLang: {lg}")
+                for s, lg in zip(pdf["source"], pdf["lang"])
+            ]
+            out = pdf.copy()
+            out["ext_text"] = [pdf_text(p) for p in payloads]
+            yield out[["doc_id", "text", "ext_text"]]
+
+    ext = d.mapInPandas(
+        synth_extract, "doc_id bigint, text string, ext_text string"
+    )
+    src_tok = F.regexp_extract("ext_text", r"^([^\n]+)", 1)
+    raw = F.concat(
+        F.lit("Xem https://vd.vn/"),
+        src_tok,
+        F.lit(" giá 1.234,56đ ngày "),
+        (1 + F.col("doc_id") % 28).cast("string"),
+        F.lit("/"),
+        (1 + F.col("doc_id") % 12).cast("string"),
+        F.lit("/2023: \""),
+        F.substring("text", 1, 40),
+        F.lit("…\""),
+    )
+    out = V.remove_urls(raw)
+    out = V.normalize_decimal_comma(out)
+    out = V.normalize_currency(out)
+    out = V.digits_to_vi_words(out)
+    out = V.strip_typographic(out)
+    out = V.strip_punctuation(out)
+    out = V.collapse_ws_lower(out)
+    norm = ext.select("doc_id", out.alias("normalized"))
+
+    words = F.split("normalized", " ")
+    n_seg = F.ceil(F.size(words) / 5.0).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("seg_idx"),
+            F.least(F.size(words) - i * 5, F.lit(5))
+            .cast("bigint")
+            .alias("wc"),
+        ),
+    )
+    sent = (
+        norm.select(
+            "doc_id",
+            F.length("normalized").cast("bigint").alias("text_size"),
+            F.explode(segs).alias("s"),
+        )
+        .select("doc_id", "text_size", "s.seg_idx", "s.wc")
+        .filter(F.col("wc") >= 2)
+    )
+    cum = F.sum("wc").over(
+        W.partitionBy("doc_id")
+        .orderBy("seg_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = sent.withColumn("cum", cum)
+    metrics = run.groupBy("doc_id").agg(
+        F.sum("wc").cast("bigint").alias("word_count"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.countDistinct(
+            F.floor((F.col("cum") - F.col("wc")) / 20.0)
+        )
+        .cast("bigint")
+        .alias("n_groups"),
+        F.first("text_size").alias("text_size"),
+    )
+
+    # J5 upsert: existing metadata rows (stale sentinels) for even ids;
+    # full-outer + per-column coalesce, new values win
+    base = (
+        d.select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("b_doc_id"),
+            F.lit(-1).cast("bigint").alias("b_word_count"),
+            F.lit(-1).cast("bigint").alias("b_n_sentences"),
+            F.lit(-1).cast("bigint").alias("b_n_groups"),
+            F.lit(-1).cast("bigint").alias("b_text_size"),
+        )
+    )
+    merged = metrics.join(
+        base, metrics.doc_id == base.b_doc_id, "full_outer"
+    )
+    status = (
+        F.when(
+            F.col("doc_id").isNotNull() & F.col("b_doc_id").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("doc_id").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("doc_id"), F.col("b_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("word_count"), F.col("b_word_count")).alias(
+                "word_count"
+            ),
+            F.coalesce(
+                F.col("n_sentences"), F.col("b_n_sentences")
+            ).alias("n_sentences"),
+            F.coalesce(F.col("n_groups"), F.col("b_n_groups")).alias(
+                "n_groups"
+            ),
+            F.coalesce(F.col("text_size"), F.col("b_text_size")).alias(
+                "text_size"
+            ),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
     )
