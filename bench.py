@@ -40,6 +40,7 @@ HEADLINE = [
     "x1_running_bucket",
     "tx_normalizer_chain",
     "pipeline_e2e_preprocess",
+    "pipeline_e2e_align_qc",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",

@@ -94,6 +94,7 @@ _PRIORITY = (
     "qc_wer_gate",
     "tx_normalizer_chain",
     "pipeline_e2e_preprocess",
+    "pipeline_e2e_align_qc",
     "x1_running_bucket",
     "stream_tumbling_counts",
     "stream_stream_join",

@@ -11,7 +11,7 @@ class."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tts_data_pipeline_spark.multimodal import align
@@ -122,3 +122,152 @@ def align_segments_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments = align.align_books(books)
     kept, _ = align.filter_segment_outliers(segments, 3.0, 12.0)
     return kept.orderBy("book_id", "line_id")
+
+
+_E2E_ALIGN_ORACLE = """
+WITH lines AS (
+  SELECT source AS book_id, text, doc_id,
+         CAST(greatest(length(text), 1) AS BIGINT) AS w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS INTEGER) AS line_id
+  FROM documents
+), books AS (
+  SELECT source AS book_id,
+         SUM(n_chars) / 100.0 AS total_dur
+  FROM documents GROUP BY source
+), wsum AS (
+  SELECT book_id, SUM(w) AS total_w FROM lines GROUP BY book_id
+), cum AS (
+  SELECT l.book_id, l.line_id, l.text, l.w,
+         COALESCE(SUM(l.w) OVER (PARTITION BY l.book_id ORDER BY l.line_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM lines l
+), seg AS (
+  SELECT c.book_id, c.line_id, c.text,
+         FLOOR(b.total_dur * c.w / s.total_w * 10000.0 + 0.5) AS dur_units
+  FROM cum c
+  JOIN books b ON c.book_id = b.book_id
+  JOIN wsum s ON c.book_id = s.book_id
+), kept AS (
+  SELECT * FROM seg
+  WHERE dur_units / 10000.0 BETWEEN 3.0 AND 12.0
+), sampled AS (
+  SELECT book_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+         ROW_NUMBER() OVER (
+           PARTITION BY book_id
+           ORDER BY md5(CAST(line_id AS VARCHAR))) AS rk,
+         COUNT(*) OVER (PARTITION BY book_id) AS n
+  FROM kept
+), wer AS (
+  SELECT book_id,
+         ROUND(AVG(CAST(wc // 5 AS DOUBLE) / wc), 4) AS avg_wer,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM sampled
+  WHERE rk <= greatest(CAST(ceil(n * 0.2) AS BIGINT), 1)
+  GROUP BY book_id
+), stats AS (
+  SELECT k.book_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(k.dur_units) AS BIGINT) AS kept_dur_units,
+         w.avg_wer, w.n_sampled,
+         w.avg_wer < 0.3 AS qualified
+  FROM kept k JOIN wer w ON k.book_id = w.book_id
+  GROUP BY k.book_id, w.avg_wer, w.n_sampled
+)
+SELECT book_id, n_segments, kept_dur_units, avg_wer, n_sampled, qualified,
+       CASE WHEN qualified THEN
+         CAST(dense_rank() OVER (
+           ORDER BY CASE WHEN qualified THEN 0 ELSE 1 END, book_id) - 1
+           AS BIGINT)
+       ELSE CAST(-1 AS BIGINT) END AS speaker_label
+FROM stats ORDER BY book_id
+"""
+
+
+@query("pipeline_e2e_align_qc", oracle=_E2E_ALIGN_ORACLE)
+def pipeline_e2e_align_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's alignment → QC → publish entry point
+    (``aeneas_batch_align.py`` + ``post_process.py`` + ``push_to_hf.py``,
+    SURVEY.md §3.3) as ONE Spark lineage:
+
+    J1/A1  books assembled from sorted document lines;
+    X5     forced alignment (closed-form fake aligner, grouped map);
+    F5/J6  duration bounds with an explicit LEFT ANTI join against the
+           outlier set (the reference deletes outlier segment files);
+    O4/X7/X8  deterministic 20% per-book sample → fake ASR → vectorized
+           word-Levenshtein WER;
+    F7     per-book average-WER threshold gate;
+    A3/K6  kept-duration rollup (exact integer 1e-4-second units — sums
+           of 4dp durations are DISCRETE, so the rollup stays in units to
+           dodge the cross-engine ROUND(SUM) half-boundary) and the
+           publish step's dense-rank speaker label over qualified books.
+
+    Every stage is replayed as chained SQL CTEs — the aligner's integer
+    boundary arithmetic, the md5 sample, the substitution-class WER, and
+    the label assignment all hash-match."""
+    from tts_data_pipeline_spark.multimodal import align as A
+    from tts_data_pipeline_spark.operators import qc as Q
+
+    d = table(spark, sf_dir, "documents")
+    books = (
+        d.groupBy(F.col("source").alias("book_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ).alias("lines"),
+            (F.sum("n_chars") / 100.0).alias("total_dur"),
+        )
+    )
+    segments = A.align_books(books)
+    _, outliers = A.filter_segment_outliers(segments, 3.0, 12.0)
+    # J6: the reference deletes outliers from the segment store — an
+    # explicit anti-join, not a re-filter
+    kept = segments.join(
+        outliers.select("book_id", "line_id"), ["book_id", "line_id"], "left_anti"
+    ).withColumn(
+        "dur_units",
+        F.floor(F.col("duration") * 10000.0 + 0.5).cast("bigint"),
+    )
+    gate = Q.qc_wer_gate(
+        kept.select(
+            "book_id", F.col("line_id").alias("seg_id"), "text"
+        ),
+        sample_pct=0.2,
+        wer_threshold=0.3,
+    )
+    stats = (
+        kept.groupBy("book_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dur_units").cast("bigint").alias("kept_dur_units"),
+        )
+        .join(gate, "book_id")
+    )
+    label = (
+        F.when(
+            F.col("qualified"),
+            (
+                F.dense_rank().over(
+                    W.orderBy(
+                        F.when(F.col("qualified"), 0).otherwise(1),
+                        "book_id",
+                    )
+                )
+                - 1
+            ).cast("bigint"),
+        ).otherwise(F.lit(-1).cast("bigint"))
+    )
+    return (
+        stats.select(
+            "book_id",
+            "n_segments",
+            "kept_dur_units",
+            "avg_wer",
+            F.col("n_sampled").cast("bigint").alias("n_sampled"),
+            "qualified",
+            label.alias("speaker_label"),
+        )
+        .orderBy("book_id")
+    )
