@@ -41,6 +41,7 @@ HEADLINE = [
     "tx_normalizer_chain",
     "pipeline_e2e_preprocess",
     "pipeline_e2e_align_qc",
+    "pipeline_e2e_crawl",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",

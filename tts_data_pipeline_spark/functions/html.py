@@ -26,21 +26,29 @@ _CLASS = r'<\w+[^>]*class="{cls}"[^>]*>([^<]*)<'
 _ID = r'<\w+[^>]*id="{eid}"[^>]*>([^<]*)<'
 
 
+def _text_pattern(selector: str) -> str:
+    """Selector → leaf-text regexp.  Forms: ``'title'`` (tag), ``'.lang'``
+    (class), ``'#count'`` (id), ``'i.nn'`` (tag.class compound)."""
+    if selector.startswith("."):
+        return _CLASS.format(cls=selector[1:])
+    if selector.startswith("#"):
+        return _ID.format(eid=selector[1:])
+    if "." in selector:
+        tag, cls = selector.split(".", 1)
+        return rf'<{tag}[^>]*class="{cls}"[^>]*>([^<]*)<'
+    return _TAG.format(tag=selector)
+
+
 def css_text(col: Column, selector: str) -> Column:
     """Text content of the first element matching ``selector``.
 
     Selector forms: ``'title'`` (tag), ``'.lang'`` (class), ``'#count'``
-    (id).  Returns '' when nothing matches (regexp_extract semantics),
-    mirroring the reference's ``css_first(...).text()`` with a null guard
+    (id), ``'i.nn'`` (tag.class).  Returns '' when nothing matches
+    (regexp_extract semantics), mirroring the reference's
+    ``css_first(...).text()`` with a null guard
     (``crawler/utils.py:262-270``).
     """
-    if selector.startswith("."):
-        pattern = _CLASS.format(cls=selector[1:])
-    elif selector.startswith("#"):
-        pattern = _ID.format(eid=selector[1:])
-    else:
-        pattern = _TAG.format(tag=selector)
-    return F.regexp_extract(col, pattern, 1)
+    return F.regexp_extract(col, _text_pattern(selector), 1)
 
 
 def css_attr_all(col: Column, selector: str, attr: str) -> Column:
@@ -65,11 +73,6 @@ def css_attr_all(col: Column, selector: str, attr: str) -> Column:
 
 def css_text_all(col: Column, selector: str) -> Column:
     """All matching elements' text as an array — the ``css(...)`` list form
-    (``crawler/utils.py:283-294`` iterates every ``.book-item``)."""
-    if selector.startswith("."):
-        pattern = _CLASS.format(cls=selector[1:])
-    elif selector.startswith("#"):
-        pattern = _ID.format(eid=selector[1:])
-    else:
-        pattern = _TAG.format(tag=selector)
-    return F.regexp_extract_all(col, F.lit(pattern), F.lit(1))
+    (``crawler/utils.py:283-294`` iterates every ``.book-item``).  Same
+    selector forms as :func:`css_text`, including ``tag.class``."""
+    return F.regexp_extract_all(col, F.lit(_text_pattern(selector)), F.lit(1))

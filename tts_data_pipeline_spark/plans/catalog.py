@@ -95,6 +95,7 @@ _PRIORITY = (
     "tx_normalizer_chain",
     "pipeline_e2e_preprocess",
     "pipeline_e2e_align_qc",
+    "pipeline_e2e_crawl",
     "x1_running_bucket",
     "stream_tumbling_counts",
     "stream_stream_join",

@@ -1053,3 +1053,165 @@ def k5_chunked_download(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "pipeline_e2e_crawl",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS book_id, c_nationkey,
+             'https://catalog.example.com/book/'
+               || CAST(c_custkey AS VARCHAR) AS url
+      FROM customer
+    ), probed AS (
+      SELECT book_id, c_nationkey, url,
+             CASE
+               WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 < 3
+                 THEN 404
+               WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 = 3
+                 THEN 500
+               ELSE 200
+             END AS status
+      FROM b
+    ), valid AS (
+      SELECT * FROM probed WHERE status = 200
+    ), fields AS (
+      SELECT book_id, c_nationkey,
+             'Book ' || CAST(book_id AS VARCHAR) AS title,
+             'author-' || CAST(book_id % 13 AS VARCHAR) AS author,
+             (book_id % 3) * 3600.0 + (book_id % 60) * 60.0
+               + (book_id * 7) % 60 AS duration_s,
+             'narrator-' || CAST(book_id % 7 AS VARCHAR) AS narrator_0_name,
+             CASE WHEN book_id % 2 = 1
+                  THEN 'narrator-' || CAST((book_id + 3) % 7 AS VARCHAR)
+             END AS narrator_1_name
+      FROM valid
+    )
+    SELECT f.book_id, f.title, f.author, f.duration_s,
+           f.narrator_0_name, f.narrator_1_name,
+           CAST(n.n_books AS BIGINT) AS books_in_category
+    FROM fields f
+    JOIN (SELECT c_nationkey, COUNT(*) AS n_books FROM fields
+          GROUP BY c_nationkey) n
+      ON f.c_nationkey = n.c_nationkey
+    ORDER BY f.book_id
+    """,
+)
+def pipeline_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's crawler/metadata entry point
+    (``crawler/metadata.py`` + ``crawler/utils.py``, SURVEY.md §3.1) as
+    ONE Spark lineage:
+
+    S9   category pages synthesized per nation, book URLs recovered with
+         the declarative CSS-selector extractor (the selectolax stage);
+    S11  every discovered URL HEAD-probed through the fake-HTTP
+         ``mapInPandas`` source, invalid statuses dropped (F10);
+    S9   per-book detail pages parsed for title/author/duration/narrators
+         with ``css_text``;
+    C2   "H:MM:SS" duration strings parsed to seconds with the positional
+         fold;
+    U2/U4  the narrator list (1 or 2 entries) normalized to fixed wide
+         columns — the reference's ``narrator_{i}_name`` expansion;
+    A9-ish  per-category book counts joined back.
+
+    The asyncio semaphore fan-out of the reference becomes partition
+    parallelism; everything — probe statuses, parsed fields, counts —
+    replays in SQL, so the whole crawl is value-checked."""
+    from tts_data_pipeline_spark.functions.html import css_attr_all, css_text
+    from tts_data_pipeline_spark.functions.vi_text import (
+        parse_duration_seconds,
+    )
+    from tts_data_pipeline_spark.sources.http import probe_urls
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    link = F.concat(
+        F.lit('<a class="book-link" href="https://catalog.example.com/book/'),
+        F.col("c_custkey").cast("string"),
+        F.lit('">x</a>'),
+    )
+    pages = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.concat(
+                F.lit("<html><body>"),
+                F.concat_ws("", F.array_sort(F.collect_list(link))),
+                F.lit("</body></html>"),
+            ).alias("html")
+        )
+    )
+    urls = pages.select(
+        "c_nationkey",
+        F.explode(css_attr_all(F.col("html"), "a.book-link", "href")).alias(
+            "url"
+        ),
+    )
+    probed = probe_urls(urls)
+    valid = probed.filter(F.col("status") == 200).withColumn(
+        "book_id", F.regexp_extract("url", r"/book/(\d+)$", 1).cast("bigint")
+    )
+    # per-book detail page: synthesized, then parsed back with css_text —
+    # the field values only exist downstream via the HTML round trip
+    dur_str = F.concat(
+        (F.col("book_id") % 3).cast("string"),
+        F.lit(":"),
+        F.lpad((F.col("book_id") % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((F.col("book_id") * 7) % 60).cast("string"), 2, "0"),
+    )
+    n1 = F.concat(F.lit("narrator-"), (F.col("book_id") % 7).cast("string"))
+    n2 = F.concat(
+        F.lit("narrator-"), ((F.col("book_id") + 3) % 7).cast("string")
+    )
+    detail = valid.select(
+        "c_nationkey",
+        "book_id",
+        F.concat(
+            F.lit("<html><head><title>Book "),
+            F.col("book_id").cast("string"),
+            F.lit('</title></head><body><div class="author">author-'),
+            (F.col("book_id") % 13).cast("string"),
+            F.lit('</div><span class="duration">'),
+            dur_str,
+            F.lit('</span><div class="narrators">'),
+            F.when(
+                F.col("book_id") % 2 == 1,
+                F.concat(
+                    F.lit('<i class="nn">'), n1,
+                    F.lit('</i><i class="nn">'), n2, F.lit("</i>"),
+                ),
+            ).otherwise(
+                F.concat(F.lit('<i class="nn">'), n1, F.lit("</i>"))
+            ),
+            F.lit("</div></body></html>"),
+        ).alias("html"),
+    )
+    from tts_data_pipeline_spark.functions.html import css_text_all
+
+    narrators = css_text_all(F.col("html"), "i.nn")
+    fields = detail.select(
+        "c_nationkey",
+        "book_id",
+        css_text(F.col("html"), "title").alias("title"),
+        css_text(F.col("html"), ".author").alias("author"),
+        parse_duration_seconds(
+            css_text(F.col("html"), ".duration")
+        ).alias("duration_s"),
+        F.try_element_at(narrators, F.lit(1)).alias("narrator_0_name"),
+        F.try_element_at(narrators, F.lit(2)).alias("narrator_1_name"),
+    )
+    counts = fields.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("books_in_category")
+    )
+    return (
+        fields.join(F.broadcast(counts), "c_nationkey")
+        .select(
+            "book_id",
+            "title",
+            "author",
+            "duration_s",
+            "narrator_0_name",
+            "narrator_1_name",
+            "books_in_category",
+        )
+        .orderBy("book_id")
+    )
