@@ -83,6 +83,7 @@ HEADLINE = [
     "graph_pagerank_trade",
     "s5_remote_csv_scan",
     "dedup_paragraph_exact",
+    "dedup_substring_spans",
     "ta_decontaminate_eval",
     "mix_temperature_resample",
     "emb_int8_quantize",

@@ -140,6 +140,20 @@ def test_paragraph_dedup_shuffles_segments_not_docs(spark):
     assert not any("text#" in ln for ln in seg_exchanges), seg_exchanges
 
 
+def test_substring_span_dedup_shuffles_hashes_not_text(spark):
+    # the global dedup exchange partitions by the W-token window hash and
+    # must carry only (doc_id, pos, md5) — never the document text or the
+    # window text itself; no position ever fans out to >1 candidate row
+    plan = plan_of(spark, "dedup_substring_spans")
+    gram_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(g#" in ln
+    ]
+    assert gram_exchanges, plan
+    assert not any("text#" in ln for ln in gram_exchanges), gram_exchanges
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dup-start join stays broadcast/hash
+
+
 def test_perplexity_model_broadcasts(spark):
     # the bigram/unigram count tables are vocabulary-sized: they must
     # broadcast onto the per-doc bigram stream, never sort-merge it

@@ -115,6 +115,138 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact substring-span dedup (suffix-array style) ------------------------
+
+_SPAN_W = 6  # duplicate-window length in tokens (Lee et al. used 50 BPE
+# tokens over a real corpus; 6 makes the tiny-vocab synthetic docs collide)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(words[(i+1):(i+{_SPAN_W})], ' ')) AS g
+      FROM w, UNNEST(range(CAST(len(words) - {_SPAN_W - 1} AS BIGINT)))
+              AS t(i)
+      WHERE len(words) >= {_SPAN_W}
+    ), marked AS (
+      SELECT doc_id, i,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY doc_id, i) >= 2
+                  THEN 1 ELSE 0 END AS ds
+      FROM g
+    ), tok AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j, words[j+1] AS w
+      FROM w, UNNEST(range(CAST(len(words) AS BIGINT))) AS t(j)
+    ), flagged AS (
+      SELECT t.doc_id, t.j, t.w, COALESCE(m.ds, 0) AS ds
+      FROM tok t LEFT JOIN (SELECT * FROM marked WHERE ds = 1) m
+        ON t.doc_id = m.doc_id AND t.j = m.i
+    ), cov AS (
+      SELECT doc_id, j, w,
+             MAX(ds) OVER (PARTITION BY doc_id ORDER BY j
+                           ROWS BETWEEN {_SPAN_W - 1} PRECEDING
+                           AND CURRENT ROW) AS covered
+      FROM flagged
+    ), sp AS (
+      SELECT doc_id, j, w, covered,
+             CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER
+                  (PARTITION BY doc_id ORDER BY j), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(covered) AS BIGINT) AS removed_tokens,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' '
+                               ORDER BY j), '') AS new_text
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any W-token window whose text
+    occurs anywhere else in the corpus is excised from every occurrence
+    EXCEPT the globally-first one, and a token is removed iff some
+    duplicated window covers it — so overlapping duplicate windows merge
+    into maximal spans, exactly the suffix-array semantics, without
+    building a suffix array.
+
+    Spark-first shape instead of the paper's single-node suffix array:
+    duplicate detection is a ROW_NUMBER over the window-hash partition
+    (the same hash shuffle any global dedup needs — carries
+    (doc_id, pos, md5) only, never text); span merging is a per-doc
+    rolling MAX over the previous W-1 positions (one doc_id shuffle);
+    first-occurrence survival falls out of the (doc_id, pos) ordering
+    inside each hash group.  At 100 TB: both shuffles are irreducible and
+    narrow, there is no candidate blow-up (each position contributes one
+    gram row), and the rolling-window cover avoids the quadratic
+    span-interval join a naive mark-merge would do.  No UDFs anywhere.
+
+    Unlike ``dedup_paragraph_exact`` (CCNet fixed segments), spans here
+    are position-independent: a duplicated phrase is caught at ANY offset,
+    which is what the reference's crawled-book corpus needs where
+    boilerplate repeats mid-sentence (crawler text reuse, cf.
+    /root/reference/tts_data_pipeline/pre_processing/process_all.py).
+    """
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams_arr = F.when(
+        n >= _SPAN_W,
+        F.transform(
+            F.sequence(F.lit(0), n - _SPAN_W),
+            lambda i: F.md5(F.array_join(F.slice(words, i + 1, _SPAN_W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = d.select(
+        "doc_id", F.posexplode(grams_arr).alias("i", "g")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "g")
+    rn = F.row_number().over(W.partitionBy("g").orderBy("doc_id", "i"))
+    dups = (
+        gram_rows.select("doc_id", "i", rn.alias("rn"))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", F.col("i").alias("j"), F.lit(1).alias("ds"))
+    )
+    tok_rows = d.select("doc_id", F.posexplode(words).alias("j", "w")).select(
+        "doc_id", F.col("j").cast("long").alias("j"), "w"
+    )
+    flagged = tok_rows.join(dups, ["doc_id", "j"], "left").withColumn(
+        "ds", F.coalesce("ds", F.lit(0))
+    )
+    covw = (
+        W.partitionBy("doc_id").orderBy("j").rowsBetween(-(_SPAN_W - 1), 0)
+    )
+    ordw = W.partitionBy("doc_id").orderBy("j")
+    cov = flagged.withColumn("covered", F.max("ds").over(covw)).withColumn(
+        "span_start",
+        (
+            (F.col("covered") == 1)
+            & (F.lag("covered", 1, 0).over(ordw) == 0)
+        ).cast("bigint"),
+    )
+    kept = F.when(F.col("covered") == 0, F.struct("j", "w"))
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("covered").cast("bigint").alias("removed_tokens"),
+            F.sum("span_start").alias("n_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s.w
+                ),
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- eval-set decontamination ----------------------------------------------
 
 _NGRAM = 8  # overlap n-gram length (GPT-3 used 13-grams; 8 fits short docs)
@@ -613,12 +745,14 @@ def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge learning -----------------------------------------------------
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled-CTE DuckDB replay of ``learn_bpe_merges`` for any round
-    count: seq0 is the space-delimited character sequence per distinct
-    word; each round k counts adjacent pairs over seq{k-1}, picks the
-    (cnt DESC, pair ASC) argmax, and applies the merge with the same
-    double-space ``replace`` trick the Spark side uses."""
+def _bpe_cte_chain(rounds: int, include_final_seq: bool) -> list:
+    """Shared unrolled-CTE prefix for the BPE oracles: seq0 is the
+    space-delimited character sequence per distinct word; each round k
+    counts adjacent pairs over seq{k-1}, picks the (cnt DESC, pair ASC)
+    argmax, and applies the merge with the same double-space ``replace``
+    trick the Spark side uses.  ``include_final_seq`` controls whether
+    seq{rounds} (the fully-merged vocabulary, needed by the encode
+    oracle but not the merge-table oracle) is emitted."""
     parts = [
         """WITH words AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -645,7 +779,7 @@ def _bpe_oracle(rounds: int) -> str:
   SELECT pair, cnt FROM pairs{k} ORDER BY cnt DESC, pair ASC LIMIT 1
 )"""
         )
-        if k < rounds:
+        if k < rounds or include_final_seq:
             parts.append(
                 f""", seq{k} AS (
   SELECT word, freq,
@@ -656,6 +790,13 @@ def _bpe_oracle(rounds: int) -> str:
   FROM seq{k - 1}
 )"""
             )
+    return parts
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of ``learn_bpe_merges`` for any round
+    count — the learned merge table, one row per round."""
+    parts = _bpe_cte_chain(rounds, include_final_seq=False)
     selects = [
         f"SELECT CAST({k} AS BIGINT) AS rank, (SELECT pair FROM best{k}) AS"
         f" pair, (SELECT replace(pair,' ','') FROM best{k}) AS merged,"
@@ -663,6 +804,26 @@ def _bpe_oracle(rounds: int) -> str:
         for k in range(1, rounds + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank")
+    return "".join(parts)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of ``ta_bpe_encode``: learn the R merges
+    exactly as ``_bpe_oracle`` does, apply them through seq{R}, then
+    charge each document the piece count of its words."""
+    parts = _bpe_cte_chain(rounds, include_final_seq=True)
+    parts.append(
+        f""", doctok AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(trim(v.s), ' '))) AS BIGINT) AS n_pieces
+FROM doctok d JOIN seq{rounds} v ON d.w = v.word
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
     return "".join(parts)
 
 
@@ -797,6 +958,61 @@ def ta_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated for the same round count, so the learned merge table is
     value-checked end-to-end."""
     return learn_bpe_merges(spark, sf_dir, rounds=3)
+
+
+@query("ta_bpe_encode", oracle=_bpe_encode_oracle(3))
+def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — encode the corpus with the merges
+    ``learn_bpe_merges`` just learned and report per-doc subword budgets
+    (the number every data-mixing/packing stage downstream consumes).
+
+    100 TB shape: the merges are model state (R rows on the driver, the
+    same scalar channel the k-means centroids use), and the encode runs
+    over the DISTINCT-WORD vocabulary — each unique word is segmented
+    exactly once by a static chain of R ``replace`` expressions (pure
+    whole-stage codegen, no UDF), then the vocabulary's piece counts
+    broadcast-join back to the corpus-sized token stream.  Encoding per
+    occurrence instead would redo the merge chain ~corpus/vocab times
+    (Heaps' law makes that ratio enormous at scale); encoding the
+    vocabulary and broadcasting is how production tokenizer jobs amortize.
+    The only corpus-sized shuffles are the word explode and the final
+    per-doc rollup."""
+    mrows = learn_bpe_merges(spark, sf_dir, rounds=3).collect()
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    chars = F.transform(
+        F.sequence(F.lit(0), F.length("w") - 1),
+        lambda i: F.col("w").substr(i + 1, F.lit(1)),
+    )
+    expr = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for row in mrows:
+        expr = F.replace(
+            F.replace(
+                F.replace(expr, F.lit(" "), F.lit("  ")),
+                F.lit(" " + row["pair"].replace(" ", "  ") + " "),
+                F.lit(" " + row["merged"] + " "),
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
+    enc = (
+        toks.select("w")
+        .distinct()
+        .select(
+            "w", F.size(F.split(F.trim(expr), " ")).cast("long").alias("pieces")
+        )
+    )
+    return (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("pieces").cast("bigint").alias("n_pieces"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- linear quality classifier ---------------------------------------------
