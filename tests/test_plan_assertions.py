@@ -120,6 +120,16 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_decontaminate_broadcasts_eval_vectors(spark):
+    # the eval embedding set is benchmark-sized: it must broadcast onto
+    # the streaming training scan — never a CartesianProduct (both sides
+    # shuffled) and never a SortMergeJoin
+    plan = plan_of(spark, "ta_decontaminate_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_int8_topk_broadcasts_query_side(spark):
     # scored corpus x queries: broadcast nested loop on the tiny query
     # side, never a CartesianProduct (which would shuffle both sides)

@@ -328,6 +328,72 @@ def ta_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ta_decontaminate_semantic",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ev AS (
+      SELECT v FROM e WHERE vec_id % 97 = 0
+    ), tr AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0
+    ), sc AS (
+      SELECT t.vec_id,
+             MAX(ROUND(
+               list_dot_product(t.v, s.v)
+               / greatest(sqrt(list_dot_product(t.v, t.v))
+                          * sqrt(list_dot_product(s.v, s.v)), 1e-12), 6
+             )) AS max_cos
+      FROM tr t CROSS JOIN ev s GROUP BY t.vec_id
+    )
+    SELECT vec_id, max_cos,
+           CAST(max_cos >= 0.40 AS BIGINT) AS contaminated
+    FROM sc ORDER BY vec_id
+    """,
+)
+def ta_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the vector-layer sibling of
+    ``ta_decontaminate_eval``: a training example is contaminated if its
+    embedding sits within a cosine threshold of ANY eval-set embedding,
+    catching paraphrased benchmark leakage that exact n-gram overlap
+    misses (the reason modern pipelines run both checks).
+
+    100 TB shape mirrors the n-gram variant exactly: the eval side is
+    benchmark-sized and BROADCASTS, so the corpus-sized training side
+    never join-shuffles — the scan streams through a
+    BroadcastNestedLoopJoin, the max-cosine rollup keys on the training
+    vector id, and norms are hoisted per vector before the pair fold.
+    No CartesianProduct (the broadcast side is the fixed small relation),
+    no Python in the scoring loop."""
+    from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("nrm", l2_norm(F.col("v")))
+    is_eval = F.col("vec_id") % 97 == 0
+    ev = e.filter(is_eval).select(
+        F.col("v").alias("ev_v"), F.col("nrm").alias("ev_nrm")
+    )
+    tr = e.filter(~is_eval)
+    cos = F.round(
+        dot(F.col("v"), F.col("ev_v"))
+        / F.greatest(F.col("nrm") * F.col("ev_nrm"), F.lit(1e-12)),
+        6,
+    )
+    return (
+        tr.join(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= 0.40).cast("bigint").alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- stratified sampling ----------------------------------------------------
 
 
