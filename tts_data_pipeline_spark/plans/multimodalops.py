@@ -348,3 +348,157 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_audio_segment_cut",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+), seg AS (
+  SELECT doc_id,
+         CAST(ord(substr(text, CAST((160 + j) % n AS INTEGER) + 1, 1))
+              AS BIGINT) - 128 AS u
+  FROM d, UNNEST(range(800)) AS t(j)
+  WHERE 160 + j < 4 * n
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS seg_len,
+         CAST(SUM(u) AS BIGINT) AS sum_u,
+         CAST(MAX(abs(u)) AS BIGINT) AS max_abs_u
+  FROM seg GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(seg_len, 0) AS seg_len,
+       COALESCE(sum_u, 0) AS sum_u,
+       COALESCE(max_abs_u, 0) AS max_abs_u
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+""",
+)
+def mm_audio_segment_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — segment cut as a pure array slice: decode, cut
+    [0.01 s, 0.06 s) at 16 kHz (0-based samples 160..959), report exact
+    integer stats of the cut window.  The reference shells out to ffmpeg
+    ``-ss/-t`` per segment (``aeneas_batch_align.py:261-288``); columnar
+    audio makes it one ``slice`` expression — no process fork, no UDF.
+
+    ORACLE-BACKED: decoded sample m is ``(byte[m mod n] - 128) / 128``
+    (fake codec, bytes tiled 4x), so the window's sample values replay as
+    byte arithmetic and ``x * 128`` recovers the exact integer byte
+    offsets — sums and maxima are exact in both engines.  Clips shorter
+    than the window (4n <= 160) produce an empty slice / zero row."""
+    p = _payloads(spark, sf_dir).select("doc_id", "content")
+    decoded = A.decode_audio(p, payload_col="content")
+    seg = A.slice_segment(
+        F.col("samples"), F.lit(16000), F.lit(0.01), F.lit(0.05)
+    )
+    u = lambda x: x.cast("double") * 128.0  # noqa: E731 — exact byte offset
+    return (
+        decoded.select("doc_id", seg.alias("seg"))
+        .select(
+            "doc_id",
+            F.size("seg").cast("bigint").alias("seg_len"),
+            F.aggregate(
+                F.col("seg"), F.lit(0.0), lambda a, x: a + u(x)
+            )
+            .cast("bigint")
+            .alias("sum_u"),
+            F.coalesce(
+                F.array_max(F.transform(F.col("seg"), lambda x: F.abs(u(x)))),
+                F.lit(0.0),
+            )
+            .cast("bigint")
+            .alias("max_abs_u"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mm_audio_resample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+), o AS (
+  SELECT doc_id, n, text, CAST(k AS BIGINT) AS k, CAST(k // 2 AS BIGINT) AS i
+  FROM d, UNNEST(range(8 * strlen(text))) AS t(k)
+), q AS (
+  SELECT doc_id,
+         CASE
+           WHEN k % 2 = 0 OR i = 4 * n - 1 THEN
+             2 * (CAST(ord(substr(text, CAST(i % n AS INTEGER) + 1, 1))
+                       AS BIGINT) - 128)
+           ELSE
+             (CAST(ord(substr(text, CAST(i % n AS INTEGER) + 1, 1))
+                   AS BIGINT) - 128)
+             + (CAST(ord(substr(text, CAST((i + 1) % n AS INTEGER) + 1, 1))
+                     AS BIGINT) - 128)
+         END AS q
+  FROM o
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_out,
+         CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(MAX(abs(q)) AS BIGINT) AS max_abs_q
+  FROM q GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(n_out, 0) AS n_out, COALESCE(sum_q, 0) AS sum_q,
+       COALESCE(max_abs_q, 0) AS max_abs_q
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+""",
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — linear-interpolation resample (librosa.resample stand-in,
+    reference ``process_all.py:394-398``) at an exact 2x upsample
+    (16 kHz → 32 kHz), Arrow-batched ``mapInPandas`` over the decoded
+    waveform.
+
+    ORACLE-BACKED bit-exactly, which is unusual for an interpolator: at
+    ratio 2 with ``endpoint=False`` grids, every even output lands
+    exactly on an input sample (the float grids coincide to the last
+    bit, so ``np.interp`` returns the node value untouched) and every
+    odd output is the midpoint ``(y_i + y_{i+1}) / 2`` — a multiple of
+    2^-8, exactly representable in float32, and the float32 cast absorbs
+    the double-precision slope noise.  Scaling outputs by 256 therefore
+    recovers exact integers (2u_i for copies and tail clamp,
+    u_i + u_{i+1} for midpoints) that DuckDB replays as byte arithmetic.
+    The per-row resample is the operator under test; the stats stay in
+    codegen expressions."""
+    import numpy as np
+    import pandas as pd
+
+    p = _payloads(spark, sf_dir).select("doc_id", "content")
+    decoded = A.decode_audio(p, payload_col="content")
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out": [
+                        A.resample_linear(
+                            np.asarray(s, dtype=np.float32), int(sr), 2 * int(sr)
+                        )
+                        for s, sr in zip(pdf["samples"], pdf["sr"])
+                    ],
+                }
+            )
+            yield out
+
+    res = decoded.mapInPandas(gen, "doc_id bigint, out array<float>")
+    q = lambda x: x.cast("double") * 256.0  # noqa: E731 — exact integer space
+    return (
+        res.select(
+            "doc_id",
+            F.size("out").cast("bigint").alias("n_out"),
+            F.aggregate(F.col("out"), F.lit(0.0), lambda a, x: a + q(x))
+            .cast("bigint")
+            .alias("sum_q"),
+            F.coalesce(
+                F.array_max(F.transform(F.col("out"), lambda x: F.abs(q(x)))),
+                F.lit(0.0),
+            )
+            .cast("bigint")
+            .alias("max_abs_q"),
+        )
+        .orderBy("doc_id")
+    )
