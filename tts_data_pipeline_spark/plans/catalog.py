@@ -103,6 +103,11 @@ _PRIORITY = (
     "split_train_val_test",
     "a11_salted_aggregation",
     "dedup_paragraph_exact",
+    "dedup_substring_spans",
+    "ta_bpe_encode",
+    "ta_decontaminate_semantic",
+    "mm_audio_resample",
+    "mm_audio_segment_cut",
     "ta_decontaminate_eval",
     "ta_perplexity_bigram",
     "mix_temperature_resample",
