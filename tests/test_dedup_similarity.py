@@ -29,6 +29,41 @@ def _corpus(spark):
     return spark.createDataFrame(docs, ["doc_id", "text"])
 
 
+def test_substring_span_dedup_semantics_on_crafted_corpus(spark, tmp_path):
+    # pins the Lee-et-al. semantics independent of the DuckDB oracle
+    # (both engines could share a misreading): keep the globally-first
+    # occurrence, excise every later one, merge overlapping duplicate
+    # windows into one maximal span, and catch WITHIN-doc repetition
+    from tts_data_pipeline_spark.plans.corpus import dedup_substring_spans
+
+    docs = [
+        (0, "a b c d e f x y z p q r"),  # first occurrence of "a b c d e f"
+        (1, "c d e f g h u v w q1 q2 q3"),  # first occ. of "c d e f g h"
+        (5, "a b c d e f g h t1 t2 t3 t4"),  # both 6-grams again, OVERLAPPING
+        (6, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"),  # self-repetition
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    # first occurrences survive untouched
+    assert out[0].removed_tokens == 0 and out[0].n_spans == 0
+    assert out[0].new_text == docs[0][1]
+    assert out[1].removed_tokens == 0
+    # doc 5: dup windows start at 0 ("a b c d e f") and 2 ("c d e f g h");
+    # covers merge into ONE span over tokens 0..7
+    assert out[5].n_spans == 1
+    assert out[5].removed_tokens == 8
+    assert out[5].new_text == "t1 t2 t3 t4"
+    # doc 6: the second copy of the repeated 6-gram is excised, first kept
+    assert out[6].n_spans == 1
+    assert out[6].removed_tokens == 6
+    assert out[6].new_text == "r1 r2 r3 r4 r5 r6"
+
+
 def test_minhash_lsh_finds_planted_dups(spark):
     df = _corpus(spark)
     pairs = {
