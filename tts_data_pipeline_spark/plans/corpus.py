@@ -177,12 +177,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     building a suffix array.
 
     Spark-first shape instead of the paper's single-node suffix array:
-    duplicate detection is a ROW_NUMBER over the window-hash partition
-    (the same hash shuffle any global dedup needs — carries
-    (doc_id, pos, md5) only, never text); span merging is a per-doc
-    rolling MAX over the previous W-1 positions (one doc_id shuffle);
-    first-occurrence survival falls out of the (doc_id, pos) ordering
-    inside each hash group.  At 100 TB: both shuffles are irreducible and
+    duplicate detection aggregates each window hash to its global
+    min-(doc_id, pos) occurrence and joins that single row back — NOT a
+    ROW_NUMBER over the hash partition, deliberately: a boilerplate
+    window repeated millions of times would force every occurrence
+    through one window-function reducer, while the min-struct aggregate
+    collapses it map-side to one row and AQE can split the skewed probe
+    side of the join.  The exchanges carry (doc_id, pos, md5) only,
+    never text.  Span merging is a per-doc rolling MAX over the previous
+    W-1 positions (one doc_id shuffle); first-occurrence survival is the
+    min-struct itself.  At 100 TB: both shuffles are irreducible and
     narrow, there is no candidate blow-up (each position contributes one
     gram row), and the rolling-window cover avoids the quadratic
     span-interval join a naive mark-merge would do.  No UDFs anywhere.
@@ -206,10 +210,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_rows = d.select(
         "doc_id", F.posexplode(grams_arr).alias("i", "g")
     ).select("doc_id", F.col("i").cast("long").alias("i"), "g")
-    rn = F.row_number().over(W.partitionBy("g").orderBy("doc_id", "i"))
+    firsts = (
+        gram_rows.groupBy("g")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("g", "first")
+    )
     dups = (
-        gram_rows.select("doc_id", "i", rn.alias("rn"))
-        .filter(F.col("rn") >= 2)
+        gram_rows.join(firsts, "g")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("i") != F.col("first.i"))
+        )
         .select("doc_id", F.col("i").alias("j"), F.lit(1).alias("ds"))
     )
     tok_rows = d.select("doc_id", F.posexplode(words).alias("j", "w")).select(
