@@ -42,6 +42,7 @@ HEADLINE = [
     "pipeline_e2e_preprocess",
     "pipeline_e2e_align_qc",
     "pipeline_e2e_crawl",
+    "pipeline_e2e_curation",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",

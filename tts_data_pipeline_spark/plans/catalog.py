@@ -96,6 +96,7 @@ _PRIORITY = (
     "pipeline_e2e_preprocess",
     "pipeline_e2e_align_qc",
     "pipeline_e2e_crawl",
+    "pipeline_e2e_curation",
     "x1_running_bucket",
     "stream_tumbling_counts",
     "stream_stream_join",

@@ -675,3 +675,120 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.chunk", "c.n_tokens")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --- end-to-end curation lineage ---------------------------------------------
+
+
+@query(
+    "pipeline_e2e_curation",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, w, word_count,
+             ROUND(CAST(n_chars - word_count + 1 AS DOUBLE) / word_count, 4)
+               AS mean_word_len,
+             ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                   / greatest(word_count, 1), 4) AS dup_word_fraction,
+             CAST(len(list_distinct(list_filter(w, x -> x IN {_SW_SQL})))
+                  AS BIGINT) AS n_stop_distinct
+      FROM m
+    ), passed AS (
+      SELECT doc_id, lang, w FROM s
+      WHERE word_count BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND dup_word_fraction < 0.55
+        AND n_stop_distinct >= 2
+    ), seg AS (
+      SELECT doc_id, lang, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(w[(i*5+1):((i+1)*5)], ' ') AS seg
+      FROM passed, UNNEST(range(CAST(ceil(len(w)/5.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT lang, doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(seg, ' '))
+                         ELSE 0 END) AS BIGINT) AS post_dedup_tokens
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM curation lineage — the between-crawl-and-tokenizer
+    path a pretraining pipeline actually runs, as ONE Catalyst plan:
+    Gopher rule gate (Rae et al. 2021 §A1.1) → global segment-level exact
+    dedup over the survivors (CCNet line dedup, keep globally-first) →
+    per-language post-dedup token budget, the number the mixing/packing
+    stages consume.  The sibling of the three reference-pipeline e2e
+    entries (`pipeline_e2e_preprocess` / `align_qc` / `crawl`), covering
+    the extension families instead.
+
+    100 TB shape: the gate is scan-local expression work (no shuffle);
+    the dedup shuffle partitions on segment content carrying
+    (lang, doc_id, seg_idx, seg) — the gate has already dropped failing
+    docs, so the heaviest exchange sees only surviving data; the rollup
+    keys on lang.  Three irreducible shuffles total, no UDFs, one
+    lineage Catalyst can optimize end-to-end (the gate's projection
+    prunes `text` before the segment explode)."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    w = F.split("text", " ")
+    base = d.select(
+        "doc_id", "lang", w.alias("w"), F.size(w).cast("long").alias("wc"),
+        "n_chars",
+    )
+    mean_len = F.round(
+        (F.col("n_chars") - F.col("wc") + 1).cast("double") / F.col("wc"), 4
+    )
+    dup_frac = F.round(
+        1.0
+        - F.size(F.array_distinct(F.col("w"))).cast("double")
+        / F.greatest(F.col("wc"), F.lit(1)),
+        4,
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS)))
+    ).cast("long")
+    passed = base.filter(
+        F.col("wc").between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (dup_frac < 0.55)
+        & (n_stop >= 2)
+    )
+    n_seg = F.ceil(F.col("wc") / F.lit(5.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * 5 + 1, 5), " "),
+    )
+    seg_rows = passed.select(
+        "doc_id", "lang", F.posexplode(segs).alias("seg_idx", "seg")
+    ).select(
+        "doc_id", "lang",
+        F.col("seg_idx").cast("long").alias("seg_idx"), "seg",
+    )
+    rn = F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "seg_idx"))
+    ranked = seg_rows.select("doc_id", "lang", "seg", rn.alias("rn"))
+    kept = (F.col("rn") == 1).cast("bigint")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("total_segments"),
+            F.sum(kept).alias("kept_segments"),
+            F.sum(
+                kept * F.size(F.split("seg", " ")).cast("bigint")
+            ).alias("post_dedup_tokens"),
+        )
+        .orderBy("lang")
+    )
