@@ -105,6 +105,7 @@ _PRIORITY = (
     "a11_salted_aggregation",
     "dedup_paragraph_exact",
     "dedup_substring_spans",
+    "dedup_minhash_survivors",
     "ta_bpe_encode",
     "ta_decontaminate_semantic",
     "mm_audio_resample",

@@ -249,6 +249,92 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_survivors",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+      FROM t
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM sh
+    ), h AS (
+      SELECT doc_id, seed.generate_series AS seed,
+             MIN(('0x' || substr(md5(CAST(seed.generate_series AS VARCHAR)
+                                      || ':' || tok), 1, 15))::BIGINT) AS mh
+      FROM tok, generate_series(0, {_MH_SEEDS - 1}) AS seed
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM h GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.generate_series AS b,
+             sig[2 * b.generate_series + 1] AS v1,
+             sig[2 * b.generate_series + 2] AS v2
+      FROM sig, generate_series(0, {_MH_BANDS - 1}) AS b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.v1 = c.v1 AND a.v2 = c.v2 AND a.doc_id < c.doc_id
+    ), pr AS (
+      SELECT cand.id_a, cand.id_b
+      FROM cand JOIN sh ta ON ta.doc_id = cand.id_a
+                JOIN sh tb ON tb.doc_id = cand.id_b
+      WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                 AS DOUBLE)
+            / greatest(len(ta.toks) + len(tb.toks)
+              - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))), 1)
+            >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pr
+      UNION
+      SELECT id_b, id_a FROM pr
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    ), clusters AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    ), dropped AS (
+      SELECT id FROM clusters WHERE id <> component
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    ORDER BY doc_id
+    """,
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete TEXT-layer fuzzy-dedup application — what a training
+    pipeline actually runs over the corpus: MinHash-LSH candidate pairs
+    (verified at Jaccard ≥ 0.5) → connected components → keep one
+    representative per near-dup cluster, everything else anti-joined
+    away; documents in no pair survive untouched.  The sibling of
+    ``dedup_apply_survivors`` (fuzzy key match on customers) and
+    ``dedup_semantic_clusters`` (embedding layer), completing the
+    pairs→clusters→survivors matrix on the document text itself.
+
+    100 TB shape: composition of audited pieces — the banded candidate
+    shuffle carries (id, band, v1, v2) only; components run the
+    alternating-star loop with per-round lineage truncation; the final
+    anti-join builds its hash side from the DROPPED set (strictly smaller
+    than the corpus, usually ~the duplicate rate)."""
+    from tts_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(dropped, d.doc_id == dropped.id, "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_simhash_md5",
     oracle="""
     WITH t AS (
