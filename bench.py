@@ -152,14 +152,29 @@ def main() -> None:
             print(f"  {name}: {dt:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query detail first (large line; may be truncated by fixed-size
+    # tail captures), then a compact machine-readable totals line LAST so
+    # any tail window still gets a parseable summary (round-4 verdict #1:
+    # the driver's tail capture truncated the single big line mid-object).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_detail",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

@@ -77,3 +77,27 @@ def test_random_graphs_match_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, (trial, edges)
+
+
+def test_require_converged_raises_at_cap_and_stats_record(spark):
+    """A capped (non-converged) run must fail loudly when the caller
+    requires the exact closure, and LAST_RUN_STATS reports rounds +
+    convergence for the scaling harness."""
+    import pytest
+
+    from tts_data_pipeline_spark.operators import components as C
+
+    # a 60-node path needs >1 star round; cap at 1 and demand convergence
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="under-merge"):
+        connected_components(
+            pairs, max_iterations=1, require_converged=True
+        ).collect()
+    assert C.LAST_RUN_STATS == {"rounds": 1, "converged": False}
+
+    out = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert C.LAST_RUN_STATS["converged"] is True
+    assert 1 < C.LAST_RUN_STATS["rounds"] <= 20

@@ -458,3 +458,81 @@ def test_jsonl_commit_writer_two_phase(spark, tmp_path):
             "append"
         ).save()
     assert glob.glob(os.path.join(target2, "part-*.jsonl")) == []
+
+
+def test_merge_honors_scratch_dir_and_env(spark, tmp_path, monkeypatch):
+    """The staging round-trip uses the scratch root the caller points at
+    (arg beats env var beats tempdir), and cleans its subdirs afterwards —
+    on a cluster this is how staging stays on the table's filesystem."""
+    from tts_data_pipeline_spark import scratch
+
+    argroot = str(tmp_path / "scratch_arg")
+    d = scratch.scratch_mkdtemp("probe_", argroot)
+    assert d.startswith(argroot)
+    os.rmdir(d)
+    envroot = str(tmp_path / "scratch_env")
+    monkeypatch.setenv(scratch.ENV_VAR, envroot)
+    d2 = scratch.scratch_mkdtemp("probe_")
+    assert d2.startswith(envroot)
+    monkeypatch.delenv(scratch.ENV_VAR)
+
+    target = str(tmp_path / "merge_scratch")
+    spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n2")],
+        "book_id long, name string, narrator_id string",
+    ).write.partitionBy("narrator_id").parquet(target)
+    sinks.merge_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "n2"), (3, "c", "n1")],
+            "book_id long, name string, narrator_id string",
+        ),
+        target,
+        key_col="book_id",
+        partition_col="narrator_id",
+        scratch_dir=argroot,
+    )
+    rows = {
+        r.book_id: (r.name, r.narrator_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: ("a", "n1"), 2: ("b2", "n2"), 3: ("c", "n1")}
+    # staging subdirs were created under the arg root and cleaned up
+    assert os.listdir(argroot) == []
+
+
+def test_merge_auto_compacts_journal_past_threshold(spark, tmp_path):
+    """Journal growth is bounded: merges append one batch each until the
+    row threshold trips, then exactly one compaction folds the journal in
+    (sidecar removed, plain read equals live view); merges below the
+    threshold never compact."""
+    target = str(tmp_path / "merge_autocompact")
+    spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n1"), (3, "c", "n2")],
+        "book_id long, name string, narrator_id string",
+    ).write.partitionBy("narrator_id").parquet(target)
+
+    sidecar = os.path.join(target, "_tombstones")
+    # four merges, one journaled key each; threshold 3 trips on the 4th
+    for i, (key, part) in enumerate([(1, "n2"), (2, "n2"), (3, "n1"), (1, "n1")]):
+        sinks.merge_into_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(key, f"v{i}", part)],
+                "book_id long, name string, narrator_id string",
+            ),
+            target,
+            key_col="book_id",
+            partition_col="narrator_id",
+            auto_compact_journal_rows=3,
+        )
+        if i < 3:
+            assert os.path.isdir(sidecar), f"merge {i}: journal should accumulate"
+        else:
+            assert not os.path.isdir(sidecar), "threshold crossed: compacted"
+    # post-compaction: plain read IS the live view, no stale rows
+    rows = {
+        r.book_id: (r.name, r.narrator_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: ("v3", "n1"), 2: ("v1", "n2"), 3: ("v2", "n1")}

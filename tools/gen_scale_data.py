@@ -1,24 +1,51 @@
-"""Generate sf0.3 / sf1 test tables for scaling-curve measurement.
+"""Generate scaling-measurement tables beyond the driver's shipped sizes.
 
 The driver ships sf0.001/0.01/0.1 only (TESTDATA.md, read-only).  To
 measure how the engine's plans scale BEYOND sf0.1 we synthesize larger
-tables by tiling sf0.1 K times with consistent key offsets — foreign keys
-stay valid (orderkey/custkey/partkey/suppkey shift together), attribute
-distributions are preserved exactly, and row counts scale linearly, which
-is what a scaling-exponent fit needs.  Two deterministic perturbations
-keep the content tables honest:
+tables under ``/tmp/scaledata``:
 
-- ``documents.text``: each copy k>0 rewrites ~30% of words (seeded RNG,
-  vocabulary drawn from the corpus itself), so exact/near-dup structure
-  grows like a real corpus (constant dup RATE) instead of every copy
-  colliding with copy 0 (which would grow dup pair counts quadratically
-  in K and poison the dedup slopes);
-- ``embeddings.embedding``: per-copy Gaussian noise at 0.5x the component
-  std, so cosine-similarity structure within a copy is preserved while
-  cross-copy near-identical pairs don't accumulate.
+- **Keyed TPC-H-ish tables** (customer/orders/lineitem/part/supplier/
+  events) tile the driver's sf0.1 K times with consistent key offsets —
+  foreign keys stay valid, attribute distributions are preserved exactly,
+  row counts scale linearly.
+
+- **documents** are generated FRESH at every scale from a seeded
+  Zipf-Mandelbrot model over a shared ~10k-word synthetic vocabulary.
+  The driver's own documents saturate at 31 distinct words, which made
+  every text-stack scaling row flat by construction (BPE runs out of
+  pairs, TF-IDF/PMI/perplexity/trigram tables stop growing, MinHash
+  shingle space is tiny — round-4 verdict #1).  The generator keeps the
+  quantities that drive text-operator cost faithful to a real corpus:
+  rank-frequency follows 1/(rank+q)^s (s=1.05, q=2.7 — the classic
+  English fit), document lengths are lognormal (~120 words, clipped
+  10..500), and the vocabulary is FIXED across scales so growing sf grows
+  token count linearly under an identical distribution — exactly what a
+  scaling-exponent fit needs.
+
+  Near-dup structure is planted at a CONSTANT RATE so dedup slopes stay
+  honest: ~6% of docs are near-dups (a window-local source doc with 20%
+  of tokens rewritten) and ~2% exact dups; the source is drawn from the
+  previous 100 originals, so cluster sizes stay bounded and pair counts
+  grow linearly in n rather than quadratically.
+
+- **embeddings** tile sf0.1 with per-copy Gaussian noise at 0.5x the
+  component std, preserving within-copy cosine structure without
+  accumulating cross-copy near-identical pairs.
+
+Outputs (all deterministic, seeded):
+
+- ``sf0.01``: FULL table set at driver-sf0.01 size with Zipfian documents
+  — exists so ``tools/driver_sim.py /tmp/scaledata/sf0.01`` can replay the
+  whole oracle sweep on the richer text (genericity check: no catalog
+  query may depend on the driver corpus's degenerate vocabulary).
+- ``sf0.1`` (K=1), ``sf0.3`` (K=3), ``sf1`` (K=10): scaling-curve points.
+  sf0.1 is regenerated (keyed tables byte-tiled at K=1) so all curve
+  points share the Zipfian document distribution.
+- ``sf3`` (documents only, n=150k): one more decade for the two
+  end-to-end lineages a 100 TB user actually runs
+  (``dedup_minhash_survivors``, ``pipeline_e2e_curation``).
 
 Usage:  python tools/gen_scale_data.py [outdir]   (default /tmp/scaledata)
-Writes ``{outdir}/sf0.3`` (K=3) and ``{outdir}/sf1`` (K=10).
 """
 
 from __future__ import annotations
@@ -30,7 +57,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+TESTDATA = "/root/testdata"
+SRC = f"{TESTDATA}/sf0.1"
 KEY_OFF = 10_000_000  # larger than any sf0.1 key
 
 # (table, [key columns to offset per copy])
@@ -44,9 +72,121 @@ KEYED = {
 }
 FIXED_DIMS = ["region", "nation"]
 
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.05  # exponent of the Zipf-Mandelbrot rank-frequency law
+ZIPF_Q = 2.7   # Mandelbrot shift
+NEAR_DUP_RATE = 0.06
+EXACT_DUP_RATE = 0.02
+DUP_WINDOW = 100   # near-dup sources come from the last N docs: bounded clusters
+REWRITE_P = 0.20   # token rewrite probability inside a near-dup
+DOCS_PER_SF01 = 5000  # matches the driver's sf0.1 corpus size
 
-def _tile_keyed(name: str, k_copies: int, outdir: str) -> None:
-    t = pq.read_table(f"{SRC}/{name}.parquet")
+_LETTERS = np.array(list("etaoinshrdlcumwfgypbvkjxqz"))
+# geometric-ish letter weights (rough English frequency ordering)
+_LETTER_P = np.array(
+    [12.7, 9.1, 8.2, 7.5, 7.0, 6.7, 6.3, 6.1, 6.0, 4.3, 4.0, 2.8, 2.8,
+     2.4, 2.4, 2.2, 2.0, 2.0, 1.9, 1.5, 1.0, 0.8, 0.2, 0.15, 0.1, 0.07]
+)
+_LETTER_P = _LETTER_P / _LETTER_P.sum()
+
+
+def build_vocab(size: int = VOCAB_SIZE, seed: int = 1729) -> list[str]:
+    """Deterministic synthetic vocabulary: pseudo-words with English-ish
+    letter frequencies and lengths 3..11.  Fixed seed → every scale (and
+    every session) sees the identical vocabulary."""
+    rng = np.random.default_rng(seed)
+    seen: set[str] = set()
+    out: list[str] = []
+    while len(out) < size:
+        n = size - len(out)
+        lengths = rng.integers(3, 12, n)
+        letters = rng.choice(_LETTERS, int(lengths.sum()), p=_LETTER_P)
+        pos = 0
+        for L in lengths:
+            w = "".join(letters[pos: pos + L])
+            pos += L
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
+    return out
+
+
+def _zipf_probs(size: int = VOCAB_SIZE) -> np.ndarray:
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    p = 1.0 / np.power(ranks + ZIPF_Q, ZIPF_S)
+    return p / p.sum()
+
+
+_LANGS = ["en", "zh", "es", "de", "fr"]
+_LANG_P = np.array([0.44, 0.15, 0.15, 0.14, 0.12])
+_LANG_P = _LANG_P / _LANG_P.sum()
+
+
+def zipf_documents(n_docs: int, seed: int) -> dict[str, list]:
+    """Seeded Zipfian corpus with constant-rate planted duplicates."""
+    vocab = np.array(build_vocab())
+    probs = _zipf_probs()
+    rng = np.random.default_rng(seed)
+
+    lengths = np.clip(
+        np.rint(rng.lognormal(np.log(110.0), 0.65, n_docs)), 10, 500
+    ).astype(np.int64)
+    # one bulk draw for every original token (dup docs reuse their source's
+    # tokens, so the pool is an upper bound; cheap at these sizes)
+    pool = rng.choice(VOCAB_SIZE, int(lengths.sum()), p=probs)
+    kinds = rng.random(n_docs)  # < NEAR -> near-dup, < NEAR+EXACT -> exact
+    srcs = rng.integers(1, DUP_WINDOW + 1, n_docs)
+    langs = rng.choice(len(_LANGS), n_docs, p=_LANG_P)
+
+    docs: list[np.ndarray] = []
+    pos = 0
+    originals: list[int] = []  # indices of non-dup docs, for dup sourcing
+    for i in range(n_docs):
+        L = lengths[i]
+        if originals and kinds[i] < NEAR_DUP_RATE:
+            j = originals[max(0, len(originals) - int(srcs[i]))]
+            toks = docs[j].copy()
+            mask = rng.random(len(toks)) < REWRITE_P
+            toks[mask] = rng.choice(VOCAB_SIZE, int(mask.sum()), p=probs)
+        elif originals and kinds[i] < NEAR_DUP_RATE + EXACT_DUP_RATE:
+            j = originals[max(0, len(originals) - int(srcs[i]))]
+            toks = docs[j]
+        else:
+            toks = pool[pos: pos + L]
+            pos += L
+            originals.append(i)
+        docs.append(toks)
+
+    texts = [" ".join(vocab[t]) for t in docs]
+    return {
+        "doc_id": list(range(n_docs)),
+        "text": texts,
+        "lang": [_LANGS[k] for k in langs],
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+        "n_chars": [len(t) for t in texts],
+    }
+
+
+_DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def _write_documents(n_docs: int, seed: int, outdir: str) -> None:
+    pq.write_table(
+        pa.table(zipf_documents(n_docs, seed), schema=_DOC_SCHEMA),
+        f"{outdir}/documents.parquet",
+    )
+
+
+def _tile_keyed(name: str, k_copies: int, outdir: str, src: str = SRC) -> None:
+    t = pq.read_table(f"{src}/{name}.parquet")
     copies = []
     for k in range(k_copies):
         c = t
@@ -58,47 +198,8 @@ def _tile_keyed(name: str, k_copies: int, outdir: str) -> None:
     pq.write_table(pa.concat_tables(copies), f"{outdir}/{name}.parquet")
 
 
-def _tile_documents(k_copies: int, outdir: str) -> None:
-    t = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
-    vocab = sorted({w for txt in t["text"] for w in txt.split() if w})
-    out = {c: [] for c in ("doc_id", "text", "lang", "source", "n_chars")}
-    for k in range(k_copies):
-        rng = np.random.default_rng(42 + k)
-        for i, txt in enumerate(t["text"]):
-            if k == 0:
-                new = txt
-            else:
-                words = txt.split(" ")
-                mask = rng.random(len(words)) < 0.3
-                picks = rng.integers(0, len(vocab), len(words))
-                new = " ".join(
-                    vocab[picks[j]] if mask[j] else w
-                    for j, w in enumerate(words)
-                )
-            out["doc_id"].append(t["doc_id"][i] + k * KEY_OFF)
-            out["text"].append(new)
-            out["lang"].append(t["lang"][i])
-            out["source"].append(t["source"][i])
-            out["n_chars"].append(len(new))
-    pq.write_table(
-        pa.table(
-            out,
-            schema=pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("text", pa.string()),
-                    ("lang", pa.string()),
-                    ("source", pa.string()),
-                    ("n_chars", pa.int64()),
-                ]
-            ),
-        ),
-        f"{outdir}/documents.parquet",
-    )
-
-
-def _tile_embeddings(k_copies: int, outdir: str) -> None:
-    t = pq.read_table(f"{SRC}/embeddings.parquet")
+def _tile_embeddings(k_copies: int, outdir: str, src: str = SRC) -> None:
+    t = pq.read_table(f"{src}/embeddings.parquet")
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.array(t.column("label").to_pylist(), dtype=np.int32)
     ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
@@ -127,20 +228,41 @@ def _tile_embeddings(k_copies: int, outdir: str) -> None:
     )
 
 
-def generate(outdir: str, k_copies: int) -> None:
+def generate(
+    outdir: str,
+    k_copies: int,
+    n_docs: int,
+    doc_seed: int,
+    src: str = SRC,
+    documents_only: bool = False,
+) -> None:
     os.makedirs(outdir, exist_ok=True)
-    for name in FIXED_DIMS:
-        pq.write_table(
-            pq.read_table(f"{SRC}/{name}.parquet"), f"{outdir}/{name}.parquet"
-        )
-    for name in KEYED:
-        _tile_keyed(name, k_copies, outdir)
-    _tile_documents(k_copies, outdir)
-    _tile_embeddings(k_copies, outdir)
-    print(f"wrote {outdir} (K={k_copies})")
+    _write_documents(n_docs, doc_seed, outdir)
+    if not documents_only:
+        for name in FIXED_DIMS:
+            pq.write_table(
+                pq.read_table(f"{src}/{name}.parquet"),
+                f"{outdir}/{name}.parquet",
+            )
+        for name in KEYED:
+            _tile_keyed(name, k_copies, outdir, src)
+        _tile_embeddings(k_copies, outdir, src)
+    print(f"wrote {outdir} (K={k_copies}, docs={n_docs})")
 
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata"
-    generate(os.path.join(base, "sf0.3"), 3)
-    generate(os.path.join(base, "sf1"), 10)
+    # full oracle-sweep replica at driver-sf0.01 size, Zipfian text
+    generate(
+        os.path.join(base, "sf0.01"), 1, 500, doc_seed=11,
+        src=f"{TESTDATA}/sf0.01",
+    )
+    # scaling-curve points — shared vocabulary, n_docs ∝ sf
+    generate(os.path.join(base, "sf0.1"), 1, DOCS_PER_SF01, doc_seed=21)
+    generate(os.path.join(base, "sf0.3"), 3, 3 * DOCS_PER_SF01, doc_seed=23)
+    generate(os.path.join(base, "sf1"), 10, 10 * DOCS_PER_SF01, doc_seed=31)
+    # one more decade, documents only, for the two e2e lineages
+    generate(
+        os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
+        documents_only=True,
+    )

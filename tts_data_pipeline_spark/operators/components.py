@@ -17,10 +17,18 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+# Diagnostics from the most recent ``connected_components`` call: how many
+# star rounds ran and whether the edge set reached its fixpoint.  Written
+# once per call (driver-side scalars only); read by the scaling harness to
+# report rounds-vs-n honestly (wall time here is rounds x per-round cost,
+# and rounds grow ~log² n, so a "linear" claim without the round count
+# overstates it).
+LAST_RUN_STATS: dict = {"rounds": 0, "converged": False}
 
 
 def connected_components(
@@ -29,6 +37,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpointer: str = "auto",
+    require_converged: bool = False,
 ) -> DataFrame:
     """(src, dst) pairs → (id, component) with component = min id reachable.
 
@@ -42,7 +51,11 @@ def connected_components(
     hops per round and DID NOT converge in 25 rounds on the sf0.1 fuzzy
     graph, while the star rewrite converges in ~5.  ``max_iterations``
     still bounds runtime; labels at the cap are a valid UNDER-merge
-    (never wrong merges).
+    (never wrong merges).  Callers whose downstream semantics REQUIRE the
+    exact transitive closure (oracle-checked survivor anti-joins) pass
+    ``require_converged=True`` so a capped run raises instead of silently
+    returning extra survivors; ``LAST_RUN_STATS`` records the round count
+    and convergence flag of the latest call for scaling measurement.
 
     Iteration state: each round's labels are persisted to a per-call temp
     parquet dir and read back — the same lineage truncation a reliable
@@ -72,7 +85,9 @@ def connected_components(
     #   "auto"    — "parquet" (measurement above; reliable on clusters too).
     if checkpointer == "auto":
         checkpointer = "parquet"
-    workdir = tempfile.mkdtemp(prefix="cc_state_")
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
+    workdir = scratch_mkdtemp("cc_state_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
     def _persist(df: DataFrame, name: str) -> DataFrame:
@@ -134,6 +149,8 @@ def connected_components(
         "edges_0",
     )
     prev_sig = None
+    converged = False
+    rounds_run = 0
     # One large+small star round per persist.  (Measured: chaining TWO
     # star rounds between persists made each persist 3x slower at sf0.1 —
     # the deeper 6-shuffle job re-optimizes worse than two shallow ones —
@@ -166,9 +183,20 @@ def connected_components(
                 ).head()
             )
         shutil.rmtree(os.path.join(workdir, f"edges_{i - 1}"), ignore_errors=True)
+        rounds_run = i
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    LAST_RUN_STATS["rounds"] = rounds_run
+    LAST_RUN_STATS["converged"] = converged
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in "
+            f"{max_iterations} rounds; labels would be an under-merge. "
+            f"Raise max_iterations (rounds grow ~log² n, not with data "
+            f"volume)."
+        )
     # at the star fixpoint each component is {(leaf, min)...}; every node's
     # label is min(Γ ∪ {self}) — leaves get the center, the center itself.
     # No persist: the lineage is one groupBy over the persisted edge files

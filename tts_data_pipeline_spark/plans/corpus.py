@@ -359,10 +359,10 @@ def ta_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                / greatest(sqrt(list_dot_product(t.v, t.v))
                           * sqrt(list_dot_product(s.v, s.v)), 1e-12), 6
              )) AS max_cos
-      FROM tr t CROSS JOIN ev s GROUP BY t.vec_id
+      FROM tr t LEFT JOIN ev s ON TRUE GROUP BY t.vec_id
     )
     SELECT vec_id, max_cos,
-           CAST(max_cos >= 0.40 AS BIGINT) AS contaminated
+           CAST(COALESCE(max_cos >= 0.40, FALSE) AS BIGINT) AS contaminated
     FROM sc ORDER BY vec_id
     """,
 )
@@ -379,7 +379,13 @@ def ta_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin, the max-cosine rollup keys on the training
     vector id, and norms are hoisted per vector before the pair fold.
     No CartesianProduct (the broadcast side is the fixed small relation),
-    no Python in the scoring loop."""
+    no Python in the scoring loop.
+
+    Empty-eval-set edge: the pair fold is a LEFT join (true-predicate
+    BroadcastNestedLoopJoin), so if the eval partition is empty every
+    training row still survives with ``max_cos`` null and
+    ``contaminated = 0`` — an empty benchmark must mean "nothing is
+    contaminated", never "the corpus vanished"."""
     from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
 
     e = spread(table(spark, sf_dir, "embeddings")).select(
@@ -397,13 +403,15 @@ def ta_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        tr.join(F.broadcast(ev))
+        tr.join(F.broadcast(ev), F.lit(True), "left")
         .groupBy("vec_id")
         .agg(F.max(cos).alias("max_cos"))
         .select(
             "vec_id",
             "max_cos",
-            (F.col("max_cos") >= 0.40).cast("bigint").alias("contaminated"),
+            F.coalesce(F.col("max_cos") >= 0.40, F.lit(False))
+            .cast("bigint")
+            .alias("contaminated"),
         )
         .orderBy("vec_id")
     )
@@ -1057,7 +1065,19 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps' law makes that ratio enormous at scale); encoding the
     vocabulary and broadcasting is how production tokenizer jobs amortize.
     The only corpus-sized shuffles are the word explode and the final
-    per-doc rollup."""
+    per-doc rollup.
+
+    R limit: the static replace-chain grows the expression tree linearly
+    in the merge count, which is fine for the R ≤ ~500 this catalog
+    exercises but would hit Catalyst analysis/codegen limits long before
+    data volume at production R ≈ 30k.  The large-R shape is batched
+    application over the same distinct-word frame: encode with a
+    vectorized ``pandas_udf`` holding the full merge table (model state,
+    broadcast once per executor — exactly how HF ``tokenizers`` ships the
+    vocab), or iterate the replace-chain in chunks of ~200 merges with a
+    persist between chunks (the ``persist_every`` pattern the learner
+    already uses).  Either keeps the per-occurrence amortization; only the
+    per-WORD segmentation step changes."""
     mrows = learn_bpe_merges(spark, sf_dir, rounds=3).collect()
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = d.select(

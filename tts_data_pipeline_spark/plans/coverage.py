@@ -498,7 +498,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
     return (
-        connected_components(pairs)
+        connected_components(pairs, require_converged=True)
         .select(F.col("id"), F.col("component"))
         .orderBy("id")
     )
@@ -661,7 +661,7 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = table(spark, sf_dir, "customer")
     pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
-    clusters = connected_components(pairs)
+    clusters = connected_components(pairs, require_converged=True)
     dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
     return (
         c.join(dropped, c.c_custkey == dropped.id, "left_anti")
@@ -976,7 +976,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
     return (
-        connected_components(pairs)
+        connected_components(pairs, require_converged=True)
         .select("id", "component")
         .orderBy("id")
     )

@@ -324,7 +324,7 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
-    clusters = connected_components(pairs)
+    clusters = connected_components(pairs, require_converged=True)
     dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
     d = table(spark, sf_dir, "documents")
     return (

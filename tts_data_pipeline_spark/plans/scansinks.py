@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import atexit
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,10 +37,15 @@ _DIRS: dict[str, str] = {}
 
 
 def _tmpdir(prefix: str) -> str:
+    # Root honors $SPARK_GRAFT_SCRATCH_DIR (see tts_data_pipeline_spark.
+    # scratch) so the round-trip staging can live on the tables' own
+    # filesystem on a cluster; local default is the platform tempdir.
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
     prev = _DIRS.get(prefix)
     if prev is not None:
         shutil.rmtree(prev, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=f"scansink_{prefix}_")
+    d = scratch_mkdtemp(f"scansink_{prefix}_")
     if prev is None:
         atexit.register(
             lambda p=prefix: shutil.rmtree(

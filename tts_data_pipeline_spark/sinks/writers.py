@@ -107,6 +107,8 @@ def merge_into_partitioned(
     key_col: str,
     partition_col: str,
     journal: bool = True,
+    scratch_dir: str | None = None,
+    auto_compact_journal_rows: int | None = 100_000,
 ) -> None:
     """J5 at scale — partition-pruned MERGE (upsert) into a Hive-partitioned
     parquet dataset.
@@ -147,9 +149,23 @@ def merge_into_partitioned(
     For the reference's speaker-partitioned dataset layout
     (``aeneas_batch_align.py:198-213``) the speaker of a segment never
     changes, so ``journal=False`` skips the sidecar entirely.
+
+    ``scratch_dir`` overrides where staging files land (else
+    ``$SPARK_GRAFT_SCRATCH_DIR``, else tempdir — see
+    :mod:`tts_data_pipeline_spark.scratch`); on a cluster point it at a
+    scratch prefix on the table's own filesystem.
+
+    ``auto_compact_journal_rows``: the sidecar grows by one batch per
+    merge and is read + broadcast by every journal-applied read, so left
+    alone it grows without bound.  When the post-merge journal row count
+    exceeds this threshold, :func:`compact_partitioned_merge` runs
+    immediately (folding the journal into the table and clearing the
+    sidecar); ``None`` disables the trigger for callers that schedule
+    compaction themselves.
     """
     import shutil
-    import tempfile
+
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
 
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
@@ -167,7 +183,7 @@ def merge_into_partitioned(
     # committed.  The staging write is bounded by the touched data, not the
     # table; on a cluster the tempdir would be a scratch path on the same
     # filesystem as the table.
-    staging = tempfile.mkdtemp(prefix="merge_staging_")
+    staging = scratch_mkdtemp("merge_staging_", scratch_dir)
     jstaging = None
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
@@ -187,7 +203,7 @@ def merge_into_partitioned(
                 # OTHER failure (corrupt footer, transient IO) must raise:
                 # silently restarting at seq 1 would flip latest-wins.
                 seq = 0
-            jstaging = tempfile.mkdtemp(prefix="merge_journal_staging_")
+            jstaging = scratch_mkdtemp("merge_journal_staging_", scratch_dir)
             (
                 updates.select(
                     F.col(key_col),
@@ -214,6 +230,17 @@ def merge_into_partitioned(
         shutil.rmtree(staging, ignore_errors=True)
         if jstaging is not None:
             shutil.rmtree(jstaging, ignore_errors=True)
+    if journal and auto_compact_journal_rows is not None:
+        # Bounded check: journal rows = upserted keys x batches, metadata
+        # scale — the count reads the sidecar only, never the table.
+        if spark.read.parquet(jdir).count() > auto_compact_journal_rows:
+            compact_partitioned_merge(
+                spark,
+                target_path,
+                key_col,
+                partition_col,
+                scratch_dir=scratch_dir,
+            )
 
 
 def _tombstone_dir(target_path: str) -> str:
@@ -251,7 +278,11 @@ def read_merged_partitioned(
 
 
 def compact_partitioned_merge(
-    spark, target_path: str, key_col: str, partition_col: str
+    spark,
+    target_path: str,
+    key_col: str,
+    partition_col: str,
+    scratch_dir: str | None = None,
 ) -> None:
     """Fold the tombstone journal back into the table: rewrite every
     partition that currently holds a DEAD row (a journaled key whose live
@@ -293,7 +324,7 @@ def compact_partitioned_merge(
             read_merged_partitioned(spark, target_path, key_col, partition_col)
             .filter(F.col(partition_col).isin(dead_parts))
         )
-        import tempfile as _tempfile
+        from tts_data_pipeline_spark.scratch import scratch_mkdtemp
 
         # computed BEFORE the overwrite: `live`'s plan is bound to the
         # pre-overwrite file listing and must not be re-run afterwards
@@ -301,7 +332,7 @@ def compact_partitioned_merge(
             str(r[0])
             for r in live.select(partition_col).distinct().collect()
         }
-        staging = _tempfile.mkdtemp(prefix="compact_staging_")
+        staging = scratch_mkdtemp("compact_staging_", scratch_dir)
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
