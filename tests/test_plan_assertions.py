@@ -301,3 +301,55 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_bpe_plan_depth_bounded_at_r100_on_zipf_vocab(spark, tmp_path):
+    """R=100 against a 10k-word Zipfian corpus — a merge count that
+    actually exercises the vocabulary (the driver corpus saturates at 31
+    words, so the r4 R=10 test couldn't distinguish 'bounded plan' from
+    'ran out of pairs').  The analyzed plan must collapse to the bare
+    persisted-scan size at EVERY truncation boundary and stay within one
+    persist window's growth — independent of total round count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from gen_scale_data import _DOC_SCHEMA, zipf_documents
+    from tts_data_pipeline_spark.plans.corpus import learn_bpe_merges
+
+    pq.write_table(
+        pa.table(zipf_documents(120, 99), schema=_DOC_SCHEMA),
+        str(tmp_path / "documents.parquet"),
+    )
+    sizes: dict[int, int] = {}
+
+    def probe(k, state_df):
+        sizes[k] = len(state_df._jdf.queryExecution().analyzed().toString())
+
+    out = learn_bpe_merges(
+        spark, str(tmp_path), rounds=100, persist_every=5, on_round=probe
+    )
+    rows = out.collect()
+    assert [r.rank for r in rows] == list(range(1, 101))
+    # 100 distinct learned merges — the vocabulary never saturated
+    assert len({r.pair for r in rows}) == 100
+    base = sizes[0]
+    boundaries = [sizes[k] for k in sorted(sizes) if k % 5 == 0]
+    # every boundary collapses to the bare persisted-scan plan; sizes can
+    # differ by a few chars (the state dir's round number in the scan path)
+    assert max(boundaries) - min(boundaries) <= 10, sizes
+    assert max(boundaries) <= base + 10, sizes
+    assert max(sizes.values()) <= base + 5 * 150, max(sizes.values())
+
+
+def test_bpe_chunked_encode_equals_static(spark):
+    """Chunked merge application (the large-R shape) must be bit-identical
+    to the monolithic replace-chain at the same R — chunk size is a pure
+    codegen knob, never a semantics knob."""
+    from tts_data_pipeline_spark.plans.corpus import bpe_encode_corpus
+
+    a = bpe_encode_corpus(spark, SF_DIR, rounds=5).collect()
+    b = bpe_encode_corpus(spark, SF_DIR, rounds=5, chunk_size=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -88,3 +88,56 @@ def test_real_hooks_raise_not_implemented():
         qc.real_transcribe_udf()
     with pytest.raises(NotImplementedError):
         align.real_align_book()
+
+
+def test_corpus_validate_each_defect_class(spark):
+    """One crafted book per defect class + one clean book: the report
+    isolates every `mfa validate` failure mode and the OOV rate."""
+    # book "bad": s1 clean, s2 missing audio, s3 empty transcript,
+    # s4 zero-duration audio, plus orphan audio stem s99
+    transcripts = spark.createDataFrame(
+        [
+            ("bad", 1, "aa bb aa"),
+            ("bad", 2, "aa aa"),
+            ("bad", 3, ""),
+            ("bad", 4, "aa"),
+            ("ok", 10, "aa aa aa cc"),
+        ],
+        ["book_id", "stem", "txt"],
+    )
+    audio = spark.createDataFrame(
+        [
+            ("bad", 1, 2.5),
+            ("bad", 3, 1.0),
+            ("bad", 4, 0.0),
+            ("bad", 99, 3.0),
+            ("ok", 10, 4.0),
+        ],
+        ["book_id", "stem", "duration"],
+    )
+    lexicon = spark.createDataFrame([("aa",), ("cc",)], ["w"])
+    rows = {
+        r.book_id: r
+        for r in qc.corpus_validate(transcripts, audio, lexicon).collect()
+    }
+    bad = rows["bad"]
+    # s1 + s4 are paired with non-empty text: 4 tokens, 1 OOV ("bb")
+    assert (
+        bad.n_segments,
+        bad.n_missing_audio,
+        bad.n_unpaired_audio,
+        bad.n_empty_transcripts,
+        bad.n_zero_duration,
+    ) == (4, 1, 1, 1, 1)
+    assert bad.oov_rate == pytest.approx(0.25)
+    assert bad.valid is False
+    ok = rows["ok"]
+    assert (
+        ok.n_segments,
+        ok.n_missing_audio,
+        ok.n_unpaired_audio,
+        ok.n_empty_transcripts,
+        ok.n_zero_duration,
+    ) == (1, 0, 0, 0, 0)
+    assert ok.oov_rate == pytest.approx(0.0)
+    assert ok.valid is True

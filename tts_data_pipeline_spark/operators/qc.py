@@ -127,3 +127,102 @@ def qc_wer_gate(
         )
         .withColumn("qualified", F.col("avg_wer") < wer_threshold)
     )
+
+
+def corpus_validate(
+    transcripts: DataFrame,
+    audio: DataFrame,
+    lexicon: DataFrame,
+    oov_threshold: float = 0.15,
+) -> DataFrame:
+    """MFA-style corpus validation report (the ``mfa validate`` pre-flight
+    the reference shells out to at ``alignment/mfa_batch_align.py:199-229``
+    before aligning): per book, count the defect classes that would make a
+    forced-alignment run fail or silently skip files, plus the
+    out-of-vocabulary token rate against a pronunciation lexicon.
+
+    Inputs: ``transcripts`` (book_id, stem, txt), ``audio`` (book_id,
+    stem, duration), ``lexicon`` (w).  Output per book: segment count,
+    transcripts with no audio, audio with no transcript, empty
+    transcripts, zero-duration paired audio, OOV rate over paired
+    non-empty transcripts, and a ``valid`` verdict (no defects, OOV rate
+    within threshold).
+
+    100 TB shape: one full-outer shuffle on (book, stem) — the same
+    stem-pairing exchange as J2 — one corpus-sized token explode feeding a
+    single aggregate, and the lexicon joined as a BROADCAST (dictionaries
+    are vocabulary-sized).  The report itself is books-sized.  The OOV
+    rounding is the shared ``floor(x*1e4+0.5)`` rule so DuckDB replays it
+    bit-for-bit."""
+    t = transcripts.select(
+        F.col("book_id").alias("tb"), F.col("stem").alias("t_stem"), "txt"
+    )
+    a = audio.select(
+        F.col("book_id").alias("ab"),
+        F.col("stem").alias("a_stem"),
+        "duration",
+    )
+    p = t.join(
+        a, (t.tb == a.ab) & (t.t_stem == a.a_stem), "full_outer"
+    ).select(
+        F.coalesce("tb", "ab").alias("book_id"),
+        "t_stem",
+        "a_stem",
+        "txt",
+        "duration",
+    )
+    has_t = F.col("t_stem").isNotNull()
+    has_a = F.col("a_stem").isNotNull()
+    counts = p.groupBy("book_id").agg(
+        F.sum(has_t.cast("long")).alias("n_segments"),
+        F.sum((has_t & ~has_a).cast("long")).alias("n_missing_audio"),
+        F.sum((has_a & ~has_t).cast("long")).alias("n_unpaired_audio"),
+        F.sum((has_t & (F.col("txt") == "")).cast("long")).alias(
+            "n_empty_transcripts"
+        ),
+        F.sum((has_t & has_a & (F.col("duration") <= 0)).cast("long")).alias(
+            "n_zero_duration"
+        ),
+    )
+    toks = (
+        p.filter(has_t & has_a & (F.col("txt") != ""))
+        .select("book_id", F.explode(F.split("txt", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    oov = (
+        toks.join(
+            F.broadcast(lexicon.select(F.col("w").alias("lw"))),
+            toks.w == F.col("lw"),
+            "left",
+        )
+        .groupBy("book_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("lw").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    rate = F.floor(
+        F.coalesce(F.col("n_oov"), F.lit(0))
+        * 10000.0
+        / F.greatest(F.coalesce(F.col("n_tok"), F.lit(0)), F.lit(1))
+        + 0.5
+    ) / 10000.0
+    return (
+        counts.join(oov, "book_id", "left")
+        .select(
+            "book_id",
+            "n_segments",
+            "n_missing_audio",
+            "n_unpaired_audio",
+            "n_empty_transcripts",
+            "n_zero_duration",
+            rate.alias("oov_rate"),
+            (
+                (F.col("n_missing_audio") == 0)
+                & (F.col("n_unpaired_audio") == 0)
+                & (F.col("n_empty_transcripts") == 0)
+                & (F.col("n_zero_duration") == 0)
+                & (rate <= F.lit(oov_threshold))
+            ).alias("valid"),
+        )
+    )

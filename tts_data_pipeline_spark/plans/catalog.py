@@ -123,6 +123,8 @@ _PRIORITY = (
     "k5_chunked_download",
     "s1_k1_books_csv_roundtrip",
     "k7_partitioned_layout_roundtrip",
+    "qc_corpus_validate",
+    "ta_bpe_encode_chunked",
 )
 
 

@@ -1070,25 +1070,20 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     R limit: the static replace-chain grows the expression tree linearly
     in the merge count, which is fine for the R ≤ ~500 this catalog
     exercises but would hit Catalyst analysis/codegen limits long before
-    data volume at production R ≈ 30k.  The large-R shape is batched
-    application over the same distinct-word frame: encode with a
-    vectorized ``pandas_udf`` holding the full merge table (model state,
-    broadcast once per executor — exactly how HF ``tokenizers`` ships the
-    vocab), or iterate the replace-chain in chunks of ~200 merges with a
-    persist between chunks (the ``persist_every`` pattern the learner
-    already uses).  Either keeps the per-occurrence amortization; only the
-    per-WORD segmentation step changes."""
-    mrows = learn_bpe_merges(spark, sf_dir, rounds=3).collect()
-    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    chars = F.transform(
-        F.sequence(F.lit(0), F.length("w") - 1),
-        lambda i: F.col("w").substr(i + 1, F.lit(1)),
-    )
-    expr = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
-    for row in mrows:
+    data volume at production R ≈ 30k.  :func:`bpe_encode_corpus` with
+    ``chunk_size`` set is the large-R shape (chunks of merges with a
+    lineage-truncating persist between them — the ``persist_every``
+    pattern the learner already uses); ``ta_bpe_encode_chunked`` runs it
+    oracle-checked."""
+    return bpe_encode_corpus(spark, sf_dir, rounds=3)
+
+
+def _bpe_apply_merges(expr, merge_rows):
+    """Greedy left-to-right BPE merge application as a pure string
+    expression chain: the double-space ``replace`` trick makes word-start/
+    word-interior boundaries explicit so each merge rewrites every
+    occurrence exactly as the sequential algorithm would."""
+    for row in merge_rows:
         expr = F.replace(
             F.replace(
                 F.replace(expr, F.lit(" "), F.lit("  ")),
@@ -1098,15 +1093,71 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("  "),
             F.lit(" "),
         )
-    enc = (
-        toks.select("w")
-        .distinct()
-        .select(
-            "w", F.size(F.split(F.trim(expr), " ")).cast("long").alias("pieces")
+    return expr
+
+
+def bpe_encode_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 3,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Encode the corpus with ``rounds`` learned merges and report per-doc
+    subword budgets.  ``chunk_size=None`` builds one static replace-chain
+    (fine to R ≈ 500); setting it applies merges in chunks with a parquet
+    persist of the vocabulary's partial segmentation between chunks — the
+    shape that survives production R ≈ 30k, where a monolithic 90k-deep
+    expression tree would blow up Catalyst analysis/codegen long before
+    data size matters.  The persisted state is the DISTINCT-WORD frame
+    (vocabulary-sized, never the corpus), so chunking costs
+    R/chunk_size tiny write/read round-trips and keeps every chunk's
+    expression inside whole-stage codegen."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
+
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
+    mrows = learn_bpe_merges(spark, sf_dir, rounds=rounds).collect()
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    chars = F.transform(
+        F.sequence(F.lit(0), F.length("w") - 1),
+        lambda i: F.col("w").substr(i + 1, F.lit(1)),
+    )
+    seg0 = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    if chunk_size is None:
+        enc = (
+            toks.select("w")
+            .distinct()
+            .select("w", _bpe_apply_merges(seg0, mrows).alias("seg"))
         )
+    else:
+        workdir = scratch_mkdtemp("bpe_enc_state_")
+        atexit.register(_shutil.rmtree, workdir, ignore_errors=True)
+        enc = toks.select("w").distinct().select("w", seg0.alias("seg"))
+        for ci in range(0, len(mrows), chunk_size):
+            enc = enc.select(
+                "w",
+                _bpe_apply_merges(
+                    F.col("seg"), mrows[ci: ci + chunk_size]
+                ).alias("seg"),
+            )
+            path = _os.path.join(workdir, f"seg_{ci}")
+            enc.write.mode("overwrite").parquet(path)
+            enc = spark.read.parquet(path)
+            if ci >= chunk_size:
+                _shutil.rmtree(
+                    _os.path.join(workdir, f"seg_{ci - chunk_size}"),
+                    ignore_errors=True,
+                )
+    pieces = enc.select(
+        "w", F.size(F.split(F.trim("seg"), " ")).cast("long").alias("pieces")
     )
     return (
-        toks.join(F.broadcast(enc), "w")
+        toks.join(F.broadcast(pieces), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -1114,6 +1165,17 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("ta_bpe_encode_chunked", oracle=_bpe_encode_oracle(6))
+def ta_bpe_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-R tokenizer-application shape, value-checked: six merges
+    applied in chunks of two with a vocabulary-frame persist between
+    chunks.  Same oracle generator as the static chain at R=6, so the
+    chunked application is proven bit-identical to the monolithic
+    expression — the property that lets a production job pick chunk size
+    purely on codegen limits."""
+    return bpe_encode_corpus(spark, sf_dir, rounds=6, chunk_size=2)
 
 
 # --- linear quality classifier ---------------------------------------------

@@ -271,3 +271,125 @@ def pipeline_e2e_align_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("book_id")
     )
+
+
+@query(
+    "qc_corpus_validate",
+    oracle="""
+    WITH t AS (
+      SELECT source AS book_id, doc_id AS stem,
+             CASE WHEN doc_id % 31 = 0 THEN '' ELSE text END AS txt
+      FROM documents
+    ), a AS (
+      SELECT source AS book_id, doc_id AS stem,
+             CASE WHEN doc_id % 29 = 0 THEN 0.0
+                  ELSE (n_chars % 997) / 100.0 END AS duration
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT source, doc_id + 500000, 1.0
+      FROM documents WHERE doc_id % 23 = 0
+    ), p AS (
+      SELECT COALESCE(t.book_id, a.book_id) AS book_id,
+             t.stem AS t_stem, a.stem AS a_stem, t.txt, a.duration
+      FROM t FULL OUTER JOIN a
+        ON t.book_id = a.book_id AND t.stem = a.stem
+    ), lex AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+        AND ('0x' || substr(md5(w), 1, 15))::BIGINT % 100 < 85
+    ), tok AS (
+      SELECT book_id, w FROM (
+        SELECT book_id, unnest(string_split(txt, ' ')) AS w
+        FROM p
+        WHERE t_stem IS NOT NULL AND a_stem IS NOT NULL AND txt <> ''
+      ) WHERE w <> ''
+    ), oovc AS (
+      SELECT tok.book_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN lex.w IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tok LEFT JOIN lex ON tok.w = lex.w
+      GROUP BY tok.book_id
+    ), counts AS (
+      SELECT book_id,
+             CAST(SUM(CASE WHEN t_stem IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_segments,
+             CAST(SUM(CASE WHEN t_stem IS NOT NULL AND a_stem IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_audio,
+             CAST(SUM(CASE WHEN a_stem IS NOT NULL AND t_stem IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_unpaired_audio,
+             CAST(SUM(CASE WHEN t_stem IS NOT NULL AND txt = ''
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_transcripts,
+             CAST(SUM(CASE WHEN t_stem IS NOT NULL AND a_stem IS NOT NULL
+                           AND duration <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_duration
+      FROM p GROUP BY book_id
+    )
+    SELECT c.book_id AS book_id, n_segments, n_missing_audio, n_unpaired_audio,
+           n_empty_transcripts, n_zero_duration,
+           FLOOR(COALESCE(n_oov, 0) * 10000.0
+                 / greatest(COALESCE(n_tok, 0), 1) + 0.5) / 10000.0
+             AS oov_rate,
+           (n_missing_audio = 0 AND n_unpaired_audio = 0
+            AND n_empty_transcripts = 0 AND n_zero_duration = 0
+            AND FLOOR(COALESCE(n_oov, 0) * 10000.0
+                      / greatest(COALESCE(n_tok, 0), 1) + 0.5) / 10000.0
+                <= 0.15) AS valid
+    FROM counts c LEFT JOIN oovc ON c.book_id = oovc.book_id
+    ORDER BY book_id
+    """,
+)
+def qc_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mfa validate`` pre-flight report the round-4 verdict flagged
+    as the one missing dataflow (``alignment/mfa_batch_align.py:199-229``):
+    per-book counts of unpaired audio/transcripts, empty transcripts,
+    zero-duration audio, and the OOV rate against a broadcast lexicon —
+    the checks MFA runs before committing GPU-hours to alignment.
+
+    The corpus fixture derives deterministically from ``documents``
+    (book=source, stem=doc_id), planting every defect class by residue:
+    doc_id%31 empties the transcript, %17 drops the audio file, %29 zeroes
+    its duration, %23 adds an orphan audio stem; the lexicon keeps 85% of
+    the corpus vocabulary by the portable md5 hash.  Built on
+    :func:`operators.qc.corpus_validate` — one (book, stem) full-outer
+    pairing exchange (the J2 stem-join shape), one token explode into a
+    single aggregate, lexicon broadcast."""
+    from tts_data_pipeline_spark.operators.qc import corpus_validate
+
+    d = table(spark, sf_dir, "documents")
+    txt = d.select(
+        F.col("source").alias("book_id"),
+        F.col("doc_id").alias("stem"),
+        F.when(F.col("doc_id") % 31 == 0, F.lit("")).otherwise(
+            F.col("text")
+        ).alias("txt"),
+    )
+    audio = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            F.col("source").alias("book_id"),
+            F.col("doc_id").alias("stem"),
+            F.when(F.col("doc_id") % 29 == 0, F.lit(0.0))
+            .otherwise((F.col("n_chars") % 997) / 100.0)
+            .alias("duration"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 23 == 0).select(
+                F.col("source").alias("book_id"),
+                (F.col("doc_id") + 500000).alias("stem"),
+                F.lit(1.0).alias("duration"),
+            )
+        )
+    )
+    lexicon = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .filter(
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % 100
+            < 85
+        )
+    )
+    return corpus_validate(txt, audio, lexicon).orderBy("book_id")
