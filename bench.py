@@ -99,6 +99,8 @@ HEADLINE = [
     "mm_audio_qc",
     "sim_hybrid_search",
     "agg_histogram_equiwidth",
+    "qc_corpus_validate",
+    "ta_bpe_encode_chunked",
 ]
 
 

@@ -194,6 +194,21 @@ def _tile_keyed(name: str, k_copies: int, outdir: str, src: str = SRC) -> None:
             i = c.schema.get_field_index(col)
             arr = pa.compute.add(c.column(col), k * KEY_OFF)
             c = c.set_column(i, c.schema.field(col), arr)
+        if name == "customer" and k > 0:
+            # Rewrite the name prefix per copy (same length, edit distance
+            # ≥2 between copies, within-copy structure untouched).  Tiling
+            # names VERBATIM made every copy of "Customer#N" fuzzy-match
+            # every other copy, growing edit-distance dup PAIRS
+            # quadratically in K — the measured cause of dedup_clusters'
+            # 1.19 slope at K=10 (constant 6 CC rounds, so it was the edge
+            # list, not convergence).  Per-copy perturbation keeps the
+            # fuzzy dup RATE constant, exactly like the documents
+            # generator.
+            i = c.schema.get_field_index("c_name")
+            arr = pa.compute.replace_substring(
+                c.column("c_name"), "Customer#", f"Cus{k % 100:02d}mer#"
+            )
+            c = c.set_column(i, c.schema.field("c_name"), arr)
         copies.append(c)
     pq.write_table(pa.concat_tables(copies), f"{outdir}/{name}.parquet")
 

@@ -420,40 +420,70 @@ def u6_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-match dedup: edit-distance pairs within (nation, name-length)
-    bands — the typo-level near-dup modality (exact hash, MinHash, SimHash,
-    embedding cosine cover the other granularities).
+    """Fuzzy-match dedup: edit-distance-≤1 pairs within a nation — the
+    typo-level near-dup modality (exact hash, MinHash, SimHash, embedding
+    cosine cover the other granularities).
 
-    Candidate bounding: distance ≤ 1 implies |len(a) − len(b)| ≤ 1, so side
-    B emits band keys {len−1, len, len+1} and side A joins on its own
-    length — each qualifying pair meets on exactly ONE band key (no dedup
-    pass), and the pair space is per-(nation, length) instead of
-    per-nation quadratic.  levenshtein is a JVM builtin on both engines."""
+    Candidate bounding is DELETION-NEIGHBORHOOD banding (the FastSS /
+    SymSpell symmetric-delete scheme): every name emits itself plus its L
+    single-character-deletion variants as band keys, and two names within
+    edit distance 1 MUST share a variant — a substitution pair shares the
+    string with the mismatch position deleted, an insert/delete pair
+    shares the shorter string itself.  Candidates therefore grow with the
+    number of TRUE near-collisions, not with band population.
+
+    This replaced (nation, name-length) banding after the round-5 scaling
+    measurement caught it: with every customer name the same length, the
+    band key had ~25 distinct values, candidate pairs grew as n²/25, and
+    `dedup_clusters` ran a 1.55 local slope on the sf0.3→sf1 segment
+    (constant 6 CC rounds — the edge-scoring, not convergence).  Length
+    banding only bounds pairs when lengths VARY; deletion neighborhoods
+    bound them by content, which survives any length distribution.  The
+    cost is a (L+1)-way explode of (id, variant) — shuffle volume O(n·L),
+    linear — against the old scheme's O(n²/bands) levenshtein
+    evaluations.  A matching pair can share up to 2 variants, so
+    candidates pass one DISTINCT before the single levenshtein
+    evaluation (eval_once keeps it in the projection, off the join
+    condition)."""
     from tts_data_pipeline_spark.sources.readers import spread
 
     c = spread(table(spark, sf_dir, "customer")).select(
-        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("_len")
+        "c_custkey", "c_name", "c_nationkey"
     )
-    a = c.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nat"),
-        F.col("_len").alias("_band"),
+    variants = F.array_union(
+        F.array(F.col("c_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("c_name")),
+            lambda i: F.concat(
+                F.col("c_name").substr(F.lit(1), i - 1),
+                F.col("c_name").substr(i + 1, F.length("c_name")),
+            ),
+        ),
     )
-    b = c.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
+    v = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nat"),
-        F.explode(
-            F.array(F.col("_len") - 1, F.col("_len"), F.col("_len") + 1)
-        ).alias("_band"),
+        F.explode(variants).alias("_band"),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        "nat",
+        "_band",
+    )
+    b = v.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        "nat",
+        "_band",
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
         a.join(b, ["nat", "_band"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # eval_once: evaluate levenshtein once in the projection, not in
-        # the join condition / filter (see operators/dedup.py:eval_once)
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
         .select("id_a", "id_b", D.eval_once(dist.cast("long")).alias("dist"))
         .filter(F.col("dist") <= 1)
         .orderBy("id_a", "id_b")
