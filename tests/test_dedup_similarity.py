@@ -86,12 +86,32 @@ def test_ngram_jaccard_salted_matches_unsalted(spark):
         results[s] = sorted(
             (r.id_a, r.id_b, r.jaccard)
             for r in D.ngram_jaccard_pairs(
-                df, bucket_cols=("bucket",), threshold=0.1, pair_salt=s
+                df,
+                bucket_cols=("bucket",),
+                threshold=0.1,
+                pair_salt=s,
+                prefix_filter=False,
             ).collect()
         )
     assert results[1] == results[3] == results[8]
     assert len(results[1]) > 0
     assert all(a < b for a, b, _ in results[1])
+    # the AllPairs prefix filter is a pure candidate bound: identical
+    # output to the exhaustive enumeration at any threshold
+    for t in (0.1, 0.5):
+        exhaustive = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                df, bucket_cols=("bucket",), threshold=t, prefix_filter=False
+            ).collect()
+        )
+        filtered = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                df, bucket_cols=("bucket",), threshold=t, prefix_filter=True
+            ).collect()
+        )
+        assert filtered == exhaustive, t
 
 
 def test_ngram_jaccard_pair_budget(spark):

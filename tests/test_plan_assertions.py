@@ -353,3 +353,14 @@ def test_bpe_chunked_encode_equals_static(spark):
     a = bpe_encode_corpus(spark, SF_DIR, rounds=5).collect()
     b = bpe_encode_corpus(spark, SF_DIR, rounds=5, chunk_size=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_corpus_validate_broadcasts_lexicon_and_pairs_on_stem(spark):
+    """qc_corpus_validate: the pronunciation lexicon (vocabulary-sized)
+    must broadcast onto the token stream; the transcript/audio pairing is
+    the one corpus-sized exchange — a full-outer shuffle join on
+    (book, stem); nothing may plan a cartesian."""
+    plan = plan_of(spark, "qc_corpus_validate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "FullOuter" in plan, plan

@@ -270,9 +270,21 @@ def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label buckets.
 
-    The bucketed-pair-space pattern at the vector layer: the label (at scale,
-    an LSH/IVF cell id) bounds the self-join, cosine verifies.  Dot products
-    are JVM-side ``aggregate(zip_with(...))`` — no Python in the loop."""
+    The bucketed-pair-space pattern at the vector layer: the label bounds
+    the self-join, cosine verifies.  Dot products are JVM-side
+    ``aggregate(zip_with(...))`` — no Python in the loop.
+
+    Scale honesty (round-5 measurement: slope 1.38 at a FIXED label
+    count): all-pairs-within-bucket is Θ(Σ bucket²) by definition, and —
+    unlike token sets (AllPairs prefix filter) or edit distance (deletion
+    neighborhoods) — dense vectors admit no cheap EXACT candidate bound,
+    which is why every production system approximates here.  The operator
+    stays correct at scale only if the bucket column is itself
+    data-scaled: an IVF cell id from ``emb_kmeans_lloyd`` with k ∝ n/c
+    keeps buckets constant-sized and the verify linear; the catalog's
+    ANN family (``sim_ivf_topk``, ``sim_lsh_ann_topk``, recall-tested)
+    is that path.  With the test data's fixed label column the quadratic
+    growth is the semantics being asked for, not a plan defect."""
     from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
     from tts_data_pipeline_spark.sources.readers import spread
 
