@@ -282,3 +282,23 @@ def test_ivf_plan_has_no_big_side_window(spark):
     # WindowGroupLimit nodes are the rank<=k pushdown, not extra windows
     assert plan.count("windowspecdefinition") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_jaccard_probe_picks_path_by_vocab_richness(spark):
+    """The auto mode's sampled probe must choose prefix filtering on a
+    rich-vocabulary corpus and the exhaustive enumeration on a
+    near-universal one (where rarity ordering can't discriminate)."""
+    rich = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}", 0) for i in range(60)],
+        ["doc_id", "text", "bucket"],
+    )
+    D.ngram_jaccard_pairs(rich, bucket_cols=("bucket",)).collect()
+    assert D.LAST_JACCARD_PLAN["prefix_filter"] is True, D.LAST_JACCARD_PLAN
+
+    degenerate = spark.createDataFrame(
+        [(i, "aa bb cc dd", 0) for i in range(60)],
+        ["doc_id", "text", "bucket"],
+    )
+    D.ngram_jaccard_pairs(degenerate, bucket_cols=("bucket",)).collect()
+    assert D.LAST_JACCARD_PLAN["prefix_filter"] is False, D.LAST_JACCARD_PLAN
+    assert D.LAST_JACCARD_PLAN["sampled_vocab"] == 4

@@ -213,6 +213,15 @@ def minhash_lsh_pairs(
     )
 
 
+# Diagnostics from the most recent ``ngram_jaccard_pairs`` call with
+# ``prefix_filter=None``: what the vocabulary-richness probe saw and which
+# candidate path it chose.  Driver-side scalars only; exists so a pytest
+# can pin the decision on both corpus shapes (rich vocab → prefix filter,
+# near-universal vocab → exhaustive) and so a regression in the probe
+# fails a named assertion instead of a wall-time number.
+LAST_JACCARD_PLAN: dict = {}
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,6 +293,14 @@ def ngram_jaccard_pairs(
         )
         sample.unpersist()
         prefix_filter = n_vocab * 4 >= n_docs
+        LAST_JACCARD_PLAN.clear()
+        LAST_JACCARD_PLAN.update(
+            {
+                "sampled_docs": n_docs,
+                "sampled_vocab": n_vocab,
+                "prefix_filter": prefix_filter,
+            }
+        )
     if prefix_filter:
         ex = base.select("_id", *bucket_cols, F.explode("_tokset").alias("_t"))
         tok_df = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
