@@ -302,3 +302,28 @@ def test_ngram_jaccard_probe_picks_path_by_vocab_richness(spark):
     D.ngram_jaccard_pairs(degenerate, bucket_cols=("bucket",)).collect()
     assert D.LAST_JACCARD_PLAN["prefix_filter"] is False, D.LAST_JACCARD_PLAN
     assert D.LAST_JACCARD_PLAN["sampled_vocab"] == 4
+
+
+def test_cache_registry_reuses_same_plan_replaces_changed(spark):
+    """cache_replacing must hand back the stored frame on a same-plan
+    reinvocation (repeat queries keep hitting materialized data) and
+    unpersist the old base when the plan changes (no accumulation across
+    table dirs in a long session)."""
+    from tts_data_pipeline_spark import cachereg
+
+    a1 = spark.range(100).selectExpr("id", "id * 2 AS v")
+    c1 = cachereg.cache_replacing("t_reg", a1)
+    c1.count()
+    assert c1.storageLevel.useMemory
+    # same plan, new DataFrame object -> the STORED frame comes back
+    a2 = spark.range(100).selectExpr("id", "id * 2 AS v")
+    c2 = cachereg.cache_replacing("t_reg", a2)
+    assert c2 is c1
+    # different plan -> old unpersisted, new cached
+    b = spark.range(100).selectExpr("id", "id * 3 AS v")
+    c3 = cachereg.cache_replacing("t_reg", b)
+    c3.count()
+    assert not c1.storageLevel.useMemory
+    assert c3.storageLevel.useMemory
+    c3.unpersist()
+    del cachereg._CACHED["t_reg"]

@@ -364,3 +364,32 @@ def test_corpus_validate_broadcasts_lexicon_and_pairs_on_stem(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "FullOuter" in plan, plan
+
+
+def test_jaccard_prefix_candidates_never_carry_token_sets(spark):
+    """The prefix-filter candidate join must shuffle only narrow keys
+    (id, size, bucket, prefix token) — the token-set arrays join back by
+    id in the verify stage, exactly like the MinHash band join.  Built
+    with prefix_filter forced on: the catalog entry's probe would pick
+    the exhaustive path on the degenerate test corpus."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from tts_data_pipeline_spark.sources.readers import table
+
+    d = table(spark, SF_DIR, "documents").withColumn(
+        "size_bucket", F.floor(F.col("n_chars") / 100.0).cast("long")
+    )
+    df = ngram_jaccard_pairs(
+        d, bucket_cols=("lang", "size_bucket"), prefix_filter=True
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the pair-generating explodes are over _pref; the _tokset explodes
+    # upstream are the per-token frequency builders (one token per row,
+    # array never rides a join).  The _pref explode outputs must not
+    # carry the token-set arrays.
+    pref_lines = [
+        ln for ln in opt.splitlines() if "Generate explode(_pref" in ln
+    ]
+    assert len(pref_lines) == 2, opt
+    assert all("_tokset" not in ln for ln in pref_lines), pref_lines

@@ -163,11 +163,16 @@ def minhash_lsh_pairs(
         "_tokset",
         minhash_signature(F.col("_shingles"), num_hashes).alias("_sig"),
     )
-    base = signed.select(
-        "_id",
-        "_tokset",
-        band_keys(F.col("_sig"), bands, rows_per_band).alias("_bands"),
-    ).cache()
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    base = cache_replacing(
+        "minhash_lsh_pairs",
+        signed.select(
+            "_id",
+            "_tokset",
+            band_keys(F.col("_sig"), bands, rows_per_band).alias("_bands"),
+        ),
+    )
     # Candidate generation shuffles ONLY (id, bucket) — never the token
     # sets: at 100 TB the band explosion is ×bands rows, and carrying the
     # token arrays through it would multiply shuffle bytes by the document
@@ -280,9 +285,16 @@ def ngram_jaccard_pairs(
     from tts_data_pipeline_spark.sources.readers import spread
 
     tokens = F.array_distinct(normalized_tokens(F.col(text_col)))
-    base = spread(
-        df.select(F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols)
-    ).cache()
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    base = cache_replacing(
+        "ngram_jaccard_pairs",
+        spread(
+            df.select(
+                F.col(id_col).alias("_id"), tokens.alias("_tokset"), *bucket_cols
+            )
+        ),
+    )
     if prefix_filter is None:
         # bounded probe: vocabulary richness is a ratio, so a ~1k-doc
         # sample decides it as reliably as a full scan at any corpus size
@@ -315,20 +327,35 @@ def ngram_jaccard_pairs(
             .select(
                 "_id",
                 *bucket_cols,
+                F.size("_st").alias("_n"),
                 F.slice(
                     F.transform("_st", lambda s: s["_t"]), F.lit(1), plen
                 ).alias("_pref"),
             )
         )
         pa = pref.select(
-            F.col("_id").alias("_ida"), *bucket_cols, F.explode("_pref").alias("_t")
+            F.col("_id").alias("_ida"),
+            F.col("_n").alias("_na"),
+            *bucket_cols,
+            F.explode("_pref").alias("_t"),
         )
         pb = pref.select(
-            F.col("_id").alias("_idb"), *bucket_cols, F.explode("_pref").alias("_t")
+            F.col("_id").alias("_idb"),
+            F.col("_n").alias("_nb"),
+            *bucket_cols,
+            F.explode("_pref").alias("_t"),
         )
         cand = (
             pa.join(pb, [*bucket_cols, "_t"])
             .filter(F.col("_ida") < F.col("_idb"))
+            # length filter (exact): Jaccard ≥ t forces t·max(|a|,|b|) ≤
+            # min(|a|,|b|) — set sizes ride the explode as one int each,
+            # so size-incompatible candidates die before the DISTINCT and
+            # the token-set verify join ever see them
+            .filter(
+                F.lit(threshold) * F.greatest("_na", "_nb")
+                <= F.least("_na", "_nb")
+            )
             .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
             # a pair can share several prefix tokens: dedup before verify
             .distinct()

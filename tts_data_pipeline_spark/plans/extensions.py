@@ -202,7 +202,10 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{j}")
             for j in range(_MH_SEEDS)
         ],
-    ).cache()
+    )
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    signed = cache_replacing("dedup_minhash_md5", signed)
     bands = signed.select(
         "doc_id",
         F.explode(

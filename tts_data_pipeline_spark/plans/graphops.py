@@ -92,10 +92,13 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("w"))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    trans = (
-        edges.join(F.broadcast(out_w), "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .cache()
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    trans = cache_replacing(
+        "graph_pagerank_trade",
+        edges.join(F.broadcast(out_w), "src").select(
+            "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+        ),
     )
     n_nodes = nation.count()
     ranks = nation.select(
