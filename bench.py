@@ -101,6 +101,9 @@ HEADLINE = [
     "agg_histogram_equiwidth",
     "qc_corpus_validate",
     "ta_bpe_encode_chunked",
+    "ta_unigram_lm_learn",
+    "ta_unigram_lm_encode",
+    "ta_perplexity_kneser_ney",
 ]
 
 

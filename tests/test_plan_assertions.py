@@ -393,3 +393,49 @@ def test_jaccard_prefix_candidates_never_carry_token_sets(spark):
     ]
     assert len(pref_lines) == 2, opt
     assert all("_tokset" not in ln for ln in pref_lines), pref_lines
+
+
+def test_unigram_lm_dp_is_jvm_expression_and_model_broadcasts(spark):
+    """The unigram-LM Viterbi must be pure codegen — no Python evaluation
+    anywhere in the DP — with the piece model riding a broadcast join
+    (never shuffling the lattice), and the encode's corpus-side join of
+    the segmented vocabulary must broadcast too.  Built on non-registry
+    frames so cached InMemoryRelations can't hide the join operators."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.corpus import (
+        _uni_logp,
+        _uni_spans,
+        _uni_viterbi,
+    )
+    from tts_data_pipeline_spark.sources.readers import table
+
+    words = (
+        table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    spans = _uni_spans(words)
+    v = _uni_logp(
+        spans.groupBy("piece").agg(
+            F.sum("freq").cast("bigint").alias("cnt")
+        )
+    )
+    seg = _uni_viterbi(words, spans, v)
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+    from tts_data_pipeline_spark.plans.corpus import ta_unigram_lm_encode
+
+    eplan = (
+        ta_unigram_lm_encode(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in eplan and "ArrowEvalPython" not in eplan
+    assert eplan.count("BroadcastHashJoin") >= 1, eplan

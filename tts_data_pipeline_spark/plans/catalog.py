@@ -125,6 +125,9 @@ _PRIORITY = (
     "k7_partitioned_layout_roundtrip",
     "qc_corpus_validate",
     "ta_bpe_encode_chunked",
+    "ta_unigram_lm_learn",
+    "ta_unigram_lm_encode",
+    "ta_perplexity_kneser_ney",
 )
 
 

@@ -831,6 +831,120 @@ def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ta_perplexity_kneser_ney",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), docbi AS (
+      SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+      FROM docs, UNNEST(range(CAST(len(words) - 1 AS BIGINT))) AS t(i)
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM docbi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n_fw
+      FROM bi GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bw FROM bi GROUP BY w2
+    ), types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi
+    ), scored AS (
+      SELECT d.doc_id,
+             ln((GREATEST(CAST(bi.c12 AS DOUBLE) - 0.75, 0.0)
+                 + 0.75 * ctx.n_fw * (CAST(cont.n_bw AS DOUBLE) / types.n_types))
+                / ctx.c1) AS logp
+      FROM docbi d
+      JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+      JOIN ctx ON d.w1 = ctx.w1
+      JOIN cont ON d.w2 = cont.w2
+      CROSS JOIN types
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS avg_logp,
+           ROUND(exp(-AVG(logp)), 2) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ta_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram perplexity — the KenLM/CCNet scoring
+    model proper (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26, fixed
+    absolute discount D=0.75).  Where ``ta_perplexity_bigram`` add-0.5
+    smooths, KN discounts observed bigram mass and backs off to the
+    CONTINUATION distribution (how many distinct left-contexts a word
+    completes), the property that makes it the de-facto LM for corpus
+    quality filtering.
+
+    P(w2|w1) = (max(c(w1,w2) - D, 0) + D·N1+(w1,•)·Pcont(w2)) / c(w1,•)
+    with Pcont(w2) = N1+(•,w2) / |distinct bigrams|.
+
+    100 TB shape: identical to the add-0.5 scorer — every model table
+    (bigram counts, per-context totals + fan-out, continuation counts,
+    one scalar type count) is VOCABULARY²-bounded and in practice
+    vocabulary-sized, aggregates map-side, and broadcasts back onto the
+    per-doc bigram stream; the only corpus-sized shuffle is the final
+    per-doc avg.  Numerics: D=0.75 is exactly representable, counts are
+    exact bigints, and both engines evaluate the identically-parenthesized
+    rational expression before one ``ln`` — the 4dp/2dp rounding sits far
+    above libm ulp noise (PLANS.md "continuous aggregates" rule)."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    w = d.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 2),
+            lambda i: F.struct(
+                F.col("words")[i].alias("w1"),
+                F.col("words")[i + 1].alias("w2"),
+            ),
+        )
+    )
+    docbi = w.select("doc_id", bigram.alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bi = docbi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fw"),
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_bw"))
+    types = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    scored = (
+        docbi.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.greatest(
+                        F.col("c12").cast("double") - 0.75, F.lit(0.0)
+                    )
+                    + 0.75
+                    * F.col("n_fw")
+                    * (F.col("n_bw").cast("double") / F.col("n_types"))
+                )
+                / F.col("c1")
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- BPE merge learning -----------------------------------------------------
 
 
@@ -1176,6 +1290,386 @@ def ta_bpe_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — the property that lets a production job pick chunk size
     purely on codegen limits."""
     return bpe_encode_corpus(spark, sf_dir, rounds=6, chunk_size=2)
+
+
+# --- unigram-LM tokenizer (SentencePiece hard-EM) ---------------------------
+
+_UNI_PIECE_LEN = 4  # max candidate piece length
+_UNI_SEED_MULTI = 120  # multi-char seed pieces kept (cnt DESC, piece ASC)
+_UNI_ROUNDS = 2  # hard-EM refinement rounds
+_UNI_MAX_WORD = 16  # words longer than this are excluded (oracle DP unroll)
+
+
+def _uni_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct words + corpus frequencies — the vocabulary frame every
+    unigram-LM stage runs on (the same distinct-word amortization the BPE
+    family uses).  Cached through the replace-on-reinvoke registry: learn
+    and encode in one session share the materialization."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    d = spread(table(spark, sf_dir, "documents")).select("text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= _UNI_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return cache_replacing("ta_unigram_lm_words", words)
+
+
+def _uni_spans(words: DataFrame) -> DataFrame:
+    """All (start, end, piece) substring spans of length 1..L per distinct
+    word — the candidate lattice both seeding and Viterbi read."""
+    return (
+        words.select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(0), F.length("word") - 1)
+            ).alias("j"),
+        )
+        .select(
+            "word",
+            "freq",
+            "j",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_UNI_PIECE_LEN))
+            ).alias("pl"),
+        )
+        .filter(F.col("j") + F.col("pl") <= F.length("word"))
+        .select(
+            "word",
+            "freq",
+            F.col("j").cast("int").alias("j"),
+            (F.col("j") + F.col("pl")).cast("int").alias("i"),
+            F.col("word")
+            .substr(F.col("j") + 1, F.col("pl"))
+            .alias("piece"),
+        )
+    )
+
+
+def _uni_logp(vbase: DataFrame) -> DataFrame:
+    """Attach round(ln(cnt/total), 6) scores — rounded so cross-engine
+    libm ulp noise cannot flip a Viterbi argmax (boundary hits on a
+    continuous ln are measure-zero, the PLANS.md rounding rule)."""
+    tot = vbase.agg(F.sum("cnt").cast("double").alias("tot"))
+    return vbase.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("cnt") / F.col("tot")), 6).alias("logp"),
+    )
+
+
+def _uni_viterbi(words: DataFrame, spans: DataFrame, v: DataFrame) -> DataFrame:
+    """Viterbi-segment every distinct word against piece table ``v`` as
+    ONE whole-stage-codegen expression per word — no UDF, no collect, no
+    driver round-trip.  The span lattice broadcast-joins the
+    vocabulary-sized piece table, collects per word, and an
+    ``F.aggregate`` over character positions folds the DP: position i's
+    best state is the array-min over candidate (negscore, k, path)
+    structs, i.e. max score, then fewest pieces, then lexicographically
+    first path — a total order replayed verbatim by the oracle's
+    ROW_NUMBER.  Storing NEGATED scores makes struct ordering do the
+    max-by-min trick exactly (IEEE negation is exact, so
+    ``prev_neg - logp == -(prev + logp)`` bit-for-bit)."""
+    sp = spans.join(F.broadcast(v.select("piece", "logp")), "piece").select(
+        "word", "j", "i", "piece", "logp"
+    )
+    wordspans = sp.groupBy("word").agg(
+        F.collect_list(F.struct("j", "i", "piece", "logp")).alias("spans")
+    )
+    init = F.array(
+        F.struct(
+            F.lit(0.0).alias("negscore"),
+            F.lit(0).cast("int").alias("k"),
+            F.lit("").alias("path"),
+        )
+    )
+
+    def step(acc, i):
+        def cand(s):
+            prev = F.element_at(acc, s["j"] + 1)
+            return F.struct(
+                (prev["negscore"] - s["logp"]).alias("negscore"),
+                (prev["k"] + 1).cast("int").alias("k"),
+                F.when(prev["path"] == "", s["piece"])
+                .otherwise(
+                    F.concat(prev["path"], F.lit(" "), s["piece"])
+                )
+                .alias("path"),
+            )
+
+        ends = F.filter(F.col("spans"), lambda s: s["i"] == i)
+        return F.concat(acc, F.array(F.array_min(F.transform(ends, cand))))
+
+    best = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step),
+        F.length("word") + 1,
+    )
+    return (
+        wordspans.join(words, "word")
+        .select("word", "freq", best.alias("b"))
+        .select(
+            "word",
+            "freq",
+            F.col("b.k").alias("k"),
+            F.col("b.path").alias("path"),
+        )
+    )
+
+
+def _uni_piece_table(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    """Learn the unigram-LM piece table: substring-count seeding (all
+    single chars + top-K multi-char spans) followed by ``rounds`` of hard
+    EM — Viterbi-resegment the vocabulary, recount pieces
+    frequency-weighted, re-normalize.  Single-char pieces survive with a
+    floor count of 1 (Kudo 2018's character-coverage guarantee: every
+    word stays segmentable); multi-char pieces drop when no Viterbi path
+    uses them."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    words = _uni_word_table(spark, sf_dir)
+    spans = _uni_spans(words)
+    seedcnt = spans.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    # chars is read every round (the coverage floor) and v{r} is read both
+    # by round r+1's lattice join and by the final output — persist the
+    # (tiny, vocabulary-sized) model frames or each reference replays the
+    # whole upstream chain, doubling work per round (the BPE
+    # `persist_every` lesson; keyed in the registry so a session holds
+    # one copy per round, replaced on the next invocation).
+    chars = cache_replacing(
+        "ta_unigram_lm_chars",
+        seedcnt.filter(F.length("piece") == 1).select("piece", "cnt"),
+    )
+    multi = (
+        seedcnt.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_UNI_SEED_MULTI)
+        .select("piece", "cnt")
+    )
+    char_universe = chars.select("piece")
+    v = cache_replacing("ta_unigram_lm_v0", _uni_logp(chars.unionAll(multi)))
+    for r in range(rounds):
+        seg = _uni_viterbi(words, spans, v)
+        ecnt = (
+            seg.select(
+                "freq", F.explode(F.split("path", " ")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        charcnt = char_universe.join(ecnt, "piece", "left").select(
+            "piece",
+            F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1))
+            .cast("bigint")
+            .alias("cnt"),
+        )
+        multicnt = ecnt.filter(F.length("piece") >= 2)
+        v = cache_replacing(
+            f"ta_unigram_lm_v{r + 1}", _uni_logp(charcnt.unionAll(multicnt))
+        )
+    return v
+
+
+def _uni_cte_chain(rounds: int, with_encode: bool) -> list:
+    """Shared DuckDB-CTE builder for the unigram-LM oracles: seed counts,
+    then per round an unrolled per-position Viterbi DP (positions
+    1..`_UNI_MAX_WORD`) whose per-level accumulator CTEs are MATERIALIZED
+    — each ``ab`` level is referenced twice and naive inlining would be
+    exponential in word length.  Tie-breaks replay the Spark struct
+    ordering: score DESC (as -(score) ASC), piece count ASC, path ASC."""
+    L, K, M = _UNI_PIECE_LEN, _UNI_SEED_MULTI, _UNI_MAX_WORD
+    parts = [
+        f"""WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> '' AND length(w) <= {M} GROUP BY w
+), spansall AS MATERIALIZED (
+  SELECT word, CAST(j AS INT) AS j, CAST(j + pl AS INT) AS i,
+         substr(word, CAST(j + 1 AS INT), CAST(pl AS INT)) AS piece
+  FROM words,
+       UNNEST(range(length(word))) AS a(j),
+       UNNEST(range(1, {L + 1})) AS b(pl)
+  WHERE j + pl <= length(word)
+), seedcnt AS (
+  SELECT s.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+  FROM spansall s JOIN words w ON w.word = s.word GROUP BY s.piece
+), chars0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seedcnt WHERE length(piece) = 1
+), multi0 AS (
+  SELECT piece, cnt FROM seedcnt WHERE length(piece) >= 2
+  ORDER BY cnt DESC, piece LIMIT {K}
+), v0base AS MATERIALIZED (
+  SELECT * FROM chars0 UNION ALL SELECT * FROM multi0
+), v0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         ROUND(LN(CAST(cnt AS DOUBLE) /
+               (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0base)), 6) AS logp
+  FROM v0base
+)"""
+    ]
+    total_passes = rounds + (1 if with_encode else 0)
+    for r in range(1, total_passes + 1):
+        parts.append(
+            f""", sp{r} AS MATERIALIZED (
+  SELECT s.word, s.j, s.i, s.piece, v.logp
+  FROM spansall s JOIN v{r - 1} v ON s.piece = v.piece
+), b{r}_0 AS (
+  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, 0 AS k, '' AS path
+  FROM words
+), ab{r}_0 AS MATERIALIZED (SELECT * FROM b{r}_0)"""
+        )
+        for i in range(1, M + 1):
+            parts.append(
+                f""", b{r}_{i} AS (
+  SELECT word, pos, score, k, path FROM (
+    SELECT s.word, {i} AS pos, b.score + s.logp AS score, b.k + 1 AS k,
+           CASE WHEN b.path = '' THEN s.piece
+                ELSE b.path || ' ' || s.piece END AS path,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.word
+             ORDER BY -(b.score + s.logp) ASC, b.k + 1 ASC,
+                      CASE WHEN b.path = '' THEN s.piece
+                           ELSE b.path || ' ' || s.piece END ASC
+           ) AS rn
+    FROM sp{r} s JOIN ab{r}_{i - 1} b ON b.word = s.word AND b.pos = s.j
+    WHERE s.i = {i}
+  ) WHERE rn = 1
+), ab{r}_{i} AS MATERIALIZED (
+  SELECT * FROM ab{r}_{i - 1} UNION ALL SELECT * FROM b{r}_{i}
+)"""
+            )
+        parts.append(
+            f""", seg{r} AS MATERIALIZED (
+  SELECT b.word, b.k, b.path
+  FROM ab{r}_{M} b JOIN words w ON w.word = b.word AND b.pos = length(w.word)
+)"""
+        )
+        if r <= rounds:
+            parts.append(
+                f""", ecnt{r} AS (
+  SELECT p AS piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+  FROM seg{r} g JOIN words w ON w.word = g.word,
+       UNNEST(string_split(g.path, ' ')) AS t(p)
+  GROUP BY p
+), v{r}base AS MATERIALIZED (
+  SELECT c.piece, CAST(GREATEST(COALESCE(e.cnt, 0), 1) AS BIGINT) AS cnt
+  FROM chars0 c LEFT JOIN ecnt{r} e ON e.piece = c.piece
+  UNION ALL
+  SELECT piece, cnt FROM ecnt{r} WHERE length(piece) >= 2
+), v{r} AS MATERIALIZED (
+  SELECT piece, cnt,
+         ROUND(LN(CAST(cnt AS DOUBLE) /
+               (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v{r}base)), 6) AS logp
+  FROM v{r}base
+)"""
+            )
+    return parts
+
+
+def _uni_oracle(rounds: int) -> str:
+    parts = _uni_cte_chain(rounds, with_encode=False)
+    parts.append(
+        f"\nSELECT piece, cnt, logp FROM v{rounds} ORDER BY cnt DESC, piece"
+    )
+    return "".join(parts)
+
+
+def _uni_encode_oracle(rounds: int) -> str:
+    M = _UNI_MAX_WORD
+    parts = _uni_cte_chain(rounds, with_encode=True)
+    parts.append(
+        f""", docwords AS (
+  SELECT doc_id, CAST(i + 1 AS INT) AS pos, parts[i + 1] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       UNNEST(range(len(parts))) AS t(i)
+  WHERE parts[i + 1] <> '' AND length(parts[i + 1]) <= {M}
+), perdoc AS (
+  SELECT dw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(e.k) AS BIGINT) AS n_tokens,
+         string_agg(e.path, ' ' ORDER BY dw.pos) AS full_path
+  FROM docwords dw JOIN seg{rounds + 1} e ON e.word = dw.w
+  GROUP BY dw.doc_id
+)
+SELECT doc_id, n_words, n_tokens,
+       array_to_string(list_slice(string_split(full_path, ' '), 1, 8), ' ')
+         AS tokens_head
+FROM perdoc ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("ta_unigram_lm_learn", oracle=_uni_oracle(_UNI_ROUNDS))
+def ta_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, SentencePiece) — the
+    other production tokenizer family next to BPE: seed a piece inventory
+    from substring counts, then hard-EM rounds of
+    Viterbi-resegment → frequency-weighted recount → renormalize.
+    Deliberate simplifications vs the paper, both documented and
+    oracle-checked: hard (Viterbi) E-step instead of forward-backward
+    expected counts, and a fixed seed size instead of the iterative
+    pruning schedule — the dataflow (the part Spark owns) is identical.
+
+    100 TB shape: every stage after the one distinct-word aggregation is
+    VOCABULARY-sized — the span lattice, the piece table, the per-round
+    Viterbi — and the piece model never leaves the cluster: scores ride a
+    broadcast JOIN (not a collected dict), the DP is a single
+    whole-stage-codegen ``F.aggregate`` per word (no UDF anywhere), and
+    rounds chain lazily exactly like the BPE learner (the
+    ``persist_every`` lesson applies unchanged at production round
+    counts).  Words beyond 16 chars are excluded — the oracle unrolls
+    the DP per position; the Spark expression itself has no such limit.
+
+    Reference parity: the reference has no tokenizer trainer; this is
+    part of the driver-mandated LLM-pipeline surface (cf.
+    ``ta_bpe_learn_merges``)."""
+    v = _uni_piece_table(spark, sf_dir, _UNI_ROUNDS)
+    return v.select("piece", "cnt", "logp").orderBy(F.desc("cnt"), "piece")
+
+
+@query("ta_unigram_lm_encode", oracle=_uni_encode_oracle(_UNI_ROUNDS))
+def ta_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer APPLICATION — Viterbi-encode the corpus with
+    the just-learned piece table and report per-doc token budgets plus
+    the first 8 pieces in document order (the ordered-reconstruction
+    proof).
+
+    100 TB shape: the DISTINCT-WORD table is segmented once (same DP
+    expression as training), then the vocabulary-sized (word → pieces)
+    frame broadcast-joins back onto the corpus word stream — per-doc work
+    is one posexplode and one rollup; the Heaps'-law amortization
+    ``ta_bpe_encode`` documents applies verbatim."""
+    v = _uni_piece_table(spark, sf_dir, _UNI_ROUNDS)
+    words = _uni_word_table(spark, sf_dir)
+    seg = _uni_viterbi(words, _uni_spans(words), v).select(
+        "word", "k", "path"
+    )
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, w)")
+        .filter((F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD))
+    )
+    joined = d.join(
+        F.broadcast(seg.withColumnRenamed("word", "w")), "w"
+    )
+    perdoc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("pos", "path"))).alias("wp"),
+    )
+    flat = F.flatten(F.transform("wp", lambda s: F.split(s["path"], " ")))
+    return perdoc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.concat_ws(" ", F.slice(flat, 1, 8)).alias("tokens_head"),
+    ).orderBy("doc_id")
 
 
 # --- linear quality classifier ---------------------------------------------
