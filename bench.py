@@ -104,6 +104,7 @@ HEADLINE = [
     "ta_unigram_lm_learn",
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
+    "pipeline_e2e_ccnet",
 ]
 
 

@@ -128,6 +128,7 @@ _PRIORITY = (
     "ta_unigram_lm_learn",
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
+    "pipeline_e2e_ccnet",
 )
 
 

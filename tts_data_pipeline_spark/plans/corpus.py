@@ -851,16 +851,16 @@ def ta_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bw FROM bi GROUP BY w2
     ), types AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi
-    ), scored AS (
-      SELECT d.doc_id,
+    ), pbi AS (
+      SELECT bi.w1, bi.w2,
              ln((GREATEST(CAST(bi.c12 AS DOUBLE) - 0.75, 0.0)
                  + 0.75 * ctx.n_fw * (CAST(cont.n_bw AS DOUBLE) / types.n_types))
                 / ctx.c1) AS logp
-      FROM docbi d
-      JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
-      JOIN ctx ON d.w1 = ctx.w1
-      JOIN cont ON d.w2 = cont.w2
+      FROM bi JOIN ctx ON bi.w1 = ctx.w1 JOIN cont ON bi.w2 = cont.w2
       CROSS JOIN types
+    ), scored AS (
+      SELECT d.doc_id, p.logp
+      FROM docbi d JOIN pbi p ON d.w1 = p.w1 AND d.w2 = p.w2
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -914,13 +914,20 @@ def ta_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_bw"))
     types = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
-    scored = (
-        docbi.join(F.broadcast(bi), ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(cont), "w2")
+    # score each DISTINCT bigram once (pbi is model-sized: three
+    # vocabulary-table joins and one ln per bigram TYPE), then one
+    # broadcast join puts log-probs on the corpus stream — scoring work
+    # scales with the model, not the token count, and the single
+    # stream-side join replaces three (also the shape DuckDB's optimizer
+    # needs: the 4-way stream join mis-ordered into a 100M-row
+    # intermediate on the 10k-word corpus)
+    pbi = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
         .crossJoin(F.broadcast(types))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.log(
                 (
                     F.greatest(
@@ -933,6 +940,9 @@ def ta_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("c1")
             ).alias("logp"),
         )
+    )
+    scored = docbi.join(F.broadcast(pbi), ["w1", "w2"]).select(
+        "doc_id", "logp"
     )
     return (
         scored.groupBy("doc_id")

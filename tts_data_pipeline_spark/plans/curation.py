@@ -792,3 +792,312 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_e2e_ccnet",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, lang, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(w[(i*5+1):((i+1)*5)], ' ') AS seg
+      FROM base, UNNEST(range(CAST(ceil(wc / 5.0) AS BIGINT))) AS t(i)
+    ), kept AS (
+      SELECT doc_id, lang, seg_idx, seg FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY doc_id, seg_idx) AS rn
+        FROM seg
+      ) WHERE rn = 1
+    ), rebuilt AS MATERIALIZED (
+      SELECT doc_id, lang, string_agg(seg, ' ' ORDER BY seg_idx) AS rtext
+      FROM kept GROUP BY doc_id, lang
+    ), tri AS MATERIALIZED (
+      SELECT doc_id, lang, substring(lower(rtext), CAST(i AS INT), 3) AS tri
+      FROM rebuilt,
+           UNNEST(range(1, CAST(greatest(length(rtext) - 1, 1) AS BIGINT)))
+             AS t(i)
+    ), profile AS (
+      SELECT lang AS profile_lang, tri FROM (
+        SELECT lang, tri, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS rn
+        FROM tri GROUP BY lang, tri
+      ) WHERE rn <= 20
+    ), doc_tri AS (
+      SELECT DISTINCT doc_id, lang, tri FROM tri
+    ), scores AS (
+      SELECT dt.doc_id, dt.lang, p.profile_lang, COUNT(*) AS overlap
+      FROM doc_tri dt JOIN profile p USING (tri)
+      GROUP BY dt.doc_id, dt.lang, p.profile_lang
+    ), pred AS (
+      SELECT doc_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY overlap DESC, profile_lang ASC) AS prn
+        FROM scores
+      ) WHERE prn = 1 AND profile_lang = lang
+    ), gated AS MATERIALIZED (
+      SELECT r.doc_id, r.lang, string_split(r.rtext, ' ') AS words
+      FROM rebuilt r JOIN pred USING (doc_id)
+      WHERE len(string_split(r.rtext, ' ')) >= 2
+    ), docbi AS MATERIALIZED (
+      SELECT doc_id, lang, words[i+1] AS w1, words[i+2] AS w2
+      FROM gated, UNNEST(range(CAST(len(words) - 1 AS BIGINT))) AS t(i)
+    ), bi AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM docbi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n_fw
+      FROM bi GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bw FROM bi GROUP BY w2
+    ), types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi
+    ), pbi AS (
+      SELECT bi.w1, bi.w2,
+             ln((GREATEST(CAST(bi.c12 AS DOUBLE) - 0.75, 0.0)
+                 + 0.75 * ctx.n_fw
+                   * (CAST(cont.n_bw AS DOUBLE) / types.n_types))
+                / ctx.c1) AS logp
+      FROM bi JOIN ctx ON bi.w1 = ctx.w1 JOIN cont ON bi.w2 = cont.w2
+      CROSS JOIN types
+    ), scored AS (
+      SELECT d.doc_id, d.lang, p.logp
+      FROM docbi d JOIN pbi p ON d.w1 = p.w1 AND d.w2 = p.w2
+    ), ppl AS (
+      SELECT doc_id, lang, ROUND(exp(-AVG(logp)), 2) AS ppl
+      FROM scored GROUP BY doc_id, lang
+    ), ntok AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok FROM gated
+    ), ranked AS (
+      SELECT p.lang, p.ppl, n.n_tok,
+             NTILE(3) OVER (PARTITION BY p.lang
+                            ORDER BY p.ppl, p.doc_id) AS bucket_i
+      FROM ppl p JOIN ntok n USING (doc_id)
+    )
+    SELECT lang,
+           CASE bucket_i WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
+    FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def pipeline_e2e_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CCNet lineage (Wenzek et al. 2019, figure 1) as ONE
+    Catalyst plan — the pipeline that produced the corpora most LLMs
+    actually pretrain on: global segment-level exact dedup → document
+    REBUILD from surviving segments (CCNet dedups paragraphs *within*
+    docs, not whole docs) → character-trigram language-ID gate (keep docs
+    whose predicted language matches the label — the fastText-confidence
+    analogue, integer-overlap argmax so the decision is cross-engine
+    exact) → Kneser-Ney bigram perplexity over the rebuilt text →
+    per-language head/middle/tail terciles, CCNet's signature output.
+
+    100 TB shape: the dedup shuffle keys on segment content; the rebuild
+    shuffles (doc_id)-keyed survivors once; the trigram profile and the
+    KN model tables are language- and vocabulary-sized, aggregate
+    map-side and BROADCAST back; the per-doc scoring stream never
+    re-shuffles except the final per-doc avg.  The one deliberate
+    exactness/scale trade: tercile assignment uses an NTILE window per
+    language (exactly replayable by the oracle); at production scale the
+    same buckets come from two-pass approx-percentile cutpoints
+    (`percentile_approx(ppl, [1/3, 2/3])` broadcast back), trading the
+    per-language sort for two scans — the docstring names it because the
+    window's per-language partition would serialize at 100 TB.
+
+    Composes the audited pieces of `pipeline_e2e_curation` (segment
+    dedup), `ta_trigram_lang_id` (profile argmax), and
+    `ta_perplexity_kneser_ney` (scoring); each stage's plan shape is
+    individually asserted by those entries' tests."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    w = F.split("text", " ")
+    base = d.select(
+        "doc_id", "lang", w.alias("w"), F.size(w).cast("long").alias("wc")
+    )
+    n_seg = F.ceil(F.col("wc") / F.lit(5.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * 5 + 1, 5), " "),
+    )
+    seg_rows = base.select(
+        "doc_id", "lang", F.posexplode(segs).alias("seg_idx", "seg")
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "seg",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    kept = seg_rows.select(
+        "doc_id", "lang", "seg_idx", "seg", rn.alias("rn")
+    ).filter(F.col("rn") == 1)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the deduped corpus feeds FOUR branches (trigram profile, doc-trigram
+    # stream, the gated join, token counts) — persist it or every branch
+    # replays the segment-dedup window (in production this is the stage
+    # boundary you'd checkpoint the deduped corpus at anyway)
+    # spread() before caching: AQE coalesces the doc-keyed rollup to a
+    # handful of byte-small partitions, but the consumers (trigram and
+    # bigram explodes) are CPU-dense per row — cache at cluster width
+    rebuilt = cache_replacing(
+        "pipeline_e2e_ccnet_rebuilt",
+        spread(
+            kept.groupBy("doc_id", "lang")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ).alias("ss")
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.array_join(
+                    F.transform("ss", lambda s: s["seg"]), " "
+                ).alias("rtext"),
+            )
+        ),
+    )
+    lowered = F.lower(F.col("rtext"))
+    # sequence(1, 0) steps BACKWARD in Spark: sub-3-char rebuilt text must
+    # yield an empty trigram array (same guard as ta_trigram_lang_id)
+    tri_arr = F.when(
+        F.length(lowered) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(lowered) - 2),
+            lambda i: lowered.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = rebuilt.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
+    profile = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "tri")
+    )
+    # broadcast-join BEFORE the distinct: the profile has ≤ 20·langs rows,
+    # so the join is a map-side filter that drops every non-profile trigram
+    # before the dedup exchange — the distinct then shuffles only profile
+    # hits instead of the full trigram stream (measured 87 → 30 s at
+    # sf0.1 together with the rebuilt persist; at 100 TB this is the
+    # difference between shuffling ~corpus characters and ~docs × 100)
+    doc_tri = (
+        tri.join(F.broadcast(profile), "tri")
+        .select("doc_id", "lang", "profile_lang", "tri")
+        .distinct()
+    )
+    scores = doc_tri.groupBy("doc_id", "lang", "profile_lang").agg(
+        F.count("*").alias("overlap")
+    )
+    pred = (
+        scores.withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc("overlap"), F.asc("profile_lang")
+                )
+            ),
+        )
+        .filter(
+            (F.col("prn") == 1) & (F.col("profile_lang") == F.col("lang"))
+        )
+        .select("doc_id")
+    )
+    # gated feeds both the bigram stream and the token-count rollup
+    gated = cache_replacing(
+        "pipeline_e2e_ccnet_gated",
+        spread(
+            rebuilt.join(pred, "doc_id")
+            .select("doc_id", "lang", F.split("rtext", " ").alias("words"))
+            .filter(F.size("words") >= 2)
+        ),
+    )
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 2),
+            lambda i: F.struct(
+                F.col("words")[i].alias("w1"),
+                F.col("words")[i + 1].alias("w2"),
+            ),
+        )
+    )
+    docbi = gated.select("doc_id", "lang", bigram.alias("b")).select(
+        "doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bi = docbi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fw"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bw")
+    )
+    types = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    # score per distinct bigram (model-sized), one broadcast join onto the
+    # stream — same restructure as ta_perplexity_kneser_ney and for the
+    # same reasons (scoring scales with the model; one stream join not 3)
+    pbi = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (
+                    F.greatest(
+                        F.col("c12").cast("double") - 0.75, F.lit(0.0)
+                    )
+                    + 0.75
+                    * F.col("n_fw")
+                    * (F.col("n_bw").cast("double") / F.col("n_types"))
+                )
+                / F.col("c1")
+            ).alias("logp"),
+        )
+    )
+    scored = docbi.join(F.broadcast(pbi), ["w1", "w2"]).select(
+        "doc_id", "lang", "logp"
+    )
+    ppl = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.exp(-F.avg("logp")), 2).alias("ppl")
+    )
+    ntok = gated.select(
+        "doc_id", F.size("words").cast("bigint").alias("n_tok")
+    )
+    ranked = ppl.join(ntok, "doc_id").withColumn(
+        "bucket_i",
+        F.ntile(3).over(W.partitionBy("lang").orderBy("ppl", "doc_id")),
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.col("bucket_i"),
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "n_tok", "ppl")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )
