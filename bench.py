@@ -105,6 +105,8 @@ HEADLINE = [
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
     "pipeline_e2e_ccnet",
+    "emb_binary_quantize",
+    "sim_hamming_topk",
 ]
 
 

@@ -129,6 +129,8 @@ _PRIORITY = (
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
     "pipeline_e2e_ccnet",
+    "emb_binary_quantize",
+    "sim_hamming_topk",
 )
 
 

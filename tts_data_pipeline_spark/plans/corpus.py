@@ -678,6 +678,150 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binary (sign-bit) quantization + Hamming ANN ---------------------------
+
+
+def _bq_word(offset: int):
+    """Packed sign word for embedding dims [offset, offset+32): bit i set
+    iff the component is > 0.  Two 32-bit words (in BIGINTs) instead of
+    one 64-bit word so neither engine touches the sign bit — bit 63 would
+    need wrap-around shift semantics DuckDB and the JVM don't share."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("embedding"), i + F.lit(offset + 1))
+            > F.lit(0.0),
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+@query(
+    "emb_binary_quantize",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+               i -> CASE WHEN embedding[i+1] > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS code_lo,
+             CAST(list_sum(list_transform(range(32),
+               i -> CASE WHEN embedding[i+33] > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS code_hi
+      FROM embeddings
+    )
+    SELECT vec_id, code_lo, code_hi,
+           CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_bits
+    FROM c ORDER BY vec_id
+    """,
+)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization — the 32x-compression
+    tier below SQ8/PQ in the production ANN ladder (Charikar 2002 SRP
+    with identity projections; the layout behind binary-embedding
+    retrieval): each 64-dim float vector becomes two packed 32-bit sign
+    words, and similarity becomes Hamming distance over 8 bytes.
+
+    100 TB shape: pure per-row projection, no shuffle, no UDF — and the
+    packed codes are exact integers, so unlike float kernels the oracle
+    hash is bit-stable by construction."""
+    e = spread(table(spark, sf_dir, "embeddings"))
+    lo, hi = _bq_word(0), _bq_word(32)
+    c = e.select("vec_id", lo.alias("code_lo"), hi.alias("code_hi"))
+    return c.select(
+        "vec_id",
+        "code_lo",
+        "code_hi",
+        (F.bit_count("code_lo") + F.bit_count("code_hi"))
+        .cast("bigint")
+        .alias("n_bits"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "sim_hamming_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+               i -> CASE WHEN embedding[i+1] > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS code_lo,
+             CAST(list_sum(list_transform(range(32),
+               i -> CASE WHEN embedding[i+33] > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS code_hi
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             CAST(bit_count(xor(a.code_lo, b.code_lo))
+                  + bit_count(xor(a.code_hi, b.code_hi)) AS BIGINT)
+               AS hamming
+      FROM c a JOIN c b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 125 = 0
+    ), r AS (
+      SELECT query_id, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, vec_id) AS rn
+      FROM p
+    )
+    SELECT query_id, vec_id, hamming,
+           1.0 - hamming / 32.0 AS sim_sign,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours over the packed sign codes from
+    ``emb_binary_quantize`` — Hamming distance via two XOR+popcount ops
+    per pair (the kernel binary-embedding search engines run in SIMD).
+    ``sim_sign = 1 - hamming/32`` is the sign-agreement cosine estimate
+    (Charikar 2002: E[agreement] = 1 - θ/π) — a dyadic rational, so no
+    rounding is needed for cross-engine stability.
+
+    100 TB shape: same as the int8/brute-force family — the
+    benchmark-sized query set broadcasts (at 8 bytes/vector, ~500x more
+    queries fit the broadcast budget than at float32), the corpus streams
+    map-side, one shuffle for the per-query top-k.  The candidate-bounded
+    variants (IVF cells, LSH buckets) compose exactly as they do for the
+    float kernels."""
+    e = spread(table(spark, sf_dir, "embeddings"))
+    lo, hi = _bq_word(0), _bq_word(32)
+    codes = e.select("vec_id", lo.alias("code_lo"), hi.alias("code_hi"))
+    queries = codes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    ).filter(F.col("query_id") % 125 == 0)
+    ham = (
+        F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("bigint")
+    pairs = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("hamming"), "vec_id")
+    )
+    return (
+        pairs.select("query_id", "vec_id", "hamming", rn.alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            (F.lit(1.0) - F.col("hamming") / F.lit(32.0)).alias("sim_sign"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # --- per-source quota caps --------------------------------------------------
 
 
