@@ -107,6 +107,7 @@ HEADLINE = [
     "pipeline_e2e_ccnet",
     "emb_binary_quantize",
     "sim_hamming_topk",
+    "stream_dedup_minhash",
 ]
 
 

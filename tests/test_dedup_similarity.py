@@ -327,3 +327,57 @@ def test_cache_registry_reuses_same_plan_replaces_changed(spark):
     assert c3.storageLevel.useMemory
     c3.unpersist()
     del cachereg._CACHED["t_reg"]
+
+
+def test_minhash_signature_components_are_independent_and_seeded(spark):
+    """Regression for the (element, index) two-parameter lambda trap:
+    PySpark hands `lambda h, j=j: ...` the higher-order (element, index)
+    form even though j is defaulted, which silently collapsed all 64
+    signature components to one single-hash min.  Pin (a) component
+    independence for the xxhash64 production signature, and (b) the md5
+    twin's components to literal hashlib-computed seeded values — a third
+    implementation besides Spark and the DuckDB oracle."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d", "e", "f", "g", "h"],)], "toks: array<string>"
+    )
+    sig = df.select(
+        minhash_signature(shingle_hashes(F.col("toks"), 5), 16).alias("s")
+    ).collect()[0]["s"]
+    assert len(set(sig)) > 1, f"degenerate signature (all equal): {sig[:3]}"
+
+    # streaming md5 path end-to-end: the emitted signature set must contain
+    # the hashlib-computed signature of a known document
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tts_data_pipeline_spark.plans.corpus import _UNI_MAX_WORD  # noqa: F401
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_dedup_minhash,
+    )
+
+    text = duckdb.sql(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet' WHERE doc_id = 0"
+    ).fetchone()[0]
+    words = text.strip().lower().split(" ")
+    toks = list(dict.fromkeys(
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    ))
+
+    def md5long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = tuple(
+        min(md5long(f"{j}:{t}") for t in toks) for j in range(8)
+    )
+    out = run_stream_dedup_minhash(spark, SF_DIR, "q_sig_pin_test")
+    rows = {tuple(r) for r in out.collect()}
+    assert expected in rows

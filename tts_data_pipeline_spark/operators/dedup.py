@@ -99,12 +99,18 @@ def minhash_signature(shingle_hash: Column, num_hashes: int = 64) -> Column:
     ``num_hashes`` times per row.  Documents with no shingles get a per-seed
     sentinel (max long) signature.
     """
+    def seed_mix(j: int):
+        # closure, NOT a default-arg lambda: PySpark hands a 2-parameter
+        # lambda the (element, index) higher-order form even when the
+        # second parameter is defaulted, which turned the seed into the
+        # array POSITION — every signature component collapsed to the
+        # same single-hash min and the banding was silently degenerate
+        return lambda h: F.xxhash64(F.lit(j), h)
+
     return F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(shingle_hash, lambda h, j=j: F.xxhash64(F.lit(j), h))
-                ),
+                F.array_min(F.transform(shingle_hash, seed_mix(j))),
                 F.lit(2**63 - 1),
             )
             for j in range(num_hashes)

@@ -131,6 +131,7 @@ _PRIORITY = (
     "pipeline_e2e_ccnet",
     "emb_binary_quantize",
     "sim_hamming_topk",
+    "stream_dedup_minhash",
 )
 
 

@@ -191,15 +191,17 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", words.alias("w")).select(
         "doc_id", F.array_distinct(D.word_shingles(F.col("w"), 3)).alias("toks")
     )
+    def seeded(j: int):
+        # closure, not a default-arg lambda — the 2-param form receives
+        # (element, index) and the f-string rendered the index COLUMN's
+        # auto-generated repr as the seed prefix (see minhash_signature)
+        return lambda t: _md5_long(F.concat(F.lit(f"{j}:"), t))
+
     signed = sh.select(
         "doc_id",
         "toks",
         *[
-            F.array_min(
-                F.transform(
-                    "toks", lambda t, j=j: _md5_long(F.concat(F.lit(f"{j}:"), t))
-                )
-            ).alias(f"mh{j}")
+            F.array_min(F.transform("toks", seeded(j))).alias(f"mh{j}")
             for j in range(_MH_SEEDS)
         ],
     )

@@ -280,3 +280,49 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_stream_dedup_to_memory(spark, sf_dir, "q_stream_dedup")
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_dedup_minhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+      FROM t
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM sh WHERE len(toks) >= 1
+    ), h AS (
+      SELECT doc_id, seed.generate_series AS seed,
+             MIN(('0x' || substr(md5(CAST(seed.generate_series AS VARCHAR)
+                                      || ':' || tok), 1, 15))::BIGINT) AS mh
+      FROM tok, generate_series(0, 7) AS seed
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM h GROUP BY doc_id
+    )
+    SELECT DISTINCT
+           sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2, sig[4] AS mh3,
+           sig[5] AS mh4, sig[6] AS mh5, sig[7] AS mh6, sig[8] AS mh7
+    FROM sig
+    ORDER BY mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+    """,
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup filtering performed BY THE STREAMING RUNTIME: md5-MinHash
+    signatures computed map-side per micro-batch, ``dropDuplicates`` over
+    the full signature in append mode — the streaming counterpart of the
+    ``dedup_minhash_md5`` batch twin, value-hashed against a batch
+    DISTINCT-signature oracle.  See
+    ``streaming/events.py::run_stream_dedup_minhash`` for the state-size
+    argument (one entry per signature CLASS, not per document) and the
+    watermark-bounded production variant."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_dedup_minhash,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_dedup_minhash(spark, sf_dir, "q_stream_dedup_mh")
+    return out.orderBy(*[f"mh{j}" for j in range(8)])

@@ -702,3 +702,82 @@ def run_stream_dedup_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_dedup_minhash(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_mh"
+) -> DataFrame:
+    """Streaming NEAR-dup filter: each arriving document's 8-seed
+    md5-MinHash signature (the engine-portable twin of
+    ``dedup_minhash_lsh``'s signature, `plans/extensions.py`) is computed
+    MAP-SIDE inside the micro-batch, and ``dropDuplicates`` over the full
+    signature emits only the FIRST document of every near-dup signature
+    class — the streaming ingestion filter that keeps a crawl feed from
+    re-admitting boilerplate that MinHash already collapses.
+
+    Projecting to the signature columns makes the emitted SET
+    deterministic (which physical document represents a class is not),
+    so a batch DISTINCT-signature oracle can value-hash it — the same
+    determinism argument as ``run_stream_dedup_to_memory``.
+
+    100 TB shape: signature computation is stateless per-row expression
+    work; state is ONE 64-byte entry per distinct signature class (far
+    below per-document state — near-dup classes collapse), hash-partitioned
+    across the state store; production bounds it with
+    ``dropDuplicatesWithinWatermark`` exactly as the exact-dedup entry
+    documents."""
+    from pyspark.sql import types as T
+
+    from tts_data_pipeline_spark.operators import dedup as D
+    from tts_data_pipeline_spark.plans.extensions import _MH_SEEDS, _md5_long
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    try:
+        # the file source requires a DIRECTORY basePath; the test layout
+        # keeps one parquet file per table in sf_dir, so glob-filter it
+        docs = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        words = F.split(F.lower(F.trim("text")), " ")
+        toks = F.array_distinct(D.word_shingles(words, 3))
+        sigs = docs.select(toks.alias("toks")).filter(
+            F.size("toks") >= 1
+        )
+        def seeded(j: int):
+            # closure, not a default-arg lambda (the (element, index) trap
+            # — see operators/dedup.py::minhash_signature)
+            return lambda t: _md5_long(F.concat(F.lit(f"{j}:"), t))
+
+        sig_cols = [
+            F.array_min(F.transform("toks", seeded(j))).alias(f"mh{j}")
+            for j in range(_MH_SEEDS)
+        ]
+        keys = sigs.select(*sig_cols)
+        q = (
+            keys.dropDuplicates([f"mh{j}" for j in range(_MH_SEEDS)])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
