@@ -368,15 +368,21 @@ def test_minhash_signature_components_are_independent_and_seeded(spark):
         f"SELECT text FROM '{SF_DIR}/documents.parquet' WHERE doc_id = 0"
     ).fetchone()[0]
     words = text.strip().lower().split(" ")
-    toks = list(dict.fromkeys(
-        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
-    ))
 
     def md5long(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+    # one-permutation MinHash: one md5 per WORD, 3-gram shingle hash
+    # combined arithmetically (4a + 2b + c), bins by h % 8, min per bin,
+    # max-long sentinel for empty bins
+    wh = [md5long(t) for t in words]
+    hs = [
+        wh[i] * 4 + wh[i + 1] * 2 + wh[i + 2]
+        for i in range(len(wh) - 2)
+    ]
     expected = tuple(
-        min(md5long(f"{j}:{t}") for t in toks) for j in range(8)
+        min((h for h in hs if h % 8 == j), default=2**63 - 1)
+        for j in range(8)
     )
     out = run_stream_dedup_minhash(spark, SF_DIR, "q_sig_pin_test")
     rows = {tuple(r) for r in out.collect()}

@@ -287,33 +287,45 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
-    ), sh AS (
+      WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+    ), whs AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+             list_transform(w,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS wh
       FROM t
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS tok FROM sh WHERE len(toks) >= 1
     ), h AS (
-      SELECT doc_id, seed.generate_series AS seed,
-             MIN(('0x' || substr(md5(CAST(seed.generate_series AS VARCHAR)
-                                      || ':' || tok), 1, 15))::BIGINT) AS mh
-      FROM tok, generate_series(0, 7) AS seed
-      GROUP BY 1, 2
+      SELECT doc_id, wh[i] * 4 + wh[i+1] * 2 + wh[i+2] AS hv
+      FROM whs, UNNEST(range(1, CAST(len(wh) - 1 AS BIGINT))) AS r(i)
     ), sig AS (
-      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM h GROUP BY doc_id
+      SELECT doc_id,
+             COALESCE(MIN(CASE WHEN hv % 8 = 0 THEN hv END),
+                      9223372036854775807) AS mh0,
+             COALESCE(MIN(CASE WHEN hv % 8 = 1 THEN hv END),
+                      9223372036854775807) AS mh1,
+             COALESCE(MIN(CASE WHEN hv % 8 = 2 THEN hv END),
+                      9223372036854775807) AS mh2,
+             COALESCE(MIN(CASE WHEN hv % 8 = 3 THEN hv END),
+                      9223372036854775807) AS mh3,
+             COALESCE(MIN(CASE WHEN hv % 8 = 4 THEN hv END),
+                      9223372036854775807) AS mh4,
+             COALESCE(MIN(CASE WHEN hv % 8 = 5 THEN hv END),
+                      9223372036854775807) AS mh5,
+             COALESCE(MIN(CASE WHEN hv % 8 = 6 THEN hv END),
+                      9223372036854775807) AS mh6,
+             COALESCE(MIN(CASE WHEN hv % 8 = 7 THEN hv END),
+                      9223372036854775807) AS mh7
+      FROM h GROUP BY doc_id
     )
-    SELECT DISTINCT
-           sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2, sig[4] AS mh3,
-           sig[5] AS mh4, sig[6] AS mh5, sig[7] AS mh6, sig[8] AS mh7
+    SELECT DISTINCT mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
     FROM sig
     ORDER BY mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
     """,
 )
 def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR-dup filtering performed BY THE STREAMING RUNTIME: md5-MinHash
-    signatures computed map-side per micro-batch, ``dropDuplicates`` over
-    the full signature in append mode — the streaming counterpart of the
+    """NEAR-dup filtering performed BY THE STREAMING RUNTIME:
+    one-permutation md5-MinHash signatures (Li, Owen & Zhang 2012)
+    computed map-side per micro-batch, ``dropDuplicates`` over the full
+    signature in append mode — the streaming counterpart of the
     ``dedup_minhash_md5`` batch twin, value-hashed against a batch
     DISTINCT-signature oracle.  See
     ``streaming/events.py::run_stream_dedup_minhash`` for the state-size

@@ -707,10 +707,12 @@ def run_stream_dedup_to_memory(
 def run_stream_dedup_minhash(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_mh"
 ) -> DataFrame:
-    """Streaming NEAR-dup filter: each arriving document's 8-seed
-    md5-MinHash signature (the engine-portable twin of
-    ``dedup_minhash_lsh``'s signature, `plans/extensions.py`) is computed
-    MAP-SIDE inside the micro-batch, and ``dropDuplicates`` over the full
+    """Streaming NEAR-dup filter: each arriving document's 8-bin
+    ONE-PERMUTATION MinHash signature (Li, Owen & Zhang 2012 — one md5
+    per WORD, 3-gram shingle hashes combined arithmetically, bins by
+    ``h % k``, min per bin; the engine-portable streaming sibling of
+    ``dedup_minhash_lsh``) is computed MAP-SIDE
+    inside the micro-batch, and ``dropDuplicates`` over the full
     signature emits only the FIRST document of every near-dup signature
     class — the streaming ingestion filter that keeps a crawl feed from
     re-admitting boilerplate that MinHash already collapses.
@@ -728,7 +730,6 @@ def run_stream_dedup_minhash(
     documents."""
     from pyspark.sql import types as T
 
-    from tts_data_pipeline_spark.operators import dedup as D
     from tts_data_pipeline_spark.plans.extensions import _MH_SEEDS, _md5_long
 
     schema = T.StructType(
@@ -752,21 +753,51 @@ def run_stream_dedup_minhash(
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-        words = F.split(F.lower(F.trim("text")), " ")
-        toks = F.array_distinct(D.word_shingles(words, 3))
-        sigs = docs.select(toks.alias("toks")).filter(
-            F.size("toks") >= 1
+        # Shingle hashing without shingle STRINGS: md5 each word ONCE,
+        # then combine the three 60-bit word hashes arithmetically
+        # (4a + 2b + c < 2^63, exact in both engines).  Three lessons
+        # baked in, each measured on the sf0.1 replica: materialize the
+        # split before any transform reads it (inline split re-parses per
+        # element access — 30 s), skip array_distinct (min-per-bin over a
+        # multiset equals min over the set, and distinct on string arrays
+        # is quadratic), and never build per-shingle strings in an
+        # interpreted higher-order function (~20 µs/shingle of pure
+        # allocation; the long arithmetic form took the sf1 run
+        # 285 s → ~30 s end to end)
+        # the streaming file source does not split files — a single
+        # parquet file is one task, serializing the CPU-dense hash work;
+        # a stateless repartition spreads it across the cluster
+        tokens = docs.select(
+            F.split(F.lower(F.trim("text")), " ").alias("w")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        word_hash = tokens.select(
+            F.transform("w", lambda t: _md5_long(t)).alias("wh")
+        ).filter(F.size("wh") >= 3)
+        shingle = word_hash.select(
+            F.transform(
+                F.sequence(F.lit(1), F.size("wh") - 2),
+                lambda i: F.element_at(F.col("wh"), i) * 4
+                + F.element_at(F.col("wh"), i + 1) * 2
+                + F.element_at(F.col("wh"), i + 2),
+            ).alias("hs")
         )
-        def seeded(j: int):
+        # one-permutation MinHash (Li, Owen & Zhang 2012): _MH_SEEDS bins
+        # by h % k, min per bin — k× cheaper than a k-seed family (which
+        # re-hashes every shingle per seed), with the empty-bin sentinel
+        # standing in for densification (deterministic in both engines,
+        # which is all a dedup EQUALITY key needs)
+        def bin_min(j: int):
             # closure, not a default-arg lambda (the (element, index) trap
             # — see operators/dedup.py::minhash_signature)
-            return lambda t: _md5_long(F.concat(F.lit(f"{j}:"), t))
+            return F.coalesce(
+                F.array_min(
+                    F.filter("hs", lambda h: h % _MH_SEEDS == F.lit(j))
+                ),
+                F.lit(2**63 - 1),
+            )
 
-        sig_cols = [
-            F.array_min(F.transform("toks", seeded(j))).alias(f"mh{j}")
-            for j in range(_MH_SEEDS)
-        ]
-        keys = sigs.select(*sig_cols)
+        sig_cols = [bin_min(j).alias(f"mh{j}") for j in range(_MH_SEEDS)]
+        keys = shingle.select(*sig_cols)
         q = (
             keys.dropDuplicates([f"mh{j}" for j in range(_MH_SEEDS)])
             .writeStream.outputMode("append")
