@@ -108,6 +108,7 @@ HEADLINE = [
     "emb_binary_quantize",
     "sim_hamming_topk",
     "stream_dedup_minhash",
+    "mm_audio_fingerprint_dedup",
 ]
 
 

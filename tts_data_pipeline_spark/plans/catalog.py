@@ -132,6 +132,7 @@ _PRIORITY = (
     "emb_binary_quantize",
     "sim_hamming_topk",
     "stream_dedup_minhash",
+    "mm_audio_fingerprint_dedup",
 )
 
 

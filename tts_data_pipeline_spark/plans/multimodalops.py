@@ -502,3 +502,87 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_audio_fingerprint_dedup",
+    oracle="""
+WITH by AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) - 128 AS u
+  FROM documents, UNNEST(range(strlen(text))) AS t(i)
+  WHERE strlen(text) >= 32
+), fr AS (
+  SELECT doc_id, i // 16 AS f, SUM(u * u) AS e, COUNT(*) AS cnt
+  FROM by GROUP BY doc_id, i // 16
+), cf AS (
+  SELECT doc_id, f, e FROM fr WHERE cnt = 16
+), bits AS (
+  SELECT a.doc_id,
+         CASE WHEN a.e > b.e
+              THEN (1::BIGINT << CAST(a.f AS INTEGER)) ELSE 0::BIGINT
+         END AS term
+  FROM cf a JOIN cf b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+  WHERE a.f <= 30
+), fps AS (
+  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp FROM bits GROUP BY doc_id
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc_id
+FROM fps GROUP BY fp ORDER BY fp
+""",
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-dup via acoustic fingerprint (Haitsma & Kalker 2002,
+    the energy-difference scheme behind industrial audio matching):
+    decode → 16-sample frame energies → one bit per adjacent-frame
+    energy comparison → 31-bit fingerprint → group identical prints into
+    dup classes — the multimodal sibling of the text MinHash family
+    (re-encoded copies of the same recording keep their energy ENVELOPE
+    even when absolute sample values drift).  Fingerprints the first
+    decoded tile (the fake codec tiles the byte wave 4x; a real codec
+    slots in at the same seam); audio shorter than 2 frames is excluded.
+
+    100 TB shape: decode + frame energies + bit packing are all
+    per-row map-side work (Arrow-batched decode, then JVM array
+    expressions — energies MATERIALIZED before the bit fold, the
+    Column-trees-are-not-DAGs rule); the only shuffle is the final
+    fingerprint groupBy, which carries (doc_id, one BIGINT) per row.
+    Numerics: decoded samples are exact multiples of 2^-7, frame
+    energies exact multiples of 2^-14 — every comparison is exact in
+    both engines, no rounding needed anywhere."""
+    p = _payloads(spark, sf_dir).select("doc_id", "path", "content")
+    decoded = A.decode_audio(p, payload_col="content")
+    s = F.col("samples")
+    first_tile = F.slice(s, 1, (F.size(s) / 4).cast("int"))
+    base = decoded.select("doc_id", first_tile.alias("w")).filter(
+        F.size("w") >= 32
+    )
+    nf = (F.size("w") / 16).cast("int")
+    energies = F.transform(
+        F.sequence(F.lit(0), nf - 1),
+        lambda f: F.aggregate(
+            F.slice(F.col("w"), f * 16 + 1, 16),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        ),
+    )
+    eb = base.select("doc_id", energies.alias("e"))
+    fp = F.aggregate(
+        F.sequence(F.lit(0), F.lit(30)),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + F.when(
+            F.try_element_at(F.col("e"), f + 1)
+            > F.try_element_at(F.col("e"), f + 2),
+            F.pow(F.lit(2.0), f).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        eb.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .orderBy("fp")
+    )
