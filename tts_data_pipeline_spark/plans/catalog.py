@@ -133,6 +133,7 @@ _PRIORITY = (
     "sim_hamming_topk",
     "stream_dedup_minhash",
     "mm_audio_fingerprint_dedup",
+    "mm_image_dhash_dedup",
 )
 
 

@@ -586,3 +586,89 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+def _dhash_gray_sql(i_expr: str, j_expr: str) -> str:
+    """3-channel integer gray sum of the fake-tiled pixel at (i, j)."""
+    terms = [
+        "CAST(ord(substr(text, CAST(((({i}) * 16 + ({j})) * 3 + {ch})"
+        " % strlen(text) AS INTEGER) + 1, 1)) AS BIGINT)".format(
+            i=i_expr, j=j_expr, ch=ch
+        )
+        for ch in range(3)
+    ]
+    return " + ".join(terms)
+
+
+def _dhash_oracle() -> str:
+    g1 = _dhash_gray_sql("2 * r.g", "(c.g * 16) // 9")
+    g2 = _dhash_gray_sql("2 * r.g", "((c.g + 1) * 16) // 9")
+    return f"""
+WITH b AS (
+  SELECT doc_id, r.g AS r, c.g AS c,
+         CASE WHEN ({g1}) > ({g2})
+              THEN (1::BIGINT << CAST((r.g % 4) * 8 + c.g AS INTEGER))
+              ELSE 0::BIGINT END AS term
+  FROM documents, UNNEST(range(8)) AS r(g), UNNEST(range(8)) AS c(g)
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN r < 4 THEN term ELSE 0 END) AS BIGINT)
+           AS dhash_lo,
+         CAST(SUM(CASE WHEN r >= 4 THEN term ELSE 0 END) AS BIGINT)
+           AS dhash_hi
+  FROM b GROUP BY doc_id
+)
+SELECT dhash_lo, dhash_hi, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN('doc://' || CAST(doc_id AS VARCHAR)) AS rep_path
+FROM fp GROUP BY dhash_lo, dhash_hi ORDER BY dhash_lo, dhash_hi
+"""
+
+
+@query("mm_image_dhash_dedup", oracle=_dhash_oracle())
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup via difference hash (dHash — the standard cheap
+    perceptual hash: downsample to a 9×8 gray grid, one bit per
+    horizontal gradient sign, 64 bits): re-encoded/resized copies of an
+    image keep their gradient-sign structure even when absolute pixel
+    values drift.  Completes the per-modality dedup set (text MinHash,
+    audio energy fingerprint, image dHash).  Packed as two 32-bit words
+    (rows 0-3 / 4-7) so neither engine touches the BIGINT sign bit.
+
+    100 TB shape: decode is the Arrow-batched codec seam, the 64
+    gradient comparisons are ONE static whole-stage-codegen projection
+    over the flattened pixel array (literal indices — no higher-order
+    functions at all), and the only shuffle carries (path, two BIGINTs).
+    Numerics: integer gray sums, exact in both engines."""
+    p = _payloads(spark, sf_dir)
+    decoded = I.decode_images(
+        p.select("path", "content"), height=16, width=16
+    )
+    px = F.col("pixels")
+
+    def gray(i: int, j: int):
+        k = (i * 16 + j) * 3
+        return (px[k] + px[k + 1] + px[k + 2]).cast("long")
+
+    def word(r0: int):
+        t = F.lit(0).cast("long")
+        for r in range(r0, r0 + 4):
+            for c in range(8):
+                bit = F.when(
+                    gray(2 * r, (c * 16) // 9)
+                    > gray(2 * r, ((c + 1) * 16) // 9),
+                    F.lit(1 << ((r - r0) * 8 + c)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                t = t + bit
+        return t
+
+    fp = decoded.select(
+        "path", word(0).alias("dhash_lo"), word(4).alias("dhash_hi")
+    )
+    return (
+        fp.groupBy("dhash_lo", "dhash_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("path").alias("rep_path"),
+        )
+        .orderBy("dhash_lo", "dhash_hi")
+    )
