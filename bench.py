@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_dedup_minhash",
     "mm_audio_fingerprint_dedup",
     "mm_image_dhash_dedup",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -134,6 +134,7 @@ _PRIORITY = (
     "stream_dedup_minhash",
     "mm_audio_fingerprint_dedup",
     "mm_image_dhash_dedup",
+    "dedup_incremental_minhash",
 )
 
 

@@ -732,3 +732,204 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      WHERE len(string_split(lower(trim(text)), ' ')) >= 3
+    ), whs AS (
+      SELECT doc_id,
+             list_transform(w,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS wh
+      FROM t
+    ), shs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(wh) - 1),
+               i -> wh[i] * 4 + wh[i+1] * 2 + wh[i+2]) AS hs
+      FROM whs
+    ), h AS (
+      SELECT doc_id, unnest(hs) AS hv FROM shs
+    ), sig AS (
+      SELECT doc_id,
+             [COALESCE(MIN(CASE WHEN hv % 8 = 0 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 1 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 2 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 3 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 4 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 5 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 6 THEN hv END),
+                       9223372036854775807),
+              COALESCE(MIN(CASE WHEN hv % 8 = 7 THEN hv END),
+                       9223372036854775807)] AS s
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.g AS b, s[2 * b.g + 1] AS v1, s[2 * b.g + 2] AS v2
+      FROM sig, UNNEST(range(4)) AS b(g)
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands n JOIN bands o
+        ON n.b = o.b AND n.v1 = o.v1 AND n.v2 = o.v2
+      WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 < 4
+    ), tok AS (
+      SELECT doc_id, list_distinct(hs) AS s FROM shs
+    ), scored AS (
+      SELECT c.new_id, c.old_id,
+             CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                  AS DOUBLE)
+             / greatest(len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x))), 1) AS j
+      FROM cand c JOIN tok a ON a.doc_id = c.new_id
+                  JOIN tok b ON b.doc_id = c.old_id
+    ), best AS (
+      SELECT new_id, old_id, j FROM (
+        SELECT new_id, old_id, j,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY j DESC, old_id ASC) AS rn
+        FROM scored WHERE j >= 0.5
+      ) WHERE rn = 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(b.old_id, -1) AS BIGINT) AS matched_doc_id,
+           COALESCE(ROUND(b.j, 4), 0.0) AS jaccard
+    FROM t LEFT JOIN best b ON b.new_id = t.doc_id
+    WHERE t.doc_id % 5 = 4
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: check an incoming batch (the 20% holdout,
+    ``doc_id % 5 = 4``) against the EXISTING corpus index (the other
+    80%) — the operation a production crawl ingests with every delivery:
+    "is this new document a near-copy of anything we already have?",
+    WITHOUT re-deduplicating the existing corpus against itself.
+    One-permutation word-hash MinHash signatures (the
+    ``stream_dedup_minhash`` scheme) banded 4×2; candidates are
+    new-vs-old band collisions only; exact shingle-hash Jaccard ≥ 0.5
+    verifies; every incoming doc reports its best match (ties: highest
+    Jaccard, then lowest old doc_id) or -1 = novel.
+
+    100 TB shape: THE asymmetric-join case — the index side streams (its
+    band keys can live pre-computed/bucketed on disk and never
+    re-shuffle), the incoming batch is broadcast-sized by construction
+    (a crawl delivery ≪ the corpus), so candidate generation is
+    broadcast-join + map-side filter, and only candidates' token sets
+    are fetched for verification.  Incremental cost is O(batch), not
+    O(corpus) — the whole point versus re-running ``dedup_minhash_lsh``
+    on the union."""
+    from pyspark.sql import Window as W
+
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim("text")), " ")
+    base = d.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    wh = base.select(
+        "doc_id", F.transform("w", lambda t: _md5_long(t)).alias("wh")
+    )
+    shingles = wh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("wh") - 2),
+            lambda i: F.element_at(F.col("wh"), i) * 4
+            + F.element_at(F.col("wh"), i + 1) * 2
+            + F.element_at(F.col("wh"), i + 2),
+        ).alias("hs"),
+    )
+
+    def bin_min(j: int):
+        # closure, not a default-arg lambda (the (element, index) trap)
+        return F.coalesce(
+            F.array_min(F.filter("hs", lambda h: h % 8 == F.lit(j))),
+            F.lit(2**63 - 1),
+        )
+
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    signed = cache_replacing(
+        "dedup_incremental_minhash",
+        shingles.select(
+            "doc_id",
+            F.array_distinct("hs").alias("toks"),
+            *[bin_min(j).alias(f"mh{j}") for j in range(8)],
+        ),
+    )
+    bands = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.col(f"mh{2 * b}").alias("v1"),
+                        F.col(f"mh{2 * b + 1}").alias("v2"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.b", "band.v1", "band.v2")
+    old_bands = bands.filter(F.col("doc_id") % 5 < 4)
+    new_bands = bands.filter(F.col("doc_id") % 5 == 4)
+    cand = (
+        old_bands.withColumnRenamed("doc_id", "old_id")
+        .join(
+            F.broadcast(new_bands.withColumnRenamed("doc_id", "new_id")),
+            ["b", "v1", "v2"],
+        )
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    toks = signed.select("doc_id", "toks")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.greatest(
+        F.size("ta") + F.size("tb") - inter, F.lit(1)
+    )
+    scored = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("new_id"), F.col("toks").alias("ta")
+            ),
+            "new_id",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("old_id"), F.col("toks").alias("tb")
+            ),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            (inter.cast("double") / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    rn = F.row_number().over(
+        W.partitionBy("new_id").orderBy(F.desc("j"), F.asc("old_id"))
+    )
+    best = scored.select("new_id", "old_id", "j", rn.alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    incoming = base.select("doc_id").filter(F.col("doc_id") % 5 == 4)
+    return (
+        incoming.join(
+            best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("old_id"), F.lit(-1))
+            .cast("bigint")
+            .alias("matched_doc_id"),
+            F.coalesce(F.round("j", 4), F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
