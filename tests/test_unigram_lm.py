@@ -183,3 +183,26 @@ def test_learn_and_encode_match_pure_python_reference(spark, ddb):
         ), doc_id
         checked += 1
     assert checked >= 40
+
+
+def test_unigram_lm_higher_rounds_register_per_round_frames(spark):
+    """At higher EM round counts every per-round piece frame must land in
+    the cache registry (one tiny frame per round — the BPE persist_every
+    lesson applied to this operator): guards the recompute-blowup
+    regression that made even R=2 take 63 s at sf0.001 when each v{r}
+    reference replayed the whole upstream chain."""
+    from tts_data_pipeline_spark import cachereg
+    from tts_data_pipeline_spark.plans.corpus import _uni_piece_table
+
+    out = _uni_piece_table(spark, SF_DIR, rounds=4)
+    assert out.count() > 30
+    keys = sorted(k for k in cachereg._CACHED if k.startswith("ta_unigram_lm"))
+    assert keys == [
+        "ta_unigram_lm_chars",
+        "ta_unigram_lm_v0",
+        "ta_unigram_lm_v1",
+        "ta_unigram_lm_v2",
+        "ta_unigram_lm_v3",
+        "ta_unigram_lm_v4",
+        "ta_unigram_lm_words",
+    ], keys
