@@ -108,6 +108,7 @@ HEADLINE = [
     "emb_binary_quantize",
     "sim_hamming_topk",
     "stream_dedup_minhash",
+    "stream_dedup_watermarked",
     "mm_audio_fingerprint_dedup",
     "mm_image_dhash_dedup",
     "dedup_incremental_minhash",

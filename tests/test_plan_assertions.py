@@ -439,3 +439,56 @@ def test_unigram_lm_dp_is_jvm_expression_and_model_broadcasts(spark):
     )
     assert "BatchEvalPython" not in eplan and "ArrowEvalPython" not in eplan
     assert eplan.count("BroadcastHashJoin") >= 1, eplan
+
+
+def test_perceptual_dedups_shuffle_fingerprints_not_payloads(spark):
+    # the multimodal near-dup family reduces each blob to ONE/TWO BIGINT
+    # fingerprints map-side; the only data shuffle is the fingerprint
+    # groupBy and must never carry the decoded samples, the binary
+    # payload, or the document text
+    for name, keys in [
+        ("mm_audio_fingerprint_dedup", "hashpartitioning(fp#"),
+        ("mm_image_dhash_dedup", "hashpartitioning(dhash_lo#"),
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        fp_exchanges = [
+            ln for ln in plan.splitlines() if keys in ln
+        ]
+        assert fp_exchanges, (name, plan)
+        for ln in fp_exchanges:
+            for payload in ("content#", "samples#", "text#", "w#", "e#"):
+                assert payload not in ln, (name, ln)
+
+
+def test_hamming_topk_broadcasts_queries_and_shuffles_codes_only(spark):
+    # binary-sign ANN: query side broadcast (8-byte codes), corpus
+    # streams map-side; the single hash shuffle is the per-query top-k
+    # and carries (query_id, vec_id, hamming) — never the float
+    # embedding arrays or even the packed codes
+    plan = plan_of(spark, "sim_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    topk_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(query_id#" in ln
+    ]
+    assert topk_exchanges, plan
+    for ln in topk_exchanges:
+        for payload in ("embedding#", "code_lo#", "q_lo#"):
+            assert payload not in ln, ln
+
+
+def test_incremental_minhash_shuffles_bands_not_text(spark):
+    # batch-vs-index dedup: every hash shuffle carries band keys /
+    # signatures / ids — the document text never enters an exchange
+    # (verification reads token sets from the probe-side broadcast)
+    plan = plan_of(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert hash_exchanges, plan
+    assert not any("text#" in ln for ln in hash_exchanges), hash_exchanges

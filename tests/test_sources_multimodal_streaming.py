@@ -393,3 +393,55 @@ def test_python_datasource_pushdown_prunes_partitions(spark):
     h = hashlib.md5(b"7").hexdigest()
     assert row[0].n_pages == 50 + int(h[:2], 16) % 400
     assert row[0].narrator == "narrator-0"
+
+
+def test_watermarked_dedup_absorbs_in_horizon_and_reemits_expired(
+    spark, tmp_path
+):
+    """Crafted four-key corpus where every rule of the measured
+    ``dropDuplicatesWithinWatermark`` policy fires, including the ABSORB
+    set that is empty on the sf0.001 events table (all even keys there
+    re-emit): e1 early (evicted -> re-emits at the probe), e2 at the max
+    (still in state -> probe absorbed), o1 late (dropped), o2 in-horizon
+    (passes)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_dedup_watermarked,
+    )
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([2, 4, 1, 3], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "ts": pa.array(
+                [ts(0), ts(100), ts(5), ts(90)], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = run_stream_dedup_watermarked(
+        spark, str(tmp_path), "q_wm_dedup_crafted"
+    )
+    rows = {
+        (r.user_id, r.event_type, r.hr.minute + 60 * r.hr.hour,
+         r.ts.minute + 60 * r.ts.hour)
+        for r in out.collect()
+    }
+    assert rows == {
+        (2, "a", 0, 0),     # e1 emitted in b0
+        (4, "a", 60, 100),  # e2 emitted in b0
+        (3, "a", 60, 90),   # o2 passes the lagging watermark (T-30m=70m)
+        (2, "a", 0, 100),   # e1 evicted (0+30m < 70m) -> probe re-emits
+        # absent: o1 (late drop at 5m <= 70m), e2's probe (absorbed),
+        # and the b1 spacer (absorbed while e1 was still in state)
+    }

@@ -338,3 +338,50 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_stream_dedup_minhash(spark, sf_dir, "q_stream_dedup_mh")
     return out.orderBy(*[f"mh{j}" for j in range(8)])
+
+
+@query(
+    "stream_dedup_watermarked",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             MIN(ts) AS ts
+      FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)
+    ), evens AS (
+      SELECT * FROM k WHERE user_id % 2 = 0
+    ), odds AS (
+      SELECT * FROM k WHERE user_id % 2 = 1
+    ), w AS (
+      SELECT MAX(ts) - INTERVAL 30 MINUTES AS w FROM evens
+    ), tmax AS (
+      SELECT MAX(ts) AS t FROM k
+    )
+    SELECT user_id, event_type, hr, ts FROM evens
+    UNION ALL
+    SELECT user_id, event_type, hr, ts FROM odds
+    WHERE ts > (SELECT w FROM w)
+    UNION ALL
+    SELECT user_id, event_type, hr, (SELECT t FROM tmax) AS ts FROM evens
+    WHERE ts + INTERVAL 30 MINUTES
+          < (SELECT t FROM tmax) - INTERVAL 30 MINUTES
+    ORDER BY user_id, event_type, hr, ts
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (``dropDuplicatesWithinWatermark``
+    — the production form whose state does not grow with key cardinality
+    forever), value-hashed against a DuckDB replay of its full measured
+    policy: late rows dropped against the lagging watermark, in-horizon
+    duplicates absorbed (without refreshing state), expired entries
+    evicted at batch end, and post-eviction re-sends emitted as fresh
+    records — the at-least-once contract outside the lateness horizon.
+    See ``streaming/events.py::run_stream_dedup_watermarked`` for the
+    four-batch deterministic replay and the probe-measured semantics."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_dedup_watermarked,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_dedup_watermarked(spark, sf_dir, "q_stream_dedup_wm")
+    return out.orderBy("user_id", "event_type", "hr", "ts")

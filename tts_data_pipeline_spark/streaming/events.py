@@ -812,3 +812,138 @@ def run_stream_dedup_minhash(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_dedup_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_dedup_wm",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the PRODUCTION bounded-state
+    dedup this module's unbounded entries repeatedly point to — with a
+    deterministic four-micro-batch replay that exercises every rule of
+    its MEASURED semantics (probed on this Spark build, see below):
+
+    1. late drop: a row whose event time is <= the watermark in effect
+       (the one REPORTED for the previous trigger; epoch zero in batch
+       0) is dropped before the state lookup;
+    2. absorb: a surviving row whose key is PHYSICALLY in the state
+       store is absorbed — membership is checked without consulting
+       expiry, because eviction runs at the END of a batch (a duplicate
+       arriving in the same batch its entry expires is still absorbed);
+    3. no refresh: absorbed duplicates do NOT extend their entry's
+       expiry (state keeps the FIRST emitted row's event time);
+    4. evict + re-emit: an entry whose ``event_ts + delay`` falls below
+       the watermark is removed at batch end, and a later re-send of
+       that key is emitted as a fresh record — the documented
+       at-least-once contract outside the lateness horizon.
+
+    The watermark is DOUBLE-lagged for processing (batch i drops late
+    rows against the watermark reported for batch i−1, which is computed
+    from batch i−2's data) while state EVICTION at the end of batch i
+    sees data through batch i−1 — both probe-measured.  Replay (per-key
+    MIN-ts rows so each key appears once per file, making which-row-wins
+    deterministic):
+
+    - b0 = even-user keys: watermark epoch-0, all emit;
+    - b1 = a SPACER — one probe of the deterministic first even key at
+      the global max ts T: absorbed (rule 2), advances the data maximum;
+    - b2 = odd-user keys, processed against W = max(b0 ts) − delay:
+      emits exactly those with ts > W (rule 1, the late drop);
+    - b3 = even-key probes at T, processed against W' = T − delay (from
+      b1's spacer): state for keys with ts + delay < W' was evicted at
+      the end of earlier batches, so exactly the keys with
+      ts < T − 2·delay re-emit (rule 4); the rest are absorbed without
+      refreshing state (rules 2-3).
+
+    Every set above is a scalar-derivable function of the input, so the
+    catalog oracle replays the full policy in DuckDB."""
+    import os
+    import shutil
+
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
+    staging = scratch_mkdtemp("wm_dedup_stream_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    try:
+        if _events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn("ts", F.expr("ts div 1000"))
+        else:
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        # key on (user, type, hour) so per-key representative times SPREAD
+        # across the event range — with the bare (user, type) key every
+        # per-key min lands at the start of the range and the late-drop /
+        # absorb / re-emit sets go degenerate (all-or-nothing)
+        keyed = raw.groupBy(
+            "user_id",
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', timestamp_micros(ts)))"
+            ).alias("hr"),
+        ).agg(F.min("ts").alias("ts"))
+        even = keyed.filter(F.col("user_id") % 2 == 0)
+        odd = keyed.filter(F.col("user_id") % 2 == 1)
+        t_max = keyed.agg(F.max("ts")).collect()[0][0]
+        probes = even.select(
+            "user_id", "event_type", "hr", F.lit(t_max).alias("ts")
+        )
+        spacer = probes.orderBy("user_id", "event_type", "hr").limit(1)
+        batches = [even, spacer, odd, probes]
+        for i, part in enumerate(batches):
+            part_dir = os.path.join(staging, f"b{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            pf = [
+                f for f in os.listdir(part_dir) if f.startswith("part-")
+            ][0]
+            dst = os.path.join(staging, f"events_{i}.parquet")
+            shutil.move(os.path.join(part_dir, pf), dst)
+            shutil.rmtree(part_dir)
+            t = 1_000_000_000 + i * 100
+            os.utime(dst, (t, t))
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("hr", T.LongType()),
+                T.StructField("ts", T.LongType()),
+            ]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .load(staging)
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+            .withColumn("hr", F.expr("timestamp_micros(hr)"))
+            .withWatermark("ts", delay)
+        )
+        out = stream.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "hr"]
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {query_name}")
