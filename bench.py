@@ -46,7 +46,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",
+    "dedup_simhash_blake2b",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
     "dedup_clusters",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
@@ -69,12 +71,12 @@ HEADLINE = [
     "split_train_val_test",
     "s9_html_css_extract",
     "s7_pdf_text_extract",
-    "sim_lsh_bucketed_topk",
+    "sim_lsh_ann_topk",
     "emb_pq_quantize",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "ta_bigram_pmi",
-    "dedup_minhash_md5",
+    "dedup_minhash_xx64",
     "ta_gopher_quality_rules",
     "ta_repetition_topbigram",
     "ta_pii_redaction",

@@ -68,7 +68,7 @@ def test_topk_uses_take_ordered(spark):
 def test_minhash_bucket_join_shuffles_no_token_arrays(spark):
     """The LSH candidate join must not carry token sets through the band
     explosion — only (id, bucket)."""
-    opt = optimized_of(spark, "dedup_minhash_lsh")
+    opt = optimized_of(spark, "dedup_minhash_xx64")
     # the explode node's output must not include the token-set column
     explode_lines = [
         ln for ln in opt.splitlines() if "Generate explode" in ln
@@ -102,6 +102,7 @@ def test_similarity_never_evaluated_in_join_condition(spark):
     for name, marker in (
         ("dedup_ngram_jaccard_bucketed", "array_intersect"),
         ("dedup_minhash_lsh", "array_intersect"),
+        ("dedup_minhash_xx64", "array_intersect"),
         ("dedup_embedding_cosine", "aggregate"),
         ("dedup_fuzzy_levenshtein", "levenshtein"),
     ):

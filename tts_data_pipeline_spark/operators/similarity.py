@@ -115,6 +115,67 @@ def hyperplane_signature(vec_col: str, n_planes: int = 12, dim: int = 64, seed: 
     return _sig(F.col(vec_col))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment — the shared front half of :func:`ivf_topk` and
+    the IVF-bucketed dedup (``dedup_embedding_cosine_ivf``).
+
+    Output: ``(vec_id, v, nrm, cell, scored)`` where ``cell`` is the id of
+    the nearest codebook vector (cosine argmax, ties to smallest cid) and
+    ``scored`` is the per-centroid score array (kept for multi-probe).
+
+    Codebook = the ``n_centroids`` vectors with smallest
+    ``(md5(vec_id), vec_id)`` — a deterministic pseudo-random sample whose
+    size does not grow with n — collapsed to ONE row and broadcast; each
+    vector computes its argmax inside codegen.  ZERO shuffle of the big
+    side — no n×k join rows ever materialize."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("ncv"),
+        )
+    )
+    # one row holding the whole codebook -> broadcast nested-loop, no shuffle
+    cent1 = cent.agg(F.collect_list(F.struct("cid", "cv", "ncv")).alias("cents"))
+
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                dot(F.col("v"), c["cv"])
+                / F.greatest(F.col("nrm") * c["ncv"], F.lit(1e-12))
+            ).alias("sim"),
+            (-c["cid"]).alias("nc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # stage the scored array as an attribute BEFORE referencing it twice —
+    # inlining it into both the argmax and the probe sort would evaluate the
+    # k cosine folds twice per row (Column trees are not DAGs)
+    return (
+        e.crossJoin(F.broadcast(cent1))
+        .select("vec_id", "v", "nrm", scored_cells.alias("scored"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.array_max("scored")["cid"].alias("cell"),
+            "scored",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -160,46 +221,8 @@ def ivf_topk(
     # per-vector norms computed once on the input rows — inside the k-wide
     # assignment transform, l2_norm(v) would otherwise re-fold PER CENTROID
     # (loop-invariant work, k× per row); same floats, same folds
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    cent = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("ncv"),
-        )
-    )
-    # one row holding the whole codebook -> broadcast nested-loop, no shuffle
-    cent1 = cent.agg(F.collect_list(F.struct("cid", "cv", "ncv")).alias("cents"))
-
-    scored_cells = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (
-                dot(F.col("v"), c["cv"])
-                / F.greatest(F.col("nrm") * c["ncv"], F.lit(1e-12))
-            ).alias("sim"),
-            (-c["cid"]).alias("nc"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    # stage the scored array as an attribute BEFORE referencing it twice —
-    # inlining it into both the argmax and the probe sort would evaluate the
-    # k cosine folds twice per row (Column trees are not DAGs)
-    assigned = (
-        e.crossJoin(F.broadcast(cent1))
-        .select("vec_id", "v", "nrm", scored_cells.alias("scored"))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            F.array_max("scored")["cid"].alias("cell"),
-            "scored",
-        )
+    assigned = ivf_assign(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
     cells = assigned.select("vec_id", "v", "nrm", F.col("cell").alias("cid"))
     probe_cids = F.slice(

@@ -74,11 +74,10 @@ _PRIORITY = (
     "dedup_exact_groups",
     "dedup_drop_duplicates",
     "dedup_minhash_lsh",
-    "dedup_minhash_md5",
     "dedup_ngram_jaccard_bucketed",
     "dedup_simhash",
-    "dedup_simhash_md5",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
     "dedup_fuzzy_levenshtein",
     "dedup_clusters",
     "dedup_apply_survivors",

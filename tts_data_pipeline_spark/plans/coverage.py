@@ -280,11 +280,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhoods) — dense vectors admit no cheap EXACT candidate bound,
     which is why every production system approximates here.  The operator
     stays correct at scale only if the bucket column is itself
-    data-scaled: an IVF cell id from ``emb_kmeans_lloyd`` with k ∝ n/c
-    keeps buckets constant-sized and the verify linear; the catalog's
-    ANN family (``sim_ivf_topk``, ``sim_lsh_ann_topk``, recall-tested)
-    is that path.  With the test data's fixed label column the quadratic
-    growth is the semantics being asked for, not a plan defect."""
+    data-scaled — that path is ``dedup_embedding_cosine_ivf`` below
+    (IVF cell + adaptive-precision LSH sub-bucket, measured slope ≤ 1),
+    which uses THIS all-pairs form as its within-bucket verify
+    primitive.  With the test data's fixed label column the quadratic
+    growth here is the semantics being asked for, not a plan defect;
+    at scale, reach for the IVF form."""
     from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
     from tts_data_pipeline_spark.sources.readers import spread
 
@@ -314,6 +315,144 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             # eval_once: the dot product must not be inlined into the join
             # condition / filter (see operators/dedup.py:eval_once)
+            D.eval_once(sim).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.40)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _ivf_dedup_planes():
+    """16 deterministic literal hyperplanes (same scheme as
+    ``plans.extensions._lsh_planes``, its own seed) shared verbatim by the
+    Spark expression and the DuckDB oracle for the IVF-dedup sub-bucket."""
+    from tts_data_pipeline_spark.plans.extensions import _lsh_planes
+
+    return _lsh_planes(n_planes=16, dim=64, seed=11)
+
+
+_IVF_DEDUP_PLANES = _ivf_dedup_planes()
+# bucket-size policy: 32 IVF cells, target ≤ ~64 vectors per (cell, sub)
+# bucket → sub-bucket precision p = ceil(log2(n / (32·64))) sign bits,
+# clamped to [0, 16].  The SAME formula runs in the oracle from COUNT(*).
+_IVF_DEDUP_N0 = 32 * 64
+
+
+def _ivf_dedup_sub_sql():
+    from tts_data_pipeline_spark.plans.extensions import _bucket_sql
+
+    return _bucket_sql(_IVF_DEDUP_PLANES)
+
+
+@query(
+    "dedup_embedding_cosine_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 32
+    ), assign_ranked AS (
+      SELECT e.vec_id, e.v, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, cent.cv)
+                 / greatest(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12) DESC,
+                 cent.cid ASC) AS rn
+      FROM e CROSS JOIN cent
+    ), prec AS (
+      SELECT least(16, greatest(0,
+               CAST(ceil(log2(COUNT(*) / {_IVF_DEDUP_N0}.0)) AS INTEGER))) AS bits
+      FROM e
+    ), cells AS (
+      SELECT vec_id, v, cid, {{SIG}} AS sig
+      FROM assign_ranked WHERE rn = 1
+    ), sub AS (
+      SELECT vec_id, v, cid,
+             sig & ((1::BIGINT << prec.bits) - 1) AS sub
+      FROM cells, prec
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+               / greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6
+             ) AS cosine_sim
+      FROM sub a JOIN sub b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim
+    FROM pairs
+    WHERE cosine_sim >= 0.40
+    ORDER BY id_a, id_b
+    """.replace("{SIG}", _ivf_dedup_sub_sql()),
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a DATA-SCALED bucket — the
+    100 TB form of ``dedup_embedding_cosine`` (which verifies all pairs
+    inside a fixed label column and is therefore Θ(Σ bucket²)).
+
+    Candidate bound, two independent keys:
+
+    - **IVF cell** — nearest of 32 deterministic md5-sample centroids
+      (:func:`operators.similarity.ivf_assign`): broadcast-array argmax,
+      zero big-side shuffle, O(32) per row.
+    - **Adaptive-precision LSH sub-bucket** — the first
+      ``p = clamp(ceil(log2(n/2048)), 0, 16)`` sign bits of a fixed
+      16-hyperplane signature.  ``p`` grows with ln(n), so the expected
+      (cell, sub) bucket size stays ~constant (≤ ~64) as n grows: the
+      verify stage is O(n·c) and the assignment O(n·(32+16)) — slope ≤ 1
+      by construction, unlike k ∝ n flat-IVF whose argmax is Θ(n²/c).
+
+    ``n`` comes from ONE bounded ``count()`` (a codebook/precision-sizing
+    scalar, the same driver round-trip class as the BPE merge-table
+    collect — never per-row); the oracle replays the identical policy from
+    ``COUNT(*)``.  Recall < 1 by construction (near-dups split by a plane
+    or a cell boundary are missed — multi-probe widens recall at cost);
+    the exact all-pairs form remains the within-bucket verify primitive.
+    At the driver's sf (n ≤ 2048) p = 0 and this is pure IVF-cell dedup.
+    """
+    import math
+
+    from tts_data_pipeline_spark.operators.similarity import dot, ivf_assign
+    from tts_data_pipeline_spark.plans.extensions import _bucket_expr
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    em = spread(table(spark, sf_dir, "embeddings"))
+    n = em.count()
+    bits = min(16, max(0, math.ceil(math.log2(max(n, 1) / float(_IVF_DEDUP_N0)))))
+    mask = (1 << bits) - 1
+    assigned = ivf_assign(em, n_centroids=32)
+    # p = 0 → mask 0 → sub ≡ 0: skip the 16 plane folds entirely (the
+    # oracle's sig & 0 is the same constant)
+    sub = (
+        D.eval_once(_bucket_expr(F.col("v"), _IVF_DEDUP_PLANES)).bitwiseAND(
+            F.lit(mask)
+        )
+        if mask
+        else F.lit(0).cast("long")
+    )
+    cells = assigned.select(
+        "vec_id", "v", "nrm", F.col("cell").alias("cid"), sub.alias("sub")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            # eval_once: the fold must not be inlined into the join filter
             D.eval_once(sim).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.40)

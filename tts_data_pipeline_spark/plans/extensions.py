@@ -91,19 +91,23 @@ def dedup_ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only: xxhash64 seeds have no
-    DuckDB equivalent; the Jaccard verify stage is oracle-covered above).
+@query("dedup_minhash_xx64")
+def dedup_minhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH on engine-native xxhash64 seeds — the production hash
+    (fastest, codegen'd) but rows-only checkable: xxhash64 has no DuckDB
+    equivalent.  The FULL pipeline (signature→bands→verify) is value-checked
+    by ``dedup_minhash_lsh`` below on the engine-portable md5 hash.
     shingle→minhash→band→bucket-join: O(n·bands) shuffle, never O(n²)."""
     d = table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, jaccard_threshold=0.5).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only): 64-bit bit-vote signature per doc;
-    near-dups are low-hamming-distance pairs within prefix buckets."""
+@query("dedup_simhash_blake2b")
+def dedup_simhash_blake2b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints on blake2b (rows-only: Python-side hash, no
+    DuckDB equivalent — ``dedup_simhash`` below is the value-checked md5
+    twin): 64-bit bit-vote signature per doc; near-dups are
+    low-hamming-distance pairs within prefix buckets."""
     from tts_data_pipeline_spark.sources.readers import spread
 
     d = spread(table(spark, sf_dir, "documents"))
@@ -127,7 +131,7 @@ _MH_BANDS = 4  # 2 rows per band
 
 
 @query(
-    "dedup_minhash_md5",
+    "dedup_minhash_lsh",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
@@ -172,12 +176,12 @@ _MH_BANDS = 4  # 2 rows per band
     ORDER BY id_a, id_b
     """,
 )
-def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH with the FULL pipeline value-checked: 3-word shingles →
     8-seed md5 MinHash signature → 4 bands × 2 rows → within-band
     equi-join candidates → exact shingle-Jaccard ≥ 0.5 verify.  Same
-    banded shape as the production xxhash64 variant
-    (``dedup_minhash_lsh``) but on the engine-portable md5 hash, so the
+    banded shape as the engine-native xxhash64 variant
+    (``dedup_minhash_xx64``) but on the engine-portable md5 hash, so the
     signature, the banding AND the verify stage all hash-match DuckDB —
     closing the rows-only gap for the MinHash family.  All JVM
     expressions: the signature is 8 ``array_min`` folds over one
@@ -207,7 +211,7 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
-    signed = cache_replacing("dedup_minhash_md5", signed)
+    signed = cache_replacing("dedup_minhash_lsh", signed)
     bands = signed.select(
         "doc_id",
         F.explode(
@@ -328,7 +332,7 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     clusters = connected_components(pairs, require_converged=True)
     dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
     d = table(spark, sf_dir, "documents")
@@ -340,7 +344,7 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_simhash_md5",
+    "dedup_simhash",
     oracle="""
     WITH t AS (
       SELECT doc_id,
@@ -361,11 +365,11 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the fingerprint itself value-checked: distinct word
     tokens → 60-bit md5 hash each → per-bit majority vote over the low 32
-    bits → packed fingerprint.  Engine-portable twin of the production
-    ``dedup_simhash`` (blake2b pandas UDF): this one is ALL JVM
+    bits → packed fingerprint.  Engine-portable twin of the blake2b form
+    (``dedup_simhash_blake2b``, pandas UDF): this one is ALL JVM
     expressions — one md5 transform materialized per row, then 32
     codegen'd filter-counts over the hash array — no Python, no shuffle,
     and an exact DuckDB hash match on every fingerprint."""
@@ -433,10 +437,12 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(em, q, k=5).orderBy("query_id", "rank")
 
 
-@query("sim_lsh_ann_topk")
-def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN (rows-only): random-hyperplane bucket join + exact
-    cosine within bucket.  Recall vs the brute-force baseline is measured in
+@query("sim_lsh_ann_topk_rng")
+def sim_lsh_ann_topk_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN on seeded-numpy random hyperplanes (rows-only: the
+    RNG has no DuckDB equivalent — ``sim_lsh_ann_topk`` below is the
+    value-checked fixed-plane twin): hyperplane bucket join + exact cosine
+    within bucket.  Recall vs the brute-force baseline is measured in
     tests/test_extensions.py."""
     em = table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 8)
@@ -666,7 +672,7 @@ def _bucket_sql(planes):
 _PLANES = _lsh_planes()
 
 @query(
-    "sim_lsh_bucketed_topk",
+    "sim_lsh_ann_topk",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -691,13 +697,13 @@ _PLANES = _lsh_planes()
     ORDER BY query_id, rank
     """,
 )
-def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN, ORACLE-BACKED: sign-bit bucket from 8 fixed
     literal hyperplanes (shared verbatim with the DuckDB oracle), then
     exact cosine top-k only within each query's bucket.  The scale shape:
     candidates come from an equi-join on the bucket key — one shuffle on
     (bucket), never a crossJoin — and recall is tunable by planes/probes.
-    Complements the seeded-numpy ``sim_lsh_ann_topk`` (rows-only) by
+    Complements the seeded-numpy ``sim_lsh_ann_topk_rng`` (rows-only) by
     making the LSH path itself value-checkable."""
     from tts_data_pipeline_spark.operators.similarity import cosine
     from tts_data_pipeline_spark.sources.readers import spread

@@ -326,7 +326,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-permutation md5-MinHash signatures (Li, Owen & Zhang 2012)
     computed map-side per micro-batch, ``dropDuplicates`` over the full
     signature in append mode — the streaming counterpart of the
-    ``dedup_minhash_md5`` batch twin, value-hashed against a batch
+    ``dedup_minhash_lsh`` (md5) batch twin, value-hashed against a batch
     DISTINCT-signature oracle.  See
     ``streaming/events.py::run_stream_dedup_minhash`` for the state-size
     argument (one entry per signature CLASS, not per document) and the
