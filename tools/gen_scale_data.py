@@ -195,18 +195,36 @@ def _tile_keyed(name: str, k_copies: int, outdir: str, src: str = SRC) -> None:
             arr = pa.compute.add(c.column(col), k * KEY_OFF)
             c = c.set_column(i, c.schema.field(col), arr)
         if name == "customer" and k > 0:
-            # Rewrite the name prefix per copy (same length, edit distance
-            # ≥2 between copies, within-copy structure untouched).  Tiling
-            # names VERBATIM made every copy of "Customer#N" fuzzy-match
-            # every other copy, growing edit-distance dup PAIRS
-            # quadratically in K — the measured cause of dedup_clusters'
-            # 1.19 slope at K=10 (constant 6 CC rounds, so it was the edge
-            # list, not convergence).  Per-copy perturbation keeps the
-            # fuzzy dup RATE constant, exactly like the documents
-            # generator.
+            # Rewrite the name prefix per copy (same length, pairwise
+            # Levenshtein ≥2 between ALL copy prefixes, within-copy
+            # structure untouched).  Tiling names VERBATIM made every copy
+            # of "Customer#N" fuzzy-match every other copy, growing
+            # edit-distance dup PAIRS quadratically in K — the measured
+            # cause of dedup_clusters' 1.19 slope at K=10 (constant 6 CC
+            # rounds, so it was the edge list, not convergence).
+            #
+            # The code is a repetition code over one decimal digit: copy k
+            # writes "Cus{d}{d}mer#" with d = k % 10.  Any two distinct
+            # copies differ in BOTH digit positions, and copy 0's original
+            # "Customer#" differs from every "Cus{d}{d}mer#" at the same
+            # two positions ("to" vs "dd") — equal-length strings with
+            # Hamming distance 2 have Levenshtein distance exactly 2, so
+            # no cross-copy pair passes the catalog's lev<=1 predicate.
+            # (The previous "Cus{k:02d}mer#" code made copies 01..09
+            # pairwise distance 1 — second digit only — which re-created
+            # the quadratic cross-copy pair growth; round-6 verdict #1.)
+            # tests/test_properties.py pins the pairwise-distance
+            # invariant.  The digit code caps K at 10, which sf1 (K=10)
+            # exactly uses; the assert below makes a silent collision
+            # impossible if a bigger scale point is ever added.
+            assert k_copies <= 10, (
+                "per-copy customer codes are single-digit: pairwise "
+                "Levenshtein >=2 only holds for K <= 10"
+            )
+            d = k % 10
             i = c.schema.get_field_index("c_name")
             arr = pa.compute.replace_substring(
-                c.column("c_name"), "Customer#", f"Cus{k % 100:02d}mer#"
+                c.column("c_name"), "Customer#", f"Cus{d}{d}mer#"
             )
             c = c.set_column(i, c.schema.field("c_name"), arr)
         copies.append(c)

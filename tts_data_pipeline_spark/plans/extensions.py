@@ -443,7 +443,7 @@ def sim_lsh_ann_topk_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG has no DuckDB equivalent — ``sim_lsh_ann_topk`` below is the
     value-checked fixed-plane twin): hyperplane bucket join + exact cosine
     within bucket.  Recall vs the brute-force baseline is measured in
-    tests/test_extensions.py."""
+    tests/test_dedup_similarity.py (test_lsh_ann_recall_vs_bruteforce)."""
     em = table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 8)
     return S.lsh_ann_topk(em, q, k=5).orderBy("query_id", "rank")

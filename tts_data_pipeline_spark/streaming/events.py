@@ -557,6 +557,22 @@ def run_stream_stream_join(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def _stage_replay_file(part: DataFrame, staging: str, i: int) -> None:
+    """Write one replay micro-batch as a single parquet file whose mtime
+    fixes its position in the ``latestFirst=false`` replay order."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(staging, f"b{i}")
+    part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+    pf = [f for f in os.listdir(part_dir) if f.startswith("part-")][0]
+    dst = os.path.join(staging, f"events_{i}.parquet")
+    shutil.move(os.path.join(part_dir, pf), dst)
+    shutil.rmtree(part_dir)
+    t = 1_000_000_000 + i * 100
+    os.utime(dst, (t, t))
+
+
 def run_late_data_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -607,24 +623,28 @@ def run_late_data_stream(
             # micros parquet reads as TIMESTAMP_NTZ; session is pinned UTC so
             # the cast to TIMESTAMP is identity before extracting micros
             raw = raw.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
-        max_us = raw.agg(F.max("ts")).collect()[0][0]
-        delay_us = 30 * 60 * 1_000_000  # matches the default delay
-        cutoff = max_us - delay_us
+        # The replay cutoff (max event time − delay) is derived INSIDE the
+        # first staged write via an Observation — the observe node sits
+        # above the parity filter so it sees every row, and the metric
+        # comes back as a side effect of the write job.  No separate
+        # agg(max).collect() scan (round-5 advice #6).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         even = F.col("user_id") % 2 == 0
-        batches = [
-            raw.filter(even),
-            raw.filter(~even & (F.col("ts") > cutoff)),
-            raw.filter(~even & (F.col("ts") <= cutoff)),
-        ]
-        for i, part in enumerate(batches):
-            part_dir = os.path.join(staging, f"b{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(part_dir)
-            pf = [f for f in os.listdir(part_dir) if f.startswith("part-")][0]
-            dst = os.path.join(staging, f"events_{i}.parquet")
-            shutil.move(os.path.join(part_dir, pf), dst)
-            shutil.rmtree(part_dir)
-            t = 1_000_000_000 + i * 100
-            os.utime(dst, (t, t))
+        delay_us = 30 * 60 * 1_000_000  # matches the default delay
+        _stage_replay_file(
+            raw.observe(obs, F.max("ts").alias("max_us")).filter(even),
+            staging,
+            0,
+        )
+        cutoff = obs.get["max_us"] - delay_us
+        _stage_replay_file(
+            raw.filter(~even & (F.col("ts") > cutoff)), staging, 1
+        )
+        _stage_replay_file(
+            raw.filter(~even & (F.col("ts") <= cutoff)), staging, 2
+        )
 
         from pyspark.sql import types as T
 
@@ -883,32 +903,44 @@ def run_stream_dedup_watermarked(
         # across the event range — with the bare (user, type) key every
         # per-key min lands at the start of the range and the late-drop /
         # absorb / re-emit sets go degenerate (all-or-nothing)
-        keyed = raw.groupBy(
-            "user_id",
-            "event_type",
-            F.expr(
-                "unix_micros(date_trunc('hour', timestamp_micros(ts)))"
-            ).alias("hr"),
-        ).agg(F.min("ts").alias("ts"))
+        # Cached: the four staged batch files below are all filters of
+        # this one aggregate — without the persist each write would redo
+        # the raw scan + groupBy shuffle (4× the work for a ≤100 k-row
+        # replay frame; measured part of the bench fixed cost).
+        keyed = (
+            raw.groupBy(
+                "user_id",
+                "event_type",
+                F.expr(
+                    "unix_micros(date_trunc('hour', timestamp_micros(ts)))"
+                ).alias("hr"),
+            )
+            .agg(F.min("ts").alias("ts"))
+            .persist()
+        )
+        # T (the global max key time) is derived INSIDE the first staged
+        # write via an Observation above the parity filter — no separate
+        # agg(max).collect() scan (round-5 advice #6).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         even = keyed.filter(F.col("user_id") % 2 == 0)
         odd = keyed.filter(F.col("user_id") % 2 == 1)
-        t_max = keyed.agg(F.max("ts")).collect()[0][0]
+        _stage_replay_file(
+            keyed.observe(obs, F.max("ts").alias("t_max")).filter(
+                F.col("user_id") % 2 == 0
+            ),
+            staging,
+            0,
+        )
+        t_max = obs.get["t_max"]
         probes = even.select(
             "user_id", "event_type", "hr", F.lit(t_max).alias("ts")
         )
         spacer = probes.orderBy("user_id", "event_type", "hr").limit(1)
-        batches = [even, spacer, odd, probes]
-        for i, part in enumerate(batches):
-            part_dir = os.path.join(staging, f"b{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(part_dir)
-            pf = [
-                f for f in os.listdir(part_dir) if f.startswith("part-")
-            ][0]
-            dst = os.path.join(staging, f"events_{i}.parquet")
-            shutil.move(os.path.join(part_dir, pf), dst)
-            shutil.rmtree(part_dir)
-            t = 1_000_000_000 + i * 100
-            os.utime(dst, (t, t))
+        for i, part in enumerate([spacer, odd, probes], start=1):
+            _stage_replay_file(part, staging, i)
+        keyed.unpersist()
 
         from pyspark.sql import types as T
 
