@@ -268,7 +268,12 @@ def generate(
     doc_seed: int,
     src: str = SRC,
     documents_only: bool = False,
+    with_events: bool | None = None,
 ) -> None:
+    """``with_events`` (default: follow ``documents_only``) lets the sf3
+    point carry a tiled events table WITHOUT the rest of the keyed set —
+    the extra-decade rows for the event-window family (w11_gap_fill)
+    need events, while the e2e document lineages need only documents."""
     os.makedirs(outdir, exist_ok=True)
     _write_documents(n_docs, doc_seed, outdir)
     if not documents_only:
@@ -280,6 +285,8 @@ def generate(
         for name in KEYED:
             _tile_keyed(name, k_copies, outdir, src)
         _tile_embeddings(k_copies, outdir, src)
+    elif with_events:
+        _tile_keyed("events", k_copies, outdir, src)
     print(f"wrote {outdir} (K={k_copies}, docs={n_docs})")
 
 
@@ -294,8 +301,10 @@ if __name__ == "__main__":
     generate(os.path.join(base, "sf0.1"), 1, DOCS_PER_SF01, doc_seed=21)
     generate(os.path.join(base, "sf0.3"), 3, 3 * DOCS_PER_SF01, doc_seed=23)
     generate(os.path.join(base, "sf1"), 10, 10 * DOCS_PER_SF01, doc_seed=31)
-    # one more decade, documents only, for the two e2e lineages
+    # one more decade for the e2e lineages (documents) and the
+    # event-window extra-decade rows (events only; the full keyed set
+    # would triple generation time for tables nothing at sf3 reads)
     generate(
         os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
-        documents_only=True,
+        documents_only=True, with_events=True,
     )

@@ -30,20 +30,32 @@ materialization; the plan recomputes).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _CACHED: dict[str, tuple[int, DataFrame]] = {}
+# Operators normally run on ONE driver thread (the catalog/bench/driver
+# loops are sequential), but Spark explicitly supports concurrent job
+# submission from multiple driver threads (e.g. a user running two
+# catalog queries with ThreadPoolExecutor), and an unguarded
+# check-unpersist-replace sequence could then unpersist a base another
+# thread is mid-materializing.  The lock makes the registry safe either
+# way; it guards only the dict transition, never a Spark action, so
+# there is no job-scope blocking.
+_LOCK = threading.Lock()
 
 
 def cache_replacing(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` under ``key``; reuse same-plan, replace changed-plan."""
     h = df._jdf.queryExecution().analyzed().semanticHash()
-    prev = _CACHED.get(key)
-    if prev is not None:
-        if prev[0] == h:
-            return prev[1]
-        prev[1].unpersist()
-        del _CACHED[key]
-    out = df.cache()
-    _CACHED[key] = (h, out)
-    return out
+    with _LOCK:
+        prev = _CACHED.get(key)
+        if prev is not None:
+            if prev[0] == h:
+                return prev[1]
+            prev[1].unpersist()
+            del _CACHED[key]
+        out = df.cache()
+        _CACHED[key] = (h, out)
+        return out

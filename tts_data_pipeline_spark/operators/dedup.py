@@ -303,8 +303,22 @@ def ngram_jaccard_pairs(
     )
     if prefix_filter is None:
         # bounded probe: vocabulary richness is a ratio, so a ~1k-doc
-        # sample decides it as reliably as a full scan at any corpus size
-        sample = base.select("_tokset").limit(1024).cache()
+        # sample decides it as reliably as a full scan at any corpus size.
+        # The 1024 docs are the smallest by xxhash64(id) (TakeOrdered:
+        # per-partition top-k, no full shuffle) — a DETERMINISTIC
+        # pseudo-random sample, unlike a bare limit(1024) whose rows
+        # follow partition arrival order and could flip the path choice
+        # between runs (round-6 verdict #6; both paths are exact, so the
+        # nondeterminism was cost-only — but a planner probe should be
+        # reproducible).  Cost: one pass over the cached base, which the
+        # chosen path materializes immediately after anyway.
+        sample = (
+            base.select("_id", "_tokset")
+            .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+            .limit(1024)
+            .select("_tokset")
+            .cache()
+        )
         n_docs = sample.count()
         n_vocab = (
             sample.select(F.explode("_tokset").alias("_t")).distinct().count()
