@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_simhash_blake2b",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
+    "dedup_semdedup",
+    "agg_heavy_hitters_cms",
+    "j13_bloom_semi_join",
     "dedup_clusters",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
@@ -104,6 +107,7 @@ HEADLINE = [
     "qc_corpus_validate",
     "ta_bpe_encode_chunked",
     "ta_unigram_lm_learn",
+    "ta_unigram_lm_learn_em",
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
     "pipeline_e2e_ccnet",

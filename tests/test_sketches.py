@@ -1,0 +1,146 @@
+"""Sketch/filter family: Count-Min heavy hitters, Bloom semi-join
+pre-filter, SemDeDup — oracle parity plus the structural contracts the
+parity hash can't see (one-sided CMS error, Bloom no-false-negatives,
+SemDeDup's flag ⟺ prior-mate-within-τ definition)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR, run_parity
+
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.plans.registry import ORACLES
+from tts_data_pipeline_spark.plans import sketches as SK
+
+
+def test_cms_parity(spark, ddb):
+    run_parity(
+        spark,
+        ddb,
+        SK.agg_heavy_hitters_cms,
+        ORACLES["agg_heavy_hitters_cms"],
+        "agg_heavy_hitters_cms",
+    )
+
+
+def test_bloom_parity(spark, ddb):
+    run_parity(
+        spark,
+        ddb,
+        SK.j13_bloom_semi_join,
+        ORACLES["j13_bloom_semi_join"],
+        "j13_bloom_semi_join",
+    )
+
+
+def test_semdedup_parity(spark, ddb):
+    run_parity(
+        spark, ddb, SK.dedup_semdedup, ORACLES["dedup_semdedup"], "dedup_semdedup"
+    )
+
+
+def test_cms_never_underestimates_and_sketch_is_fixed_size(spark):
+    """CMS one-sided error: min-over-rows ≥ true count for EVERY token
+    (not just the reported heavy hitters), and the sketch the estimate
+    reads from has at most d·w cells regardless of corpus size."""
+    rows = SK.agg_heavy_hitters_cms(spark, SF_DIR).collect()
+    assert rows, "heavy-hitter set must be non-empty on the test corpus"
+    assert all(r.overest_ok == 1 for r in rows)
+    assert all(r.est_cms >= r.exact_cnt for r in rows)
+    # rebuild the cell table exactly as the operator does and bound it
+    from tts_data_pipeline_spark.plans.extensions import _md5_long
+    from tts_data_pipeline_spark.sources import table
+
+    docs = table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n_cells = (
+        toks.select(
+            *[
+                F.pmod(
+                    _md5_long(F.concat(F.lit(f"{j}:"), F.col("tok"))),
+                    F.lit(SK._CMS_W),
+                ).alias(f"b{j}")
+                for j in range(SK._CMS_D)
+            ]
+        )
+        .agg(
+            sum(
+                [F.countDistinct(f"b{j}") for j in range(SK._CMS_D)],
+                F.lit(0),
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
+    assert n_cells <= SK._CMS_D * SK._CMS_W
+
+
+def test_bloom_no_false_negatives_and_live_false_positives(spark):
+    """Every true member passes the Bloom probe (n_candidates ≥ n_true,
+    and n_true equals the exact semi-join count), and the test geometry
+    is small enough that false positives actually occur somewhere — a
+    vacuous fp=0 would mean the filter check exercises nothing."""
+    rows = SK.j13_bloom_semi_join(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.n_candidates >= r.n_true for r in rows)
+    assert all(r.n_false_pos == r.n_candidates - r.n_true for r in rows)
+    # fp-liveness needs enough non-member probes to cross the ~2.9e-5
+    # per-probe rate at this geometry; sf0.001's ~1.5k orders can't, so
+    # probe the sf0.01 tables for this one contract (41 fps measured)
+    rows01 = SK.j13_bloom_semi_join(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.n_false_pos for r in rows01) > 0
+    # exact semi-join cross-check
+    from tts_data_pipeline_spark.sources import table
+
+    cust = table(spark, SF_DIR, "customer").filter(F.col("c_acctbal") >= 9000)
+    orders = table(spark, SF_DIR, "orders")
+    exact = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    exact_by = {r.o_orderstatus: r["count"] for r in exact}
+    for r in rows:
+        assert r.n_true == exact_by.get(r.o_orderstatus, 0)
+
+
+def test_semdedup_flag_matches_definition(spark):
+    """is_dup=1 ⟺ some same-cell mate with smaller rank has cosine ≥ τ —
+    recomputed from the returned (cell, rk) assignment against the exact
+    pairwise cosines, independently of the operator's join."""
+    import itertools
+
+    import numpy as np
+
+    from tts_data_pipeline_spark.sources import table
+
+    out = {r.vec_id: r for r in SK.dedup_semdedup(spark, SF_DIR).collect()}
+    assert sum(r.is_dup for r in out.values()) > 0, "τ must be live"
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+    by_cell: dict[int, list] = {}
+    for r in out.values():
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        members.sort(key=lambda r: r.rk)
+        for i, a in enumerate(members):
+            expect = 0
+            for b in members[:i]:
+                va, vb = emb[a.vec_id], emb[b.vec_id]
+                cos = float(
+                    va @ vb
+                    / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12)
+                )
+                if round(cos, 6) >= SK._SEMDEDUP_TAU:
+                    expect = 1
+                    break
+            assert a.is_dup == expect, (a.vec_id, a.is_dup, expect)

@@ -64,6 +64,10 @@ try:
     from tts_data_pipeline_spark.plans import scansinks  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from tts_data_pipeline_spark.plans import sketches  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # Scale-critical operators first: if the driver samples a prefix of the
@@ -78,6 +82,9 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
+    "dedup_semdedup",
+    "agg_heavy_hitters_cms",
+    "j13_bloom_semi_join",
     "dedup_fuzzy_levenshtein",
     "dedup_clusters",
     "dedup_apply_survivors",

@@ -1,0 +1,446 @@
+"""Sketch-backed and filter-backed operators: Count-Min heavy hitters,
+Bloom-filter semi-join pre-filtering, and SemDeDup (cluster-then-dedup).
+
+These extend the approximate family (``agg_distinct_approx``,
+``agg_percentiles_sketch``) with the three structures a 100 TB curation
+run leans on hardest: a fixed-size frequency sketch (vocabulary heavy
+hitters without a vocabulary-sized shuffle), a bit-set pre-filter that
+keeps a big-side scan from shuffling rows that cannot join, and the
+published embedding-clustering dedup (Abbas et al. 2023, SemDeDup) that
+bounds pair generation by k-cell partitioning.
+
+All hashing is the engine-portable md5 form (``_md5_long``) so the
+sketch CONTENTS — cells, bit positions, candidate sets — hash-match the
+DuckDB oracle, not just the final answer.  Parity conventions as in
+plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tts_data_pipeline_spark.operators import dedup as D
+from tts_data_pipeline_spark.plans.registry import query
+from tts_data_pipeline_spark.sources import table
+from tts_data_pipeline_spark.sources.readers import spread
+from tts_data_pipeline_spark.plans.extensions import _md5_long
+
+# Count-Min geometry: d hash rows × w buckets.  Fixed size by design —
+# the whole point is that the sketch does not grow with the corpus.
+_CMS_D = 4
+_CMS_W = 256
+# Heavy-hitter threshold φ = 1/50 = 2% of the token stream, compared in
+# integers (est·50 ≥ N) so no float crosses the engine boundary.
+_CMS_PHI_DEN = 50
+
+# Bloom geometry: m bits, k hashes.  m is deliberately small for the
+# test corpus so false positives actually occur and the fp accounting is
+# a live check, not a vacuous zero.
+_BLOOM_M = 2048
+_BLOOM_K = 4
+
+# SemDeDup: cosine threshold for "semantic duplicate" — 0.40, the same
+# near-dup bar the rest of the embedding-dedup family uses (the
+# synthetic corpus tops out below 0.60, and a threshold nothing crosses
+# would make the is_dup flag a vacuous zero).  The CELL COUNT is
+# data-scaled — a fixed k would be the banding degeneracy this repo
+# keeps finding in pair-generating operators (n²/k within-cell pairs):
+# k = clamp(16 · 2^ceil(log2(n / (16·64))), 16, 16384), i.e. double the
+# cells every time the expected cell population would pass ~64.  The
+# SAME formula runs in the oracle from COUNT(*).  The 16384 clamp is the
+# stated ceiling: the codebook rides a single collected+broadcast row
+# (16384 × 64-dim doubles ≈ 8 MB), and past n ≈ 16384·64 ≈ 1M vectors
+# cell populations resume growing; the named lift at that scale is a
+# coarse-quantizer (hierarchical) assignment, which is also what caps
+# the Θ(n·k) flat argmax cost — the same shape the paper's own
+# faiss k-means pays.
+_SEMDEDUP_K0 = 16
+_SEMDEDUP_KMAX = 16384
+_SEMDEDUP_CELL_TARGET = 64
+_SEMDEDUP_TAU = 0.40
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM tok WHERE tok <> ''
+      GROUP BY tok
+    ), hrows AS (
+      SELECT tok, exact_cnt, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))
+               ::BIGINT % {_CMS_W} AS bucket
+      FROM cnt CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+    ), cells AS (
+      SELECT j, bucket, SUM(exact_cnt) AS cell
+      FROM hrows GROUP BY j, bucket
+    ), est AS (
+      SELECT r.tok, MIN(c.cell) AS est_cms, MAX(r.exact_cnt) AS exact_cnt
+      FROM hrows r JOIN cells c ON c.j = r.j AND c.bucket = r.bucket
+      GROUP BY r.tok
+    ), tot AS (
+      SELECT SUM(exact_cnt) AS n FROM cnt
+    )
+    SELECT tok, CAST(est_cms AS BIGINT) AS est_cms,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cms >= exact_cnt AS BIGINT) AS overest_ok
+    FROM est, tot
+    WHERE est_cms * {_CMS_PHI_DEN} >= n
+    ORDER BY tok
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream via a Count-Min sketch
+    (Cormode & Muthukrishnan 2005): d=4 portable md5 hash rows ×
+    w=256 buckets, estimate = min over rows, report every token whose
+    estimate is ≥ 2% of the stream.  The sketch CELLS are value-checked:
+    both engines hash tokens into the same buckets, sum the same counts,
+    and take the same min, so a Spark-side hashing or combine regression
+    flips the driver hash — the exact count rides along only to pin the
+    one-sided error contract (``overest_ok``: CMS never underestimates);
+    geometry constants at module top (``_CMS_D``/``_CMS_W``).
+
+    100 TB shape: the sketch build is ONE aggregation whose output is
+    fixed at d·w cells no matter the corpus — partial (map-side) combine
+    does almost all the work and the shuffle carries ≤ d·w rows per
+    partition, vs the vocabulary-sized shuffle of an exact groupBy
+    count.  Estimation joins the (broadcast, ≤ d·w-row) cell table.
+    Here the candidate set is the exact vocabulary (the verification
+    harness needs exact counts anyway); at scale the candidate stream is
+    whatever trickle the application already has (new tokens per batch),
+    each probed against the broadcast sketch at O(d).
+
+    Reference counterpart: the pipeline's corpus-statistics pass
+    (``tts_data_pipeline/pre_processing/process_all.py`` word-frequency
+    accounting) — re-expressed as a mergeable fixed-size sketch instead
+    of a driver-side Counter."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    hrows = cnt.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _md5_long(F.concat(F.lit(f"{j}:"), F.col("tok"))),
+                            F.lit(_CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("tok", "exact_cnt", "h.j", "h.bucket")
+    cells = hrows.groupBy("j", "bucket").agg(F.sum("exact_cnt").alias("cell"))
+    tot = cnt.agg(F.sum("exact_cnt").alias("n"))
+    est = (
+        hrows.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("cell").cast("bigint").alias("est_cms"),
+            F.max("exact_cnt").cast("bigint").alias("exact_cnt"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_cms") * _CMS_PHI_DEN >= F.col("n"))
+        .select(
+            "tok",
+            "est_cms",
+            "exact_cnt",
+            (F.col("est_cms") >= F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overest_ok"),
+        )
+        .orderBy("tok")
+    )
+
+
+@query(
+    "j13_bloom_semi_join",
+    oracle=f"""
+    WITH small AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal >= 9000
+    ), bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT % {_BLOOM_M} AS bit
+      FROM small CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j)
+    ), probe AS (
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey, j.j,
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                                 || CAST(o.o_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT % {_BLOOM_M} AS bit
+      FROM orders o CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) j
+    ), passed AS (
+      SELECT p.o_orderkey, p.o_orderstatus, p.o_custkey,
+             CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                  = {_BLOOM_K} AS INTEGER) AS bloom_pass
+      FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.o_orderkey, p.o_orderstatus, p.o_custkey
+    ), flagged AS (
+      SELECT o_orderstatus, bloom_pass,
+             CASE WHEN s.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM passed LEFT JOIN small s ON s.c_custkey = passed.o_custkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(bloom_pass) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass = 1 AND is_true = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM flagged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filtered semi-join (Bloom 1970 / the runtime
+    row-group filter every distributed engine builds for selective
+    joins): the small side (high-balance customers) sets k={k} md5 bit
+    positions in an m={m}-bit filter; the big side (orders) probes its
+    own k positions against the broadcast bit-set and only candidates
+    reach the exact membership check (geometry at module top:
+    ``_BLOOM_M``/``_BLOOM_K``).  Output is the per-orderstatus
+    accounting — total rows, Bloom candidates, true members, false
+    positives — so the FILTER ITSELF is value-checked: both engines set
+    and probe identical bits, and m is sized small on purpose so false
+    positives actually occur (a vacuous fp=0 would check nothing).
+
+    100 TB shape: the bit-set is ≤ k·|small| distinct positions
+    collapsed to ONE collected row and broadcast — the orders scan
+    evaluates ``forall(positions, p -> array_contains(bits, p))`` inside
+    codegen with ZERO big-side shuffle and no join materialization; rows
+    failing the filter never leave the scan stage.  That is exactly the
+    pre-shuffle row pruning Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects; built
+    explicitly here so the mechanism is testable and the fp accounting
+    visible.  The exact check joins the (broadcast, small) key set, so
+    the whole lineage shuffles only the final ≤ 3-row aggregate.
+
+    Reference counterpart: the crawler's audio/text pairing passes
+    (``tts_data_pipeline/crawler/utils.py`` existence probes before
+    download) — re-expressed as set pre-filtering instead of per-item
+    requests."""
+    cust = table(spark, sf_dir, "customer")
+    small = cust.filter(F.col("c_acctbal") >= 9000).select("c_custkey")
+
+    def positions(key_col):
+        return F.array(
+            *[
+                F.pmod(
+                    _md5_long(
+                        F.concat(F.lit(f"{j}:"), key_col.cast("string"))
+                    ),
+                    F.lit(_BLOOM_M),
+                )
+                for j in range(_BLOOM_K)
+            ]
+        )
+
+    bitset = small.select(
+        F.explode(positions(F.col("c_custkey"))).alias("bit")
+    ).agg(F.collect_set("bit").alias("bits"))
+    orders = spread(table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    probed = (
+        orders.crossJoin(F.broadcast(bitset))
+        .withColumn("pos", positions(F.col("o_custkey")))
+        .withColumn(
+            "bloom_pass",
+            F.forall(
+                F.col("pos"), lambda p: F.array_contains(F.col("bits"), p)
+            ).cast("int"),
+        )
+    )
+    flagged = probed.join(
+        F.broadcast(small.withColumn("m", F.lit(1))),
+        probed.o_custkey == small.c_custkey,
+        "left",
+    ).select(
+        "o_orderstatus",
+        "bloom_pass",
+        F.when(F.col("m").isNotNull(), 1).otherwise(0).alias("is_true"),
+    )
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("bloom_pass").cast("bigint").alias("n_candidates"),
+            F.sum("is_true").cast("bigint").alias("n_true"),
+            F.sum(
+                ((F.col("bloom_pass") == 1) & (F.col("is_true") == 0)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), kk AS (
+      -- same data-scaled cell-count policy as the Spark side (from n):
+      -- double the cells whenever the expected population passes ~64
+      SELECT least({_SEMDEDUP_KMAX}, {_SEMDEDUP_K0} << greatest(0,
+               CAST(ceil(log2(greatest(COUNT(*), 1)
+                    / {_SEMDEDUP_K0 * _SEMDEDUP_CELL_TARGET}.0))
+                    AS INTEGER))) AS k
+      FROM e
+    ), cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, v AS cv,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ) WHERE rn <= (SELECT k FROM kk)
+    ), ar AS (
+      SELECT e.vec_id, e.v, cent.cid,
+             list_dot_product(e.v, cent.cv)
+               / greatest(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12)
+               AS csim,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, cent.cv)
+                 / greatest(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12)
+                 DESC, cent.cid ASC) AS rn
+      FROM e CROSS JOIN cent
+    ), asg AS (
+      SELECT vec_id, v, cid AS cell, ROUND(csim, 6) AS centroid_sim
+      FROM ar WHERE rn = 1
+    ), rk AS (
+      SELECT vec_id, v, cell, centroid_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell ORDER BY centroid_sim ASC, vec_id ASC
+             ) AS rk
+      FROM asg
+    ), pr AS (
+      SELECT a.vec_id,
+             MAX(ROUND(list_dot_product(a.v, b.v)
+               / greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6))
+               AS max_prior_sim
+      FROM rk a JOIN rk b ON a.cell = b.cell AND b.rk < a.rk
+      GROUP BY a.vec_id
+    )
+    SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+           CAST(r.rk AS BIGINT) AS rk,
+           r.centroid_sim, p.max_prior_sim,
+           CAST(COALESCE(p.max_prior_sim >= {_SEMDEDUP_TAU}, FALSE)
+                AS BIGINT) AS is_dup
+    FROM rk r LEFT JOIN pr p ON p.vec_id = r.vec_id
+    ORDER BY r.vec_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-style cell assignment over
+    the embedding column, then WITHIN-CELL cosine dedup keeping, per the
+    paper, the examples with LOW similarity to their cell centroid — a
+    row is a semantic duplicate iff some cell-mate that ranks before it
+    (centroid_sim ASC, vec_id tiebreak) sits within cosine
+    τ=``_SEMDEDUP_TAU``.  The one-shot relational form of the paper's per-cluster similarity
+    matrix: rank + prior-mate max, no greedy chaining, so the survivor
+    set is order-free and oracle-replayable row for row.
+
+    100 TB shape: cell assignment is the broadcast-codebook argmax of
+    :func:`operators.similarity.ivf_assign` (zero big-side shuffle,
+    O(k) per row); pair generation is bounded by the cell key, and the
+    cell COUNT is data-scaled (doubling whenever expected population
+    passes ~64 — policy and its 16384-cell/1M-vector ceiling at the
+    module top, same formula in the oracle from COUNT(*)), so per-cell
+    population stays ~constant and the verify stage is linear — a FIXED
+    k here would be the n²/k banding degeneracy this repo's dedup
+    operators keep being audited for.  The within-cell join shuffles
+    (vec_id, cell, v, nrm) only; norms are hoisted per vector before the
+    pair fold.  The deterministic md5-sample codebook stands in for the
+    paper's k-means fit (same trade as the IVF dedup, measured in
+    PLANS.md: k-means evens cells and lifts recall, at the cost of
+    replaying Lloyd iterations in the oracle).
+
+    Extends the dedup ladder (exact → MinHash → SimHash → embedding
+    IVF) with the published cluster-then-dedup semantics the LLM
+    curation literature standardized on."""
+    import math
+
+    from tts_data_pipeline_spark.operators.similarity import dot, ivf_assign
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    # bounded scalar collect (one count), the same policy the oracle
+    # derives from COUNT(*) — see module-top constants for the rationale
+    n = e.count()
+    k = min(
+        _SEMDEDUP_KMAX,
+        _SEMDEDUP_K0
+        << max(
+            0,
+            math.ceil(
+                math.log2(
+                    max(n, 1) / float(_SEMDEDUP_K0 * _SEMDEDUP_CELL_TARGET)
+                )
+            ),
+        ),
+    )
+    asg = ivf_assign(e, n_centroids=k).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        F.round(F.array_max("scored")["sim"], 6).alias("centroid_sim"),
+    )
+    rk = asg.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cell").orderBy(
+                F.col("centroid_sim").asc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    a, b = rk.alias("a"), rk.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
+        6,
+    )
+    prior = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.rk") < F.col("a.rk")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max(sim).alias("max_prior_sim"))
+    )
+    return (
+        rk.join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "centroid_sim",
+            "max_prior_sim",
+            F.coalesce(
+                F.col("max_prior_sim") >= _SEMDEDUP_TAU, F.lit(False)
+            )
+            .cast("bigint")
+            .alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
