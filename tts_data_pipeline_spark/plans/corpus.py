@@ -1143,7 +1143,7 @@ def _bpe_cte_chain(rounds: int, include_final_seq: bool) -> list:
         )
         if k < rounds or include_final_seq:
             parts.append(
-                f""", seq{k} AS (
+                f""", seq{k} AS MATERIALIZED (
   SELECT word, freq,
          replace(replace(replace(s, ' ', '  '),
                  ' ' || (SELECT replace(pair, ' ', '  ') FROM best{k}) || ' ',
@@ -1449,6 +1449,262 @@ def ta_bpe_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — the property that lets a production job pick chunk size
     purely on codegen limits."""
     return bpe_encode_corpus(spark, sf_dir, rounds=6, chunk_size=2)
+
+
+# --- WordPiece tokenizer (likelihood-scored merges) -------------------------
+
+
+def _wp_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of :func:`learn_wordpiece_merges`:
+    ##-marked character seed, then per round symbol counts + pair counts
+    over seq{k-1}, the likelihood argmax, and the same double-space
+    ``replace`` merge application the BPE chain uses.  The score is ONE
+    IEEE division of exact integers (cnt_pair / (cnt_left·cnt_right)) —
+    identical operands give an identical double in both engines, so the
+    ORDER BY score DESC is cross-engine exact; ties break on the pair
+    string."""
+    parts = [
+        """WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> '' GROUP BY w
+), seq0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(list_transform(range(length(word)),
+                i -> CASE WHEN i = 0 THEN word[1]
+                     ELSE '##' || word[i+1] END), ' ') || ' ' AS s
+  FROM words
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", toks{k} AS MATERIALIZED (
+  SELECT freq, string_split(trim(s), ' ') AS toks FROM seq{k - 1}
+), sym{k} AS MATERIALIZED (
+  SELECT t2.sym, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM toks{k}, UNNEST(toks) AS t2(sym) GROUP BY 1
+), pairs{k} AS MATERIALIZED (
+  SELECT pl, pr, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, toks[i+1] AS pl, toks[i+2] AS pr
+    FROM toks{k},
+         UNNEST(range(CAST(len(toks) - 1 AS BIGINT))) AS t(i)
+  )
+  GROUP BY 1, 2
+), best{k} AS MATERIALIZED (
+  SELECT p.pl, p.pr, p.cnt AS cnt_pair, sl.cnt AS cnt_left,
+         sr.cnt AS cnt_right,
+         CAST(p.cnt AS DOUBLE) / (sl.cnt * sr.cnt) AS score
+  FROM pairs{k} p
+  JOIN sym{k} sl ON sl.sym = p.pl
+  JOIN sym{k} sr ON sr.sym = p.pr
+  ORDER BY score DESC, p.pl || ' ' || p.pr ASC LIMIT 1
+)"""
+        )
+        if k < rounds:
+            parts.append(
+                f""", seq{k} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(replace(replace(s, ' ', '  '),
+                 ' ' || (SELECT pl || '  ' || pr FROM best{k}) || ' ',
+                 ' ' || (SELECT pl || substr(pr, 3) FROM best{k}) || ' '),
+                 '  ', ' ') AS s
+  FROM seq{k - 1}
+)"""
+            )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS rank,"
+        f" (SELECT pl || ' ' || pr FROM best{k}) AS pair,"
+        f" (SELECT pl || substr(pr, 3) FROM best{k}) AS merged,"
+        f" (SELECT cnt_pair FROM best{k}) AS cnt_pair,"
+        f" (SELECT cnt_left FROM best{k}) AS cnt_left,"
+        f" (SELECT cnt_right FROM best{k}) AS cnt_right,"
+        f" (SELECT ROUND(score, 9) FROM best{k}) AS score"
+        for k in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank")
+    return "".join(parts)
+
+
+def learn_wordpiece_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 3,
+    persist_every: int = 5,
+) -> DataFrame:
+    """WordPiece vocabulary induction (Schuster & Nakajima 2012; the
+    trainer behind BERT's tokenizer, and what HuggingFace ``tokenizers``
+    implements as the BPE loop with a likelihood score): per round, merge
+    the adjacent symbol pair maximizing ``cnt(ab) / (cnt(a)·cnt(b))`` —
+    the pair whose merge most increases corpus likelihood under a unigram
+    symbol model — instead of BPE's raw ``cnt(ab)``.  Symbols carry the
+    ``##`` continuation marker from the seed alphabet on (word-initial
+    ``c`` vs interior ``##c`` are DIFFERENT symbols with different
+    counts, exactly as in the published trainer), and a merge of
+    ``(x, ##y)`` yields ``x##y``-stripped ``xy`` with x's own marker
+    preserved.
+
+    Cross-engine determinism: the score is a single IEEE division of
+    exact integer counts — identical operands in both engines produce the
+    identical double, so the argmax ordering (score DESC, pair ASC)
+    replays exactly; no rounding enters the selection, and the emitted
+    score column is rounded 9dp for the hash only.
+
+    100 TB shape identical to :func:`learn_bpe_merges` (same state, same
+    lineage-truncation cadence): the DISTINCT-WORD table is the only
+    state, the corpus-wide word rollup happens once, each round adds one
+    vocabulary-sized pair count + one vocabulary-sized symbol count (both
+    map-side-combinable), and one scalar row reaches the driver per round
+    (model selection, not data).  The symbol-count join is
+    vocabulary-sized × ~alphabet-sized — broadcast."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        lambda i: F.when(i == 0, F.col("word").substr(i + 1, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), F.col("word").substr(i + 1, F.lit(1)))
+        ),
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s"),
+    )
+    workdir = _tempfile.mkdtemp(prefix="wp_state_")
+    merges = []
+    try:
+        _STATE = "word string, freq bigint, s string"
+        state_path = _os.path.join(workdir, "state_0")
+        cur.write.mode("overwrite").parquet(state_path)
+        cur = spark.read.schema(_STATE).parquet(state_path)
+        for k in range(1, rounds + 1):
+            toks = F.split(F.trim("s"), " ")
+            tokd = cur.select("freq", toks.alias("toks"))
+            # read twice (left/right broadcast joins) — persist for the
+            # round so the symbol rollup runs once, release after argmax
+            symcnt = (
+                tokd.select("freq", F.explode("toks").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .persist()
+            )
+            pair = F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("pl"),
+                            F.col("toks")[i + 1].alias("pr"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<pl:string,pr:string>>")
+                )
+            )
+            paircnt = (
+                tokd.select("freq", pair.alias("p"))
+                .groupBy("p.pl", "p.pr")
+                .agg(F.sum("freq").cast("bigint").alias("cnt_pair"))
+            )
+            best = (
+                paircnt.join(
+                    F.broadcast(
+                        symcnt.select(
+                            F.col("sym").alias("pl"),
+                            F.col("cnt").alias("cnt_left"),
+                        )
+                    ),
+                    "pl",
+                )
+                .join(
+                    F.broadcast(
+                        symcnt.select(
+                            F.col("sym").alias("pr"),
+                            F.col("cnt").alias("cnt_right"),
+                        )
+                    ),
+                    "pr",
+                )
+                .withColumn(
+                    "score",
+                    F.col("cnt_pair")
+                    / (F.col("cnt_left") * F.col("cnt_right")).cast("double"),
+                )
+                .orderBy(
+                    F.desc("score"),
+                    F.asc(F.concat("pl", F.lit(" "), "pr")),
+                )
+                .limit(1)
+                .first()
+            )
+            symcnt.unpersist()
+            if best is None:
+                break
+            pl, pr = best["pl"], best["pr"]
+            merged = pl + pr[2:]  # interior right symbol always ##-marked
+            merges.append(
+                (
+                    k,
+                    f"{pl} {pr}",
+                    merged,
+                    best["cnt_pair"],
+                    best["cnt_left"],
+                    best["cnt_right"],
+                    best["score"],  # rounded by F.round below, not Python
+                )
+            )
+            if k < rounds:
+                cur = cur.withColumn(
+                    "s",
+                    F.replace(
+                        F.replace(
+                            F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
+                            F.lit(" " + pl + "  " + pr + " "),
+                            F.lit(" " + merged + " "),
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
+                    ),
+                )
+                if k % persist_every == 0:
+                    next_path = _os.path.join(workdir, f"state_{k}")
+                    cur.write.mode("overwrite").parquet(next_path)
+                    cur = spark.read.schema(_STATE).parquet(next_path)
+                    _shutil.rmtree(state_path, ignore_errors=True)
+                    state_path = next_path
+    finally:
+        _shutil.rmtree(workdir, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            merges,
+            "rank bigint, pair string, merged string, cnt_pair bigint,"
+            " cnt_left bigint, cnt_right bigint, score double",
+        )
+        # engine-side ROUND (same continuous-value convention as every
+        # other emitted float; Python's round() is a third semantics)
+        .withColumn("score", F.round("score", 9))
+        .orderBy("rank")
+    )
+
+
+@query("ta_wordpiece_learn", oracle=_wp_oracle(3))
+def ta_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for :func:`learn_wordpiece_merges` at R=3 —
+    completes the tokenizer-trainer triad (BPE count-argmax, unigram-LM
+    EM, WordPiece likelihood-argmax), oracle-generated for the same
+    round count so the merge table, its counts AND its scores are
+    value-checked end-to-end."""
+    return learn_wordpiece_merges(spark, sf_dir, rounds=3)
 
 
 # --- unigram-LM tokenizer (SentencePiece hard-EM) ---------------------------
