@@ -109,6 +109,7 @@ HEADLINE = [
     "ta_unigram_lm_learn",
     "ta_unigram_lm_learn_em",
     "ta_wordpiece_learn",
+    "ta_wordpiece_encode",
     "ta_unigram_lm_encode",
     "ta_perplexity_kneser_ney",
     "pipeline_e2e_ccnet",

@@ -86,6 +86,60 @@ def test_wordpiece_matches_pure_python_reference(spark):
         assert r.score == pytest.approx(cnt / (cl * cr), abs=5e-10)
 
 
+def test_wordpiece_encode_matches_pure_python_greedy(spark):
+    """Greedy longest-match-first segmentation recomputed naively per
+    word (vocab = ##-marked seed alphabet ∪ the R=3 reference merges),
+    then rolled up per doc — must equal the operator's output."""
+    from tts_data_pipeline_spark.plans.corpus import ta_wordpiece_encode
+
+    words_freq = {
+        w: int(f)
+        for w, f in duckdb.sql(
+            f"""SELECT w, COUNT(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS w
+                  FROM read_parquet('{SF_DIR}/documents.parquet'))
+                WHERE w <> '' GROUP BY w"""
+        ).fetchall()
+    }
+    merges = _ref_wordpiece(words_freq, 3)
+    vocab = {m[2] for m in merges}
+    for w in words_freq:
+        vocab.add(w[0])
+        vocab.update("##" + c for c in w[1:])
+
+    def segment(w: str):
+        pos, cnt = 0, 0
+        while pos < len(w):
+            for l in range(len(w) - pos, 0, -1):
+                piece = w[:l] if pos == 0 else "##" + w[pos : pos + l]
+                if piece in vocab:
+                    pos += l
+                    cnt += 1
+                    break
+            else:
+                return None  # [UNK]
+        return cnt
+
+    seg = {w: segment(w) for w in words_freq}
+    assert all(c is not None for c in seg.values())
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_unk_words)
+        for r in ta_wordpiece_encode(spark, SF_DIR).collect()
+    }
+    checked = 0
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        if not ws:
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == (len(ws), sum(seg[w] for w in ws), 0), doc_id
+        checked += 1
+    assert checked >= 400
+
+
 def test_wordpiece_differs_from_bpe_argmax(spark):
     """The likelihood score must actually change the selection vs raw
     pair count on this corpus — otherwise the trainer isn't exercising

@@ -1454,17 +1454,22 @@ def ta_bpe_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- WordPiece tokenizer (likelihood-scored merges) -------------------------
 
 
-def _wp_oracle(rounds: int) -> str:
-    """Unrolled-CTE DuckDB replay of :func:`learn_wordpiece_merges`:
-    ##-marked character seed, then per round symbol counts + pair counts
-    over seq{k-1}, the likelihood argmax, and the same double-space
+def _wp_cte_chain(rounds: int, recursive: bool = False) -> list:
+    """Shared unrolled-CTE prefix for the WordPiece oracles: ##-marked
+    character seed, then per round symbol counts + pair counts over
+    seq{k-1}, the likelihood argmax, and the same double-space
     ``replace`` merge application the BPE chain uses.  The score is ONE
     IEEE division of exact integers (cnt_pair / (cnt_left·cnt_right)) —
     identical operands give an identical double in both engines, so the
     ORDER BY score DESC is cross-engine exact; ties break on the pair
-    string."""
+    string.  Every per-round CTE is MATERIALIZED: un-materialized, DuckDB
+    re-inlines the whole chain behind each scalar subquery and the
+    3-round replay costs ~30 s instead of ~0.3 s.  ``recursive`` emits
+    ``WITH RECURSIVE`` so callers can append recursive CTEs (the encode
+    walk)."""
     parts = [
-        """WITH words AS (
+        ("WITH RECURSIVE words AS (" if recursive else "WITH words AS (")
+        + """
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
   WHERE w <> '' GROUP BY w
@@ -1512,6 +1517,12 @@ def _wp_oracle(rounds: int) -> str:
   FROM seq{k - 1}
 )"""
             )
+    return parts
+
+
+def _wp_oracle(rounds: int) -> str:
+    """Learned-merge-table oracle: the chain plus one row per round."""
+    parts = _wp_cte_chain(rounds)
     selects = [
         f"SELECT CAST({k} AS BIGINT) AS rank,"
         f" (SELECT pl || ' ' || pr FROM best{k}) AS pair,"
@@ -1523,6 +1534,72 @@ def _wp_oracle(rounds: int) -> str:
         for k in range(1, rounds + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank")
+    return "".join(parts)
+
+
+def _wp_encode_oracle(rounds: int) -> str:
+    """Encode oracle: learn the R merges exactly as :func:`_wp_oracle`
+    does, form the vocabulary (seed alphabet ∪ merged pieces), build the
+    per-(word, pos) longest-match jump table, then replay the greedy
+    longest-match-first walk with a recursive CTE (pos strictly advances,
+    so the final state per word is the MAX row).  A word whose walk stalls
+    before the end maps to NULL pieces (the [UNK] rule — impossible on a
+    corpus the vocabulary was derived from, but replayed for parity with
+    the operator's definition)."""
+    parts = _wp_cte_chain(rounds, recursive=True)
+    merged_selects = "\n  UNION\n".join(
+        f"  SELECT (SELECT pl || substr(pr, 3) FROM best{k}) AS piece"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(
+        f""", alpha AS MATERIALIZED (
+  SELECT DISTINCT t2.sym AS piece
+  FROM (SELECT string_split(trim(s), ' ') AS toks FROM seq0),
+       UNNEST(toks) AS t2(sym)
+), vocab AS MATERIALIZED (
+  SELECT piece FROM alpha
+  UNION
+{merged_selects}
+), jumps AS MATERIALIZED (
+  SELECT word, pos, MAX(l) AS jump
+  FROM (
+    SELECT w.word, p.pos, l.l,
+           CASE WHEN p.pos = 0 THEN substr(w.word, 1, CAST(l.l AS INTEGER))
+                ELSE '##' || substr(w.word, CAST(p.pos + 1 AS INTEGER),
+                                    CAST(l.l AS INTEGER)) END AS piece
+    FROM words w,
+         UNNEST(range(length(w.word))) AS p(pos),
+         UNNEST(range(1, length(w.word) + 1)) AS l(l)
+    WHERE p.pos + l.l <= length(w.word)
+  )
+  WHERE piece IN (SELECT piece FROM vocab)
+  GROUP BY 1, 2
+), walk AS (
+  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt
+  FROM words
+  UNION ALL
+  SELECT wk.word, wk.pos + j.jump, wk.cnt + 1
+  FROM walk wk JOIN jumps j ON j.word = wk.word AND j.pos = wk.pos
+), wp AS MATERIALIZED (
+  SELECT word, MAX(pos) AS endpos, MAX(cnt) AS n_raw FROM walk GROUP BY word
+), wordpieces AS MATERIALIZED (
+  SELECT w.word,
+         CASE WHEN p.endpos = length(w.word) THEN p.n_raw ELSE NULL END
+           AS n_pieces
+  FROM words w JOIN wp p USING (word)
+), doctok AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(CASE WHEN v.n_pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk_words
+FROM doctok d JOIN wordpieces v ON v.word = d.w
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
     return "".join(parts)
 
 
@@ -1705,6 +1782,151 @@ def ta_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count so the merge table, its counts AND its scores are
     value-checked end-to-end."""
     return learn_wordpiece_merges(spark, sf_dir, rounds=3)
+
+
+@query("ta_wordpiece_encode", oracle=_wp_encode_oracle(3))
+def ta_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODING — greedy longest-match-first over the learned
+    vocabulary (seed alphabet ∪ merged pieces), i.e. the actual BERT
+    tokenizer algorithm, which segments with the final vocab rather than
+    replaying merges (unlike BPE encode): at each position take the
+    longest vocab piece (##-marked when word-interior), a word whose
+    walk stalls becomes [UNK] (NULL pieces — impossible when encoding
+    the corpus the vocab came from, kept for the definition's parity).
+
+    Mechanics, all JVM-side: the per-(word, pos) longest-match JUMP
+    TABLE is built relationally — explode (pos, len) candidates over the
+    DISTINCT-WORD table, broadcast-join the vocabulary, MAX(l) per
+    position — then rolled into a per-word pos→jump map, and the greedy
+    walk is one sequential ``F.aggregate`` fold over that map (each of
+    the ≤ len(word) steps is an O(1) map probe; no UDF, no collect
+    beyond the model-state vocab).  The DuckDB oracle builds the same
+    jump table and replays the walk as a recursive CTE.
+
+    100 TB shape: same amortization as ``ta_bpe_encode`` — every unique
+    word is segmented once, per-word piece counts broadcast back to the
+    corpus-sized token stream, so the only corpus-wide work is the word
+    explode and the per-doc rollup.  The vocabulary is model state
+    (alphabet + R merge rows through the same bounded driver channel the
+    BPE merge table uses); the candidate explode is bounded by
+    Σ len(word)·max_piece_len over DISTINCT words."""
+    merges = learn_wordpiece_merges(spark, sf_dir, rounds=3).collect()
+    merged_pieces = [r["merged"] for r in merges]
+    max_jump = max(
+        [1]
+        + [
+            len(p) - 2 if p.startswith("##") else len(p)
+            for p in merged_pieces
+        ]
+    )
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    marked = F.transform(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        lambda i: F.when(i == 0, F.col("word").substr(i + 1, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), F.col("word").substr(i + 1, F.lit(1)))
+        ),
+    )
+    alpha = words.select(F.explode(marked).alias("piece")).distinct()
+    vocab = alpha.unionByName(
+        spark.createDataFrame(
+            [(p,) for p in merged_pieces], "piece string"
+        )
+    ).distinct()
+
+    n = F.length("word")
+    cand = (
+        words.select("word")
+        .withColumn("pos", F.explode(F.sequence(F.lit(0), n - 1)))
+        .withColumn("l", F.explode(F.sequence(F.lit(1), F.lit(max_jump))))
+        .filter(F.col("pos") + F.col("l") <= F.length("word"))
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("pos") == 0,
+                F.col("word").substr(F.lit(1), F.col("l")),
+            ).otherwise(
+                F.concat(
+                    F.lit("##"),
+                    F.col("word").substr(F.col("pos") + 1, F.col("l")),
+                )
+            ),
+        )
+    )
+    # MAX(l) per (word, pos) BEFORE building the map: map_from_entries
+    # rejects duplicate keys under Spark's default mapKeyDedupPolicy
+    jumps = (
+        cand.join(F.broadcast(vocab), "piece")
+        .groupBy("word", "pos")
+        .agg(F.max("l").alias("jump"))
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pos", "jump"))
+            ).alias("jm")
+        )
+    )
+    state0 = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(0).cast("int").alias("cnt"),
+        F.lit(False).alias("stuck"),
+    )
+    wj = words.join(jumps, "word")
+    walk = F.aggregate(
+        F.sequence(F.lit(1), n),
+        state0,
+        lambda acc, _: F.when(acc["stuck"] | (acc["pos"] >= n), acc).otherwise(
+            F.when(
+                F.element_at(F.col("jm"), acc["pos"]).isNull(),
+                F.struct(
+                    acc["pos"].alias("pos"),
+                    acc["cnt"].alias("cnt"),
+                    F.lit(True).alias("stuck"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["pos"] + F.element_at(F.col("jm"), acc["pos"]))
+                    .cast("int")
+                    .alias("pos"),
+                    (acc["cnt"] + 1).cast("int").alias("cnt"),
+                    F.lit(False).alias("stuck"),
+                )
+            ),
+        ),
+    )
+    from tts_data_pipeline_spark.operators.dedup import eval_once_any
+
+    per_word = wj.select(
+        "word", eval_once_any(walk).alias("st")
+    ).select(
+        "word",
+        F.when(F.col("st")["stuck"], F.lit(None).cast("long"))
+        .otherwise(F.col("st")["cnt"].cast("long"))
+        .alias("n_pieces"),
+    )
+    doctok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        doctok.join(
+            per_word.withColumnRenamed("word", "w"), "w"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.col("n_pieces").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unk_words"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- unigram-LM tokenizer (SentencePiece hard-EM) ---------------------------
