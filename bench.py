@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_semdedup",
     "agg_heavy_hitters_cms",
     "j13_bloom_semi_join",
+    "j14_bucketed_colocated_join",
     "dedup_clusters",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
@@ -87,6 +88,8 @@ HEADLINE = [
     "pack_sequences_bins",
     "emb_kmeans_lloyd",
     "graph_pagerank_trade",
+    "graph_label_propagation",
+    "ta_collocations_llr",
     "s5_remote_csv_scan",
     "dedup_paragraph_exact",
     "dedup_substring_spans",

@@ -144,3 +144,38 @@ def test_semdedup_flag_matches_definition(spark):
                     expect = 1
                     break
             assert a.is_dup == expect, (a.vec_id, a.is_dup, expect)
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """The bucketed layout must remove BOTH pre-join shuffles: the
+    executed plan below the join contains zero Exchange nodes, while the
+    identical join over the plain parquet tables needs them.  (The
+    aggregate above the join keeps its own exchange in both cases.)"""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.scansinks import write_bucketed_tables
+    from tts_data_pipeline_spark.sources import table
+
+    write_bucketed_tables(spark, SF_DIR)
+    li_b = spark.table("j14_lineitem_b")
+    o_b = spark.table("j14_orders_b")
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+
+    # broadcast would (legitimately) kill the shuffle on BOTH variants at
+    # this tiny sf — disable it so the comparison isolates the bucketing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined_b = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        plan_b = joined_b._jdf.queryExecution().executedPlan().toString()
+        joined_p = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan_p = joined_p._jdf.queryExecution().executedPlan().toString()
+
+        assert "SortMergeJoin" in plan_b, plan_b
+        assert plan_b.count("Exchange") == 0, plan_b
+        assert plan_p.count("Exchange") >= 2, plan_p
+        # and the bucketed join returns the same rows as the parquet join
+        assert joined_b.count() == joined_p.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

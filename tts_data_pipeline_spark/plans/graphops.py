@@ -247,3 +247,117 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         )
     )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled-CTE replay of synchronous label propagation: per round
+    count neighbor labels, argmax (count DESC, label ASC) per node via
+    ROW_NUMBER — the exact mode-with-tiebreak the Spark window computes."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 2 * o.o_custkey AS a, 2 * l.l_suppkey + 1 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", cnt{k} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{k - 1} l ON l.node = e.dst
+  GROUP BY 1, 2
+), l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{k}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, label AS community FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) over the bipartite customer–supplier trade graph (node ids
+    disambiguated 2·custkey / 2·suppkey+1, edges = distinct transacting
+    pairs from lineitem ⋈ orders, both directions).  Each of the three
+    fixed rounds (``_ITERS``) every node adopts the most frequent label among
+    its neighbours — ties to the smallest label, the determinism that
+    makes the whole run replayable as unrolled SQL (the asynchronous,
+    randomized variant of the paper trades that for faster convergence;
+    fixed-round synchronous LPA is what Spark's own GraphX
+    LabelPropagation runs).  Labels seed as the node's own id.
+
+    100 TB shape: the edge build is the fact-fact equi-join (AQE
+    decides) + one DISTINCT; each round is edges ⋈ labels — the keyed
+    shuffle join on dst — followed by a map-side-combinable
+    (node, label) count and a per-node window argmax.  Label state is
+    node-sized and reshuffles per round, the canonical LPA dataflow; at
+    billion-edge scale the per-round state persists to disk on the
+    components-operator checkpoint discipline (the rounds here are a
+    static 3-deep lineage, so no checkpoint is needed)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("a"),
+            (2 * F.col("l_suppkey") + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the union doubles the upstream shuffle partitioning (2×200 cached
+    # partitions in a plain session) and every round re-reads the cache —
+    # repartition ON THE JOIN KEY to core count before caching, so each
+    # round's probe side is core-sized and dst-clustered
+    edges = cache_replacing(
+        "graph_lpa_edges",
+        edges.repartition(
+            spark.sparkContext.defaultParallelism, F.col("dst")
+        ),
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_ITERS):
+        cnt = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # mode-with-tiebreak as ONE struct-max aggregate — (c DESC, label
+        # ASC) becomes max(struct(c, -label, label)), saving the per-node
+        # sort shuffle a ROW_NUMBER window would add every round (the
+        # oracle's ROW_NUMBER computes the same winner)
+        labels = (
+            cnt.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label"),
+                    )
+                )["label"].alias("label")
+            )
+        )
+    return labels.select("node", F.col("label").alias("community")).orderBy(
+        "node"
+    )

@@ -622,3 +622,130 @@ def stream_python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --- ORC round trip ----------------------------------------------------------
+
+
+@query(
+    "s13_orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE n_chars >= 100
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the second columnar format a lake
+    ingest job meets (Spark's reader/writer are built in; same DataFrame
+    code path as parquet, different encoder stack).  Documents are
+    written to ORC, read back through the imposed-schema scan, filtered
+    and aggregated; the oracle recomputes from the parquet originals, so
+    any value corruption across the encode/decode (string enc, nulls,
+    int widths) breaks the hash.  The ``n_chars >= 100`` predicate
+    reaches the ORC reader as a pushed filter exactly as it would on
+    parquet (``tests/test_sinks.py`` asserts pushdown for the parquet
+    scans; ORC shares the DataSource v1 pushdown path)."""
+    docs = table(spark, sf_dir, "documents")
+    path = _tmpdir("s13orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).orc(path)
+    return (
+        back.filter(F.col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- bucketed co-located join ------------------------------------------------
+
+
+def write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Write orders and lineitem as BUCKETED tables on the join key
+    (``bucketBy(n, orderkey) + sortBy``, hashed into the same bucket
+    count on both sides) and register them in the session catalog.
+    Returns the two table names.  Idempotent per (session, sf_dir):
+    re-registration overwrites."""
+    path = _tmpdir("j14bucket")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{path}/orders_b")
+        .saveAsTable("j14_orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{path}/lineitem_b")
+        .saveAsTable("j14_lineitem_b")
+    )
+    return "j14_orders_b", "j14_lineitem_b"
+
+
+@query(
+    "j14_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CO-LOCATED fact-fact join — the layout decision that matters
+    most at 100 TB: both fact tables are written ``bucketBy(8, orderkey)
+    + sortBy`` so the sort-merge join consumes bucket files directly and
+    NEITHER side shuffles (``tests/test_sketches.py::
+    test_bucketed_join_has_no_join_exchange`` pins the physical plan:
+    zero Exchange below the join, versus two for the plain parquet
+    join).  On a petabyte fact table this turns every co-keyed join and
+    rollup from a full-network shuffle into a local merge — the same
+    contract as Hive bucketing / Iceberg bucket partition transforms;
+    the bucket count is the frozen-at-write knob (like the streaming
+    state-shard count) chosen for target file sizes.
+
+    The aggregate's values are oracle-checked against the plain parquet
+    originals, proving the bucketed layout changes the PLAN, not the
+    answer.  Quantity sums ride as integer cents
+    (``functions/exact.py`` convention) so the hash is
+    accumulation-order-proof."""
+    write_bucketed_tables(spark, sf_dir)
+    li = spark.table("j14_lineitem_b")
+    o = spark.table("j14_orders_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum((F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty_cents"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

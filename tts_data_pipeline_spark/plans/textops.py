@@ -600,6 +600,123 @@ def ta_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ta_collocations_llr",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ), big AS (
+      SELECT bg[1] AS w1, bg[2] AS w2
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+            FROM toks)
+    ), bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ), acnt AS (
+      SELECT w1, COUNT(*) AS ca FROM big GROUP BY w1
+    ), ccnt AS (
+      SELECT w2, COUNT(*) AS cb FROM big GROUP BY w2
+    ), n2 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big
+    ), k AS (
+      SELECT b.w1, b.w2, b.c12,
+             CAST(b.c12 AS DOUBLE) AS k11,
+             CAST(a.ca - b.c12 AS DOUBLE) AS k12,
+             CAST(c.cb - b.c12 AS DOUBLE) AS k21,
+             n2.n - a.ca - c.cb + b.c12 AS k22,
+             CAST(a.ca AS DOUBLE) AS ra, CAST(c.cb AS DOUBLE) AS cbb,
+             n2.n AS n
+      FROM bcnt b
+      JOIN acnt a ON a.w1 = b.w1
+      JOIN ccnt c ON c.w2 = b.w2
+      CROSS JOIN n2
+      WHERE b.c12 >= 25
+    )
+    SELECT w1, w2, c12,
+           ROUND(2 * (
+             (CASE WHEN k11 > 0
+               THEN k11 * LN(k11 * n / (ra * cbb)) ELSE 0 END)
+             + (CASE WHEN k12 > 0
+               THEN k12 * LN(k12 * n / (ra * (n - cbb))) ELSE 0 END)
+             + (CASE WHEN k21 > 0
+               THEN k21 * LN(k21 * n / ((n - ra) * cbb)) ELSE 0 END)
+             + (CASE WHEN k22 > 0
+               THEN k22 * LN(k22 * n / ((n - ra) * (n - cbb))) ELSE 0 END)
+           ), 4) AS llr
+    FROM k
+    ORDER BY llr DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def ta_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LOG-LIKELIHOOD RATIO (Dunning 1993) — the
+    robust sibling of ``ta_bigram_pmi``: PMI over-rewards rare pairs
+    (a hapax bigram of two hapax words maxes the score), while the G²
+    statistic 2·Σ k·ln(k/E) over the 2×2 bigram contingency table
+    weighs evidence MASS, which is why collocation extraction standard
+    practice (NLTK, Mahout) ranks by LLR.  Margins are positional
+    (first-word / second-word bigram counts), so the table is
+    self-consistent: k11=c(ab), k12=c(a·)−c(ab), k21=c(·b)−c(ab),
+    k22=N−c(a·)−c(·b)+c(ab).
+
+    Cross-engine: each term is ``k · ln(k·N / (row·col))`` — products of
+    exact integer counts (≤ ~1e11, exact in doubles) through one ln, the
+    same operand ordering in both engines, rounded 4dp like every
+    continuous score.  Zero cells contribute 0 (the k→0 limit).
+
+    100 TB shape mirrors PMI: three map-side-combinable count
+    aggregations (bigram, first-position, second-position), margins
+    broadcast back onto the c12 ≥ 25-filtered bigram table, scalar N as
+    a 1-row cross join, TakeOrdered top-20 — no corpus-sized shuffle
+    after the counts."""
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = d.select(toks.alias("t"))
+    big = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    acnt = big.groupBy("w1").agg(F.count("*").alias("ca"))
+    ccnt = big.groupBy("w2").agg(F.count("*").alias("cb"))
+    n2 = big.agg(F.count("*").cast("double").alias("n"))
+    k11 = F.col("c12").cast("double")
+    k12 = (F.col("ca") - F.col("c12")).cast("double")
+    k21 = (F.col("cb") - F.col("c12")).cast("double")
+    k22 = F.col("n") - F.col("ca") - F.col("cb") + F.col("c12")
+    ra = F.col("ca").cast("double")
+    cb = F.col("cb").cast("double")
+    n = F.col("n")
+
+    def term(kk, num_r, num_c):
+        return F.when(kk > 0, kk * F.log(kk * n / (num_r * num_c))).otherwise(
+            F.lit(0.0)
+        )
+
+    llr = F.round(
+        2
+        * (
+            term(k11, ra, cb)
+            + term(k12, ra, n - cb)
+            + term(k21, n - ra, cb)
+            + term(k22, n - ra, n - cb)
+        ),
+        4,
+    )
+    return (
+        bcnt.filter(F.col("c12") >= 25)
+        .join(F.broadcast(acnt), "w1")
+        .join(F.broadcast(ccnt), "w2")
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12", llr.alias("llr"))
+        .orderBy(F.col("llr").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
 BM25_TERMS = ("hash", "vector", "window")
 
 
