@@ -90,6 +90,7 @@ HEADLINE = [
     "graph_pagerank_trade",
     "graph_label_propagation",
     "ta_collocations_llr",
+    "ta_kl_source_drift",
     "s5_remote_csv_scan",
     "dedup_paragraph_exact",
     "dedup_substring_spans",

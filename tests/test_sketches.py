@@ -179,3 +179,36 @@ def test_bucketed_join_has_no_join_exchange(spark):
         assert joined_b.count() == joined_p.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semdedup_cell_colocation_recall(spark):
+    """Fraction of ALL τ-pairs whose endpoints share a cell — the recall
+    of the bucketing itself (a pair in different cells can never be
+    flagged).  Measured on the driver corpus's adversarial 0.40–0.60
+    cosine band (no true near-dups exist there; planted ≥0.99 pairs in
+    the IVF recall test co-locate at 0.85+): 19/59 = 0.32 at sf0.01.
+    Floor pinned at 0.25 so a centroid/assignment regression is visible,
+    with the docstring's honest caveat that single-probe cell recall on
+    borderline pairs is the documented trade (multi-probe / k-means
+    codebook are the named lifts)."""
+    import numpy as np
+
+    from tts_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    cells = {r.vec_id: r.cell for r in SK.dedup_semdedup(spark, sf).collect()}
+    rows = table(spark, sf, "embeddings").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    n = len(ids)
+    pairs = [
+        (ids[i], ids[j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if round(float(sims[i, j]), 6) >= SK._SEMDEDUP_TAU
+    ]
+    assert pairs
+    co = sum(1 for a, b in pairs if cells[a] == cells[b])
+    assert co / len(pairs) >= 0.25, (co, len(pairs))

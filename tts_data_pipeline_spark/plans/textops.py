@@ -717,6 +717,104 @@ def ta_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ta_kl_source_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), t AS (
+      SELECT source, w FROM tok WHERE w <> ''
+    ), sc AS (
+      SELECT source, w, COUNT(*) AS c FROM t GROUP BY source, w
+    ), cc AS (
+      SELECT w, COUNT(*) AS c FROM t GROUP BY w
+    ), ns AS (
+      SELECT source, COUNT(*) AS n FROM t GROUP BY source
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST((SELECT COUNT(*) FROM cc) AS DOUBLE) AS v
+      FROM t
+    ), grid AS (
+      SELECT ns.source, cc.w,
+             CAST(COALESCE(sc.c, 0) AS DOUBLE) AS csw,
+             CAST(cc.c AS DOUBLE) AS cw,
+             CAST(ns.n AS DOUBLE) AS nsrc,
+             tot.n AS n, tot.v AS v
+      FROM ns CROSS JOIN cc
+      LEFT JOIN sc ON sc.source = ns.source AND sc.w = cc.w
+      CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(nsrc AS BIGINT) AS n_tokens,
+           ROUND(SUM(
+             ((csw + 0.5) / (nsrc + 0.5 * v))
+             * LN(((csw + 0.5) / (nsrc + 0.5 * v))
+                  / ((cw + 0.5) / (n + 0.5 * v)))
+           ), 6) AS kl_vs_corpus
+    FROM grid
+    GROUP BY source, nsrc
+    ORDER BY source
+    """,
+)
+def ta_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL(source ‖ corpus) over smoothed
+    token unigram distributions, per source — the corpus-QA statistic
+    that flags a scrape/source whose language model has drifted from
+    the mixture (dedup and quality filters miss this failure mode
+    entirely; mixture tuning à la DoReMi starts from exactly these
+    divergences).  Add-0.5 (Jeffreys) smoothing over the SHARED corpus
+    vocabulary keeps every term finite, including vocabulary the source
+    never uses.
+
+    Cross-engine: each term is pure arithmetic on integer counts through
+    one ln — identical operands both engines — and the per-source sum is
+    rounded 6dp on both sides per the registry convention, so
+    accumulation-order noise cannot flip the hash.
+
+    100 TB shape: two map-side-combinable count aggregations (per-source
+    and corpus), the scalar (N, V) as a 1-row cross join, and a
+    vocab × n_sources grid — vocabulary-sized work, never corpus-sized,
+    with the per-source rollup keyed on the handful of sources."""
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sc_ = t.groupBy("source", "w").agg(F.count("*").alias("csw"))
+    cc = t.groupBy("w").agg(F.count("*").alias("cw"))
+    ns = t.groupBy("source").agg(F.count("*").alias("nsrc"))
+    tot = t.agg(F.count("*").cast("double").alias("n")).crossJoin(
+        F.broadcast(cc.agg(F.count("*").cast("double").alias("v")))
+    )
+    # the per-source count table is vocab×sources-sized — a keyed join,
+    # not a broadcast (at production vocab it no longer fits a broadcast)
+    grid = (
+        ns.crossJoin(cc)
+        .join(sc_, ["source", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("nsrc").cast("double").alias("nsrc"),
+            F.coalesce(F.col("csw"), F.lit(0)).cast("double").alias("csw"),
+            F.col("cw").cast("double").alias("cw"),
+            "n",
+            "v",
+        )
+    )
+    p = (F.col("csw") + 0.5) / (F.col("nsrc") + 0.5 * F.col("v"))
+    q = (F.col("cw") + 0.5) / (F.col("n") + 0.5 * F.col("v"))
+    return (
+        grid.groupBy("source", "nsrc")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("nsrc").cast("bigint").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
 BM25_TERMS = ("hash", "vector", "window")
 
 
