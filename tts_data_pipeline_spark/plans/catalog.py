@@ -85,6 +85,7 @@ _PRIORITY = (
     "dedup_semdedup",
     "agg_heavy_hitters_cms",
     "j13_bloom_semi_join",
+    "j14_bucketed_colocated_join",
     "dedup_fuzzy_levenshtein",
     "dedup_clusters",
     "dedup_apply_survivors",
@@ -122,6 +123,7 @@ _PRIORITY = (
     "emb_int8_quantize",
     "sim_int8_topk",
     "ta_bpe_learn_merges",
+    "ta_wordpiece_learn",
     "emb_pq_quantize",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
