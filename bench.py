@@ -121,6 +121,7 @@ HEADLINE = [
     "sim_hamming_topk",
     "stream_dedup_minhash",
     "stream_dedup_watermarked",
+    "stream_heavy_hitters_cms",
     "mm_audio_fingerprint_dedup",
     "mm_image_dhash_dedup",
     "dedup_incremental_minhash",

@@ -385,3 +385,121 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     out = run_stream_dedup_watermarked(spark, sf_dir, "q_stream_dedup_wm")
     return out.orderBy("user_id", "event_type", "hr", "ts")
+
+
+STREAM_CMS_ORACLE = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, user_id
+  FROM events
+), pu AS (
+  SELECT win_start, user_id, COUNT(*) AS c FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT win_start, SUM(c) AS n FROM pu GROUP BY 1
+), hr AS (
+  SELECT pu.win_start, pu.user_id, pu.c, j.j,
+         ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                             || CAST(pu.user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 256 AS bucket
+  FROM pu CROSS JOIN (SELECT unnest(range(4)) AS j) j
+), cells AS (
+  SELECT win_start, j, bucket, SUM(c) AS cell
+  FROM hr GROUP BY 1, 2, 3
+), est AS (
+  SELECT h.win_start, h.user_id,
+         MIN(c2.cell) AS est, MAX(h.c) AS exact
+  FROM hr h
+  JOIN cells c2 ON c2.win_start = h.win_start
+              AND c2.j = h.j AND c2.bucket = h.bucket
+  GROUP BY 1, 2
+)
+SELECT est.win_start, est.user_id,
+       CAST(est.est AS BIGINT) AS est_cms,
+       CAST(est.exact AS BIGINT) AS exact_cnt,
+       CAST(est.est >= est.exact AS BIGINT) AS overest_ok
+FROM est JOIN tot ON tot.win_start = est.win_start
+WHERE est.est * 1000 >= 15 * tot.n
+ORDER BY est.win_start, est.user_id
+"""
+
+
+@query("stream_heavy_hitters_cms", oracle=STREAM_CMS_ORACLE)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters from a Count-Min sketch MAINTAINED BY THE
+    STREAMING RUNTIME (``streaming/events.py::run_stream_cms_to_memory``):
+    each event explodes into its d=4 portable-md5 (row, bucket)
+    coordinates before the watermark, and the tumbling-day windowed count
+    IS the sketch — streaming state capped at d·w cells per window
+    REGARDLESS of key cardinality, which is the sketch's entire reason to
+    exist in a stream (a per-key windowed count's state grows with the
+    number of distinct users; this one cannot).  The heavy-hitter readout
+    (estimate = min over rows, threshold 1.5% of the window) runs
+    batch-side against the STREAM-produced cell table, so the oracle
+    value-checks the streaming aggregate's actual cells through the same
+    md5 hashing — the batch/streaming parity contract of this family
+    applied to sketch state.
+
+    100 TB shape: the stream shuffles (window, j, bucket) — bounded
+    cells — not per-user rows; the readout joins the broadcast cell
+    table against whatever candidate stream the application has (here
+    the per-(window, user) batch rollup, which also supplies the exact
+    counts pinning the one-sided error flag)."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_cms_to_memory,
+    )
+    from tts_data_pipeline_spark.plans.extensions import _md5_long
+
+    from tts_data_pipeline_spark.sources import table
+
+    ensure_utc(spark)
+    cells = run_stream_cms_to_memory(spark, sf_dir, "q_stream_cms")
+    ev = table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day")["start"].alias("win_start"), "user_id"
+    )
+    pu = ev.groupBy("win_start", "user_id").agg(F.count("*").alias("c"))
+    tot = pu.groupBy("win_start").agg(F.sum("c").alias("n"))
+    hr = pu.select(
+        "win_start",
+        "user_id",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _md5_long(
+                                F.concat(
+                                    F.lit(f"{j}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            F.lit(256),
+                        ).alias("bucket"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("h"),
+    ).select("win_start", "user_id", "c", "h.j", "h.bucket")
+    est = (
+        hr.join(F.broadcast(cells), ["win_start", "j", "bucket"])
+        .groupBy("win_start", "user_id")
+        .agg(
+            F.min("cell").cast("bigint").alias("est_cms"),
+            F.max("c").cast("bigint").alias("exact_cnt"),
+        )
+    )
+    return (
+        est.join(F.broadcast(tot), "win_start")
+        .filter(F.col("est_cms") * 1000 >= 15 * F.col("n"))
+        .select(
+            "win_start",
+            "user_id",
+            "est_cms",
+            "exact_cnt",
+            (F.col("est_cms") >= F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overest_ok"),
+        )
+        .orderBy("win_start", "user_id")
+    )

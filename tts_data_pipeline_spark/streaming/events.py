@@ -1035,3 +1035,75 @@ def run_stream_dedup_watermarked(
         )
         shutil.rmtree(staging, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_cms_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "cms_cells",
+    n_rows: int = 4,
+    width: int = 256,
+    window: str = "1 day",
+) -> DataFrame:
+    """Count-Min cells per tumbling window maintained BY THE STREAMING
+    RUNTIME: each event explodes into its d portable-md5 (row, bucket)
+    coordinates pre-watermark, and the windowed count aggregate IS the
+    sketch — state per window is capped at d·w cells no matter how many
+    distinct keys the stream carries, which is the whole reason to sketch
+    a stream instead of counting it (a per-key windowed count's state
+    grows with key cardinality; this one cannot).  Complete-mode memory
+    sink for the finite replay, same contract as ``run_stream_to_memory``."""
+    from tts_data_pipeline_spark.plans.extensions import _md5_long
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir).select("ts", "user_id")
+        rows = ev.select(
+            "ts",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.pmod(
+                                _md5_long(
+                                    F.concat(
+                                        F.lit(f"{j}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                F.lit(width),
+                            ).alias("bucket"),
+                        )
+                        for j in range(n_rows)
+                    ]
+                )
+            ).alias("h"),
+        ).select("ts", "h.j", "h.bucket")
+        agg = (
+            rows.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", window).alias("win"), "j", "bucket")
+            .count()
+            .select(
+                F.col("win.start").alias("win_start"),
+                "j",
+                "bucket",
+                F.col("count").alias("cell"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
