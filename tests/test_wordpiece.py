@@ -166,3 +166,43 @@ def test_wordpiece_differs_from_bpe_argmax(spark):
         "likelihood argmax coincides with count argmax — threshold the "
         "corpus differently or the test is vacuous"
     )
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=12),
+    pl_pick=st.integers(0, 10),
+)
+def test_double_space_merge_trick_equals_sequential(word, pl_pick):
+    """The double-space ``replace`` trick (shared by the BPE and
+    WordPiece learners) must equal the naive sequential left-to-right
+    merge on the ##-marked symbol string — including overlapping
+    occurrences (aaa with merge (a, ##a) → [aa, ##a], NOT [aa, ##aa]),
+    which is exactly what the double-spacing exists to get right."""
+    syms = [word[0]] + ["##" + c for c in word[1:]]
+    # pick an adjacent pair that actually occurs (or skip)
+    pairs = list(dict.fromkeys(zip(syms, syms[1:])))
+    if not pairs:
+        return
+    pl, pr = pairs[pl_pick % len(pairs)]
+    merged = pl + pr[2:]
+
+    # naive sequential greedy left-to-right application
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == pl and syms[i + 1] == pr:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+
+    # the string trick, exactly as the learner's withColumn applies it
+    s = " " + " ".join(syms) + " "
+    t = s.replace(" ", "  ")
+    t = t.replace(" " + pl + "  " + pr + " ", " " + merged + " ")
+    t = t.replace("  ", " ")
+    assert t.strip().split(" ") == out, (word, pl, pr)
