@@ -45,6 +45,7 @@ HEADLINE = [
     "pipeline_e2e_curation",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
+    "dedup_shingle_containment",
     "dedup_simhash",
     "dedup_simhash_blake2b",
     "dedup_embedding_cosine",

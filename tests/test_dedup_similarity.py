@@ -557,3 +557,34 @@ def test_ivf_codebook_kmeans_vs_sample_measurement():
     assert stats["kmeans"][1] >= stats["sample"][1] - 0.02, stats
     # and the sample codebook keeps clearing the operator's own floor
     assert stats["sample"][1] >= 0.85, stats
+
+
+def test_containment_prefix_equals_exhaustive_and_probe_picks_prefix(spark):
+    """The containment prefix filter (probe prefix × FULL index) must be
+    candidate-complete: identical (id_a, id_b, containment) rows to the
+    salted exhaustive enumeration.  And on the shingle vocabulary the
+    auto-probe must take the prefix path (sequences are rich even over
+    the driver's 31-word token vocabulary) — the opposite decision from
+    the token-level Jaccard twin."""
+    from tts_data_pipeline_spark.operators.dedup import (
+        LAST_CONTAINMENT_PLAN,
+        shingle_containment_pairs,
+    )
+    from tts_data_pipeline_spark.sources import table
+
+    d = table(spark, SF_DIR, "documents")
+    auto = sorted(
+        (r.id_a, r.id_b, r.containment)
+        for r in shingle_containment_pairs(
+            d, bucket_cols=("lang",), threshold=0.8
+        ).collect()
+    )
+    assert LAST_CONTAINMENT_PLAN["prefix_filter"] is True
+    exhaustive = sorted(
+        (r.id_a, r.id_b, r.containment)
+        for r in shingle_containment_pairs(
+            d, bucket_cols=("lang",), threshold=0.8, prefix_filter=False
+        ).collect()
+    )
+    assert auto == exhaustive
+    assert auto, "threshold must be live on the test corpus"

@@ -429,6 +429,168 @@ def ngram_jaccard_pairs(
     )
 
 
+LAST_CONTAINMENT_PLAN: dict = {}
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cols: tuple[str, ...] = (),
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    pair_salt: int = 8,
+    prefix_filter: bool | None = None,
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT near-dup pairs over word shingles —
+    ``containment = |A∩B| / min(|A|, |B|)`` — the quote/subset detector
+    resemblance misses: a paragraph fully embedded in a 100× longer
+    document has Jaccard ≈ |A|/|B| ≈ 0 but containment 1 (the statistic
+    eval-decontamination and quote-mining pipelines threshold on).
+
+    Shingles (not unigram tokens): on a saturated vocabulary every
+    token-SET contains every other (the driver corpus: 27 103 of 33 487
+    in-lang pairs at token containment ≥ 0.8 — a meaningless signal);
+    word n-grams keep sequence structure, so containment is selective.
+
+    **Containment prefix filter** — the asymmetric sibling of the
+    AllPairs bound used by :func:`ngram_jaccard_pairs`: if the SMALLER
+    set's containment is ≥ t, at most ``(1−t)·|A|`` of its shingles are
+    missing from B, so one of its first ``|A| − ⌈t·|A|⌉ + 1`` shingles
+    under the global (df asc, shingle) order appears in B.  Unlike the
+    Jaccard bound, the probe prefix must join the OTHER side's FULL
+    shingle index (B carries no size constraint — it may be arbitrarily
+    larger), and since either endpoint of a canonical pair can be the
+    smaller one, every doc probes as a potential contained side; the
+    candidate set is therefore provably complete and the exact verify
+    keeps results identical to the exhaustive join.  There is no
+    size-compatibility filter (containment constrains no size ratio).
+
+    ``prefix_filter=None`` auto-decides from the same deterministic
+    1024-doc vocabulary-richness probe as the Jaccard operator —
+    shingle vocabularies are rich even over tiny word vocabularies
+    (sequences multiply), so real corpora take the prefix path;
+    ``False`` falls back to the salted-triangle exhaustive enumeration
+    within ``bucket_cols`` (exact, skew-bounded, same cell scheme).
+    Decision recorded in ``LAST_CONTAINMENT_PLAN``."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    toks = F.array_distinct(word_shingles(words, shingle_n))
+    base = cache_replacing(
+        "shingle_containment_pairs",
+        spread(
+            df.select(
+                F.col(id_col).alias("_id"), toks.alias("_tokset"), *bucket_cols
+            ).filter(F.size(toks) > 0)
+        ),
+    )
+    if prefix_filter is None:
+        sample = (
+            base.select("_id", "_tokset")
+            .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+            .limit(1024)
+            .select("_tokset")
+            .cache()
+        )
+        n_docs = sample.count()
+        n_vocab = (
+            sample.select(F.explode("_tokset").alias("_t")).distinct().count()
+        )
+        sample.unpersist()
+        prefix_filter = n_vocab * 4 >= n_docs
+        LAST_CONTAINMENT_PLAN.clear()
+        LAST_CONTAINMENT_PLAN.update(
+            {
+                "sampled_docs": n_docs,
+                "sampled_vocab": n_vocab,
+                "prefix_filter": prefix_filter,
+            }
+        )
+    ex = base.select("_id", *bucket_cols, F.explode("_tokset").alias("_t"))
+    if prefix_filter:
+        tok_df = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = ex.join(F.broadcast(tok_df), "_t")
+        n = F.size("_st")
+        plen = F.greatest(
+            n - F.ceil(F.lit(threshold) * n).cast("int") + 1, F.lit(1)
+        )
+        pref = (
+            ranked.groupBy("_id", *bucket_cols)
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_t"))).alias("_st"))
+            .select(
+                "_id",
+                *bucket_cols,
+                F.slice(
+                    F.transform("_st", lambda s: s["_t"]), F.lit(1), plen
+                ).alias("_pref"),
+            )
+        )
+        pa = pref.select(
+            F.col("_id").alias("_ida"),
+            *bucket_cols,
+            F.explode("_pref").alias("_t"),
+        )
+        fb = ex.select(F.col("_id").alias("_idb"), *bucket_cols, "_t")
+        cand = (
+            pa.join(fb, [*bucket_cols, "_t"])
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        s_max = F.lit(pair_salt - 1)
+        salt = F.pmod(F.xxhash64(F.col("_id")), F.lit(pair_salt)).cast("int")
+        narrow = base.select("_id", *bucket_cols, salt.alias("_salt"))
+        a_keys = narrow.select(
+            F.col("_id").alias("_ida"),
+            *bucket_cols,
+            F.col("_salt").alias("_lo"),
+            F.explode(F.sequence(F.col("_salt"), s_max)).alias("_hi"),
+        )
+        b_keys = narrow.select(
+            F.col("_id").alias("_idb"),
+            *bucket_cols,
+            F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_lo"),
+            F.col("_salt").alias("_hi"),
+        )
+        cand = (
+            a_keys.join(b_keys, [*bucket_cols, "_lo", "_hi"])
+            .filter(
+                (F.col("_lo") != F.col("_hi")) | (F.col("_ida") < F.col("_idb"))
+            )
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+            )
+            .distinct()
+        )
+    toksets = base.select("_id", "_tokset")
+    pairs = cand.join(
+        toksets.select(F.col("_id").alias("id_a"), F.col("_tokset").alias("tok_a")),
+        "id_a",
+    ).join(
+        toksets.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("tok_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    mn = F.least(F.size("tok_a"), F.size("tok_b"))
+    return (
+        pairs.withColumn(
+            "containment",
+            eval_once(
+                F.round(inter.cast("double") / F.greatest(mn, F.lit(1)), 4)
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts):  # type: ignore[no-untyped-def]
     """64-bit SimHash (Arrow-batched, fully batch-vectorized numpy).

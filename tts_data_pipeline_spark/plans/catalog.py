@@ -79,6 +79,7 @@ _PRIORITY = (
     "dedup_drop_duplicates",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_bucketed",
+    "dedup_shingle_containment",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",

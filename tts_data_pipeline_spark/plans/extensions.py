@@ -91,6 +91,54 @@ def dedup_ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_shingle_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+      FROM t
+    ), nz AS (
+      SELECT doc_id, lang, toks FROM sh WHERE len(toks) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(
+               CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                    AS DOUBLE)
+               / greatest(least(len(a.toks), len(b.toks)), 1), 4
+             ) AS containment
+      FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, containment
+    FROM pairs WHERE containment >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs over 3-word shingle sets
+    within language buckets — the quote/subset detector resemblance
+    misses (``operators/dedup.py::shingle_containment_pairs``: a
+    paragraph fully embedded in a much longer document has Jaccard ≈ 0
+    but containment 1; eval-decontamination and quote-mining threshold
+    on exactly this statistic).  The containment-specific prefix filter
+    (probe-side prefix over the df-asc shingle order joined against the
+    FULL index — the asymmetric sibling of the AllPairs bound, complete
+    because every doc probes as a potential contained side) bounds
+    candidates; the driver corpus's shingle vocabulary is rich enough
+    that the auto-probe takes the prefix path, unlike the token-level
+    Jaccard twin whose 31-word vocabulary forces the salted exhaustive
+    route.  Exact verify keeps results identical either way
+    (property-tested)."""
+    d = table(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(
+        d, bucket_cols=("lang",), threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
 @query("dedup_minhash_xx64")
 def dedup_minhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH on engine-native xxhash64 seeds — the production hash
