@@ -88,14 +88,26 @@ def word_shingles(tokens: Column, n: int = 5) -> Column:
 
 
 def shingle_hashes(tokens: Column, n: int = 5) -> Column:
-    """n-gram shingles hashed straight to longs: xxhash64 over the token
-    slice, no intermediate shingle strings (saves a concat allocation per
-    shingle — the dominant cost at scale).  Empty array below ``n`` tokens."""
+    """n-gram shingles hashed straight to longs: xxhash64 over the n
+    tokens of each shingle, no intermediate shingle strings (saves a
+    concat allocation per shingle — the dominant cost at scale).  Empty
+    array below ``n`` tokens.
+
+    Same O(m²)→O(n·m) rewrite as :func:`word_shingles` (per-position
+    ``slice`` re-copies the array per element): n aligned slices are
+    ``arrays_zip``-ped and each shingle hashes via the MULTI-ARG
+    ``xxhash64(t_i, …, t_{i+n−1})``, which chains elements exactly like
+    the old ``xxhash64(slice(...))`` array form — verified
+    ``xxhash64(array(a,b,c)) == xxhash64(a,b,c)`` — so every signature,
+    band and golden pin downstream is bit-identical."""
+    m = F.size(tokens) - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(tokens, k + 1, m).alias(f"s{k}") for k in range(n)]
+    )
     return F.when(
         F.size(tokens) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(tokens, i, n)),
+            z, lambda s: F.xxhash64(*[s[f"s{k}"] for k in range(n)])
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
