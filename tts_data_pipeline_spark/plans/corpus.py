@@ -197,16 +197,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate repeats mid-sentence (crawler text reuse, cf.
     /root/reference/tts_data_pipeline/pre_processing/process_all.py).
     """
+    from tts_data_pipeline_spark.operators.dedup import word_shingles
+
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     words = F.split("text", " ")
-    n = F.size(words)
-    grams_arr = F.when(
-        n >= _SPAN_W,
-        F.transform(
-            F.sequence(F.lit(0), n - _SPAN_W),
-            lambda i: F.md5(F.array_join(F.slice(words, i + 1, _SPAN_W), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_shingles builds the same space-joined w-grams as the previous
+    # per-position md5(array_join(slice(...))) but in O(w·m) — the
+    # non-foldable slice start made codegen re-copy the array per
+    # position (see its docstring); md5 inputs are identical strings
+    grams_arr = F.transform(
+        word_shingles(words, _SPAN_W), lambda s: F.md5(s)
+    )
     gram_rows = d.select(
         "doc_id", F.posexplode(grams_arr).alias("i", "g")
     ).select("doc_id", F.col("i").cast("long").alias("i"), "g")

@@ -176,11 +176,15 @@ def ta_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash-of-5-gram-shingles (winnowing-style
     selection with window = whole doc) — stable under small appends, unlike
     a full-content hash."""
+    from tts_data_pipeline_spark.operators.dedup import word_shingles
+
     d = spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), " ")
+    # same space-joined 5-gram strings as the previous per-position
+    # concat_ws(slice(...)), built O(n·m) instead of O(m²) — md5 inputs
+    # identical (see word_shingles docstring)
     shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 4),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5)).cast("binary")),
+        word_shingles(words, 5), lambda s: F.md5(s.cast("binary"))
     )
     fp = F.when(F.size(words) >= 5, F.array_min(shingle_hashes)).otherwise(
         F.md5(F.concat_ws(" ", words).cast("binary"))
@@ -479,17 +483,22 @@ def ta_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Staged selects materialize words → hashes → windows as attributes so
     nothing recomputes per window (Column trees are not DAGs)."""
+    from tts_data_pipeline_spark.operators.dedup import word_shingles
+
     d = spread(table(spark, sf_dir, "documents"))
     worded = d.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    # both stages carried the quadratic per-position slice (see
+    # word_shingles docstring): the 5-gram md5s now come off the zipped
+    # shingle strings, and the window-of-4 minimum is a 3-pass
+    # zip_with(least) over aligned slices — O(m) per doc, identical
+    # values (least == array_min over the same 4 strings)
     hashed = worded.select(
         "doc_id",
         F.when(
             F.size("words") >= 5,
             F.transform(
-                F.sequence(F.lit(1), F.size("words") - 4),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("words", i, 5)).cast("binary")
-                ),
+                word_shingles(F.col("words"), 5),
+                lambda s: F.md5(s.cast("binary")),
             ),
         )
         .otherwise(
@@ -497,17 +506,23 @@ def ta_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("hashes"),
     )
+    wm = F.size("hashes") - 3
+    win_min = F.zip_with(
+        F.slice("hashes", 1, wm),
+        F.zip_with(
+            F.slice("hashes", 2, wm),
+            F.zip_with(
+                F.slice("hashes", 3, wm),
+                F.slice("hashes", 4, wm),
+                lambda a, b: F.least(a, b),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+        lambda a, b: F.least(a, b),
+    )
     windowed = hashed.select(
         "doc_id",
-        F.when(
-            F.size("hashes") >= 4,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("hashes") - 3),
-                    lambda j: F.array_min(F.slice("hashes", j, 4)),
-                )
-            ),
-        )
+        F.when(F.size("hashes") >= 4, F.array_distinct(win_min))
         .otherwise(F.array(F.array_min("hashes")))
         .alias("fps"),
     )
