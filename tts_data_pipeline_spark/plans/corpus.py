@@ -310,15 +310,13 @@ def ta_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc overlap counts aggregate map-side first.  In production the
     grams would be hashed (xxhash64) before the join to shrink the
     broadcast; kept as strings here so the oracle stays engine-portable."""
+    from tts_data_pipeline_spark.operators.dedup import word_shingles
+
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= _NGRAM,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - _NGRAM),
-            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # identical space-joined n-grams, O(n*m) instead of the quadratic
+    # per-position slice (see word_shingles docstring)
+    grams = word_shingles(words, _NGRAM)
     sh = d.select("doc_id", F.explode(grams).alias("gram"))
     is_eval = F.col("doc_id") % 97 == 0
     ev = sh.filter(is_eval).select("gram").distinct()

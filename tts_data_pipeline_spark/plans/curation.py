@@ -767,9 +767,15 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop >= 2)
     )
     n_seg = F.ceil(F.col("wc") / F.lit(5.0)).cast("int")
+    # concat_ws of 5 try_element_at probes == array_join of the slice
+    # (concat_ws skips the NULLs a short tail chunk produces) without the
+    # quadratic whole-array copy the non-foldable slice start costs
     segs = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(F.col("w"), i * 5 + 1, 5), " "),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.try_element_at(F.col("w"), i * 5 + k) for k in range(1, 6)],
+        ),
     )
     seg_rows = passed.select(
         "doc_id", "lang", F.posexplode(segs).alias("seg_idx", "seg")
@@ -922,9 +928,15 @@ def pipeline_e2e_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", w.alias("w"), F.size(w).cast("long").alias("wc")
     )
     n_seg = F.ceil(F.col("wc") / F.lit(5.0)).cast("int")
+    # concat_ws of 5 try_element_at probes == array_join of the slice
+    # (concat_ws skips the NULLs a short tail chunk produces) without the
+    # quadratic whole-array copy the non-foldable slice start costs
     segs = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(F.col("w"), i * 5 + 1, 5), " "),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.try_element_at(F.col("w"), i * 5 + k) for k in range(1, 6)],
+        ),
     )
     seg_rows = base.select(
         "doc_id", "lang", F.posexplode(segs).alias("seg_idx", "seg")

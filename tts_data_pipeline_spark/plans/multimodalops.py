@@ -558,14 +558,20 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w") >= 32
     )
     nf = (F.size("w") / 16).cast("int")
-    energies = F.transform(
-        F.sequence(F.lit(0), nf - 1),
-        lambda f: F.aggregate(
-            F.slice(F.col("w"), f * 16 + 1, 16),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        ),
-    )
+
+    def _frame_energy(f):
+        # left-assoc sum of 16 element probes — the SAME addition order
+        # as the previous sequential fold over slice(w, f*16+1, 16), so
+        # energies are bit-identical, without the quadratic whole-array
+        # copy the non-foldable slice start costs (frames only span full
+        # 16-sample windows, so every probe index is in range)
+        acc = F.lit(0.0)
+        for k in range(1, 17):
+            v = F.try_element_at(F.col("w"), (f * 16 + k).cast("int"))
+            acc = acc + v.cast("double") * v.cast("double")
+        return acc
+
+    energies = F.transform(F.sequence(F.lit(0), nf - 1), _frame_energy)
     eb = base.select("doc_id", energies.alias("e"))
     fp = F.aggregate(
         F.sequence(F.lit(0), F.lit(30)),

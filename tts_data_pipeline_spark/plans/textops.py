@@ -335,7 +335,15 @@ def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.floor((F.size(words) - 1) / 10).cast("int")),
-                    lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+                    # try_element_at probes instead of the quadratic
+                    # slice copy; concat_ws skips the tail-chunk NULLs
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.try_element_at(words, i * 10 + k)
+                            for k in range(1, 11)
+                        ],
+                    ),
                 )
             ).alias("seq", "sentence"),
         )
