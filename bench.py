@@ -102,6 +102,7 @@ HEADLINE = [
     "s10_dynamic_render_scan",
     "ta_perplexity_bigram",
     "ev_pattern_detect",
+    "ev_anomaly_mad",
     "ta_bpe_learn_merges",
     "j12_cdc_apply_log",
     "w11_gap_fill_ffill",

@@ -1357,3 +1357,90 @@ def ev_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select("day", "new_users", cum.cast("bigint").alias("cum_users"))
         .orderBy("day")
     )
+
+
+def _exact_median(df, key: str, col: str, out: str):
+    """Sort-based exact interpolated median per ``key`` — the same
+    ranked two-bracket interpolation as ``agg_percentiles`` (identical
+    to DuckDB ``quantile_cont(col, 0.5)``), factored for operators that
+    need the median as an INPUT (join it back) rather than a report
+    column.  One shuffle per call; never holds a group in memory."""
+    w = W.partitionBy(key).orderBy(col)
+    ranked = df.select(
+        key,
+        col,
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count("*").over(W.partitionBy(key)).alias("_n"),
+    )
+    pos = (F.col("_n") - 1) * F.lit(0.5)
+    lo, hi = F.floor(pos), F.ceil(pos)
+    frac = pos - lo
+    contrib = F.when(F.col("_rn") == lo, F.col(col) * (1 - frac)).when(
+        (F.col("_rn") == hi) & (hi != lo), F.col(col) * frac
+    )
+    return ranked.groupBy(key).agg(F.sum(contrib).alias(out))
+
+
+@query(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m2.mad), 4) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.ad > 3 * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly accounting per event type: median / MAD (median
+    absolute deviation) with a 3·MAD outlier flag — the
+    mean/stddev-free detector heavy-tailed telemetry needs (one whale
+    purchase would drag a z-score threshold; the median pair is immune).
+
+    Both medians are the SORT-BASED exact interpolation
+    (:func:`_exact_median`, shared with ``agg_percentiles``): rank,
+    bracket (n−1)·0.5, weighted two-value sum — identical to DuckDB
+    ``quantile_cont``, so the UNROUNDED medians feed the outlier
+    comparison on both engines and the counts match exactly (boundary
+    ties are measure-zero on continuous values).  Two keyed shuffles
+    (one per median pass) plus the final rollup — no value→count map
+    aggregates, nothing per-group in memory, the 100 TB-safe quantile
+    form."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = _exact_median(e, "event_type", "value", "med")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = _exact_median(
+        dev.select("event_type", "ad"), "event_type", "ad", "mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                (F.col("ad") > 3 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
