@@ -106,6 +106,7 @@ HEADLINE = [
     "ta_bpe_learn_merges",
     "j12_cdc_apply_log",
     "w11_gap_fill_ffill",
+    "w13_ewma_per_user",
     "ta_quality_classifier",
     "mm_audio_qc",
     "sim_hybrid_search",

@@ -296,3 +296,67 @@ def x1_running_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket_id")
     )
+
+
+@query(
+    "w13_ewma_per_user",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), n AS (
+      SELECT user_id, MAX(rn) AS n FROM o GROUP BY user_id
+    ), walk AS (
+      SELECT o.user_id, o.rn, 0.1 * o.value AS s
+      FROM o WHERE o.rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, 0.1 * o.value + 0.9 * w.s
+      FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT w.user_id,
+           CAST(n.n AS BIGINT) AS n_events,
+           ROUND(w.s, 6) AS ewma
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n
+    ORDER BY w.user_id
+    """,
+)
+def w13_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α=0.1) over the
+    event stream — the classic online smoothing recurrence
+    ``s_t = α·x_t + (1−α)·s_{t−1}``, which no built-in window aggregate
+    expresses (it is not associative): computed as ONE sequential
+    ``F.aggregate`` fold per user over the (ts, event_id)-sorted value
+    array, whole-stage codegen, no UDF.  The DuckDB oracle replays the
+    identical recurrence step by step with a recursive CTE, so the fold
+    order AND every IEEE multiply-add match exactly — only the emitted
+    value is rounded (6dp).
+
+    100 TB shape: per-user state is one double and the only shuffle is
+    the per-user collect (bounded by a user's own event count — the
+    same per-key-bounded-state argument as the sessionizer); in
+    streaming the identical recurrence runs under
+    ``applyInPandasWithState`` with the single scalar as state.  The
+    array fold is the batch form: exact, resumable from any per-user
+    checkpoint of (n, s)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    s = F.aggregate(
+        F.col("evs"),
+        F.lit(None).cast("double"),
+        lambda acc, ev: F.when(
+            acc.isNull(), F.lit(0.1) * ev["value"]
+        ).otherwise(F.lit(0.1) * ev["value"] + F.lit(0.9) * acc),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(s, 6).alias("ewma"),
+    ).orderBy("user_id")
