@@ -107,6 +107,7 @@ HEADLINE = [
     "j12_cdc_apply_log",
     "w11_gap_fill_ffill",
     "w13_ewma_per_user",
+    "w14_cusum_alarms",
     "ta_quality_classifier",
     "mm_audio_qc",
     "sim_hybrid_search",

@@ -360,3 +360,84 @@ def w13_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("bigint").alias("n_events"),
         F.round(s, 6).alias("ewma"),
     ).orderBy("user_id")
+
+
+@query(
+    "w14_cusum_alarms",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), n AS (
+      SELECT user_id, MAX(rn) AS n FROM o GROUP BY user_id
+    ), walk AS (
+      SELECT o.user_id, o.rn,
+             greatest(0.0, o.value - 55.0) AS g,
+             CASE WHEN greatest(0.0, o.value - 55.0) > 100.0
+                  THEN 1 ELSE 0 END AS alarms
+      FROM o WHERE o.rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             greatest(0.0, w.g + (o.value - 55.0)) AS g,
+             w.alarms + CASE WHEN greatest(0.0, w.g + (o.value - 55.0))
+                                  > 100.0
+                             THEN 1 ELSE 0 END AS alarms
+      FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT w.user_id,
+           CAST(n.n AS BIGINT) AS n_events,
+           ROUND(w.g, 6) AS cusum,
+           CAST(w.alarms AS BIGINT) AS n_alarm_steps
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n
+    ORDER BY w.user_id
+    """,
+)
+def w14_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954):
+    ``g_t = max(0, g_{t−1} + (x_t − k))`` with reference level k=55
+    (mean 50 + slack 5) and alarm threshold h=100 — the
+    sequential-probability change detector monitoring pipelines run on
+    metric streams, and like the EWMA above it is non-associative, so it
+    runs as ONE codegen ``F.aggregate`` fold per user over the
+    (ts, event_id)-sorted value array, state = (g, alarm-step count)
+    struct.  The DuckDB oracle replays the identical recurrence with a
+    recursive CTE: same fold order, same IEEE adds and max(0,·), exact
+    integer alarm counts; only the final g is rounded (6dp).
+
+    100 TB / streaming shape as the EWMA entry: two scalars of per-key
+    state, resumable from any (n, g, alarms) checkpoint."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    step = lambda acc, ev: F.struct(  # noqa: E731
+        F.greatest(F.lit(0.0), acc["g"] + (ev["value"] - F.lit(55.0))).alias(
+            "g"
+        ),
+        (
+            acc["alarms"]
+            + F.when(
+                F.greatest(
+                    F.lit(0.0), acc["g"] + (ev["value"] - F.lit(55.0))
+                )
+                > 100.0,
+                1,
+            ).otherwise(0)
+        ).alias("alarms"),
+    )
+    state0 = F.struct(
+        F.lit(0.0).alias("g"), F.lit(0).cast("int").alias("alarms")
+    )
+    st = F.aggregate(F.col("evs"), state0, step)
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(st["g"], 6).alias("cusum"),
+        st["alarms"].cast("bigint").alias("n_alarm_steps"),
+    ).orderBy("user_id")
