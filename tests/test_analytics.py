@@ -1,0 +1,74 @@
+"""Analytics-operator invariants that the full oracle sweep can't see:
+floating-point interpolation-form parity for the exact median (the sweep
+would only catch a divergence if the driver corpus happened to produce a
+last-ulp-straddling bracket; this pins the form on adversarial values).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def test_exact_median_interpolation_form_matches_duckdb(spark):
+    """_exact_median must compute lo*(1-frac) + hi*frac — the form DuckDB
+    1.0.0's quantile_cont uses — NOT lo + (hi-lo)*frac, which carries two
+    roundings and diverges in the last ulp on magnitude-spread brackets.
+    The unrounded median feeds strict comparisons (ev_anomaly_mad's
+    ad > 3*mad), so a one-ulp divergence would flip counts between
+    engines.  Brackets here are chosen so the two forms actually differ
+    (tiny lo, large hi: hi-lo is inexact)."""
+    from tts_data_pipeline_spark.plans.analytics import _exact_median
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    gid = 0
+    adversarial = 0
+    while gid < 40:
+        lo = rng.random() * 1e-3
+        hi = rng.random() * 1e3
+        if lo > hi:
+            lo, hi = hi, lo
+        # keep only brackets where the two interpolation forms differ —
+        # otherwise the test passes vacuously
+        if lo * 0.5 + hi * 0.5 != lo + (hi - lo) * 0.5:
+            adversarial += 1
+        rows.append(("g%03d" % gid, lo))
+        rows.append(("g%03d" % gid, hi))
+        gid += 1
+    assert adversarial >= 5, "corpus has no form-distinguishing brackets"
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        _exact_median(sdf, "k", "v", "med")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        "SELECT k, quantile_cont(v, 0.5) AS med FROM t GROUP BY k ORDER BY k"
+    ).df()
+    con.close()
+
+    # bit-exact, not approx: the whole point is last-ulp parity
+    assert list(got["k"]) == list(want["k"])
+    for g, a, b in zip(got["k"], got["med"], want["med"]):
+        assert a == b, f"{g}: spark {a.hex()} != duckdb {b.hex()}"
+
+
+def test_exact_median_odd_group_passes_value_through(spark):
+    """frac = 0 brackets (odd n): the middle value must pass through
+    bit-exactly (x * 1.0, no interpolation residue)."""
+    from tts_data_pipeline_spark.plans.analytics import _exact_median
+
+    vals = [0.1 + 1e-17, 7.774444e11, 3.0000000000000004]
+    pdf = pd.DataFrame({"k": ["a"] * 3, "v": vals})
+    got = _exact_median(spark.createDataFrame(pdf), "k", "v", "med").toPandas()
+    assert got["med"][0] == sorted(vals)[1]

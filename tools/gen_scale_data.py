@@ -270,10 +270,18 @@ def generate(
     documents_only: bool = False,
     with_events: bool | None = None,
 ) -> None:
-    """``with_events`` (default: follow ``documents_only``) lets the sf3
-    point carry a tiled events table WITHOUT the rest of the keyed set —
-    the extra-decade rows for the event-window family (w11_gap_fill)
-    need events, while the e2e document lineages need only documents."""
+    """``with_events`` applies ONLY to ``documents_only`` runs: it lets
+    the sf3 point carry a tiled events table WITHOUT the rest of the
+    keyed set — the extra-decade rows for the event-window family
+    (w11_gap_fill) need events, while the e2e document lineages need only
+    documents.  Full runs (``documents_only=False``) always tile events
+    as part of the keyed set, so passing ``with_events`` there is a
+    contradiction and raises rather than being silently ignored."""
+    if with_events is not None and not documents_only:
+        raise ValueError(
+            "with_events only applies to documents_only runs; a full run "
+            "always tiles the events table"
+        )
     os.makedirs(outdir, exist_ok=True)
     _write_documents(n_docs, doc_seed, outdir)
     if not documents_only:

@@ -177,7 +177,13 @@ def cmd_bench(args) -> int:
     # rather than duplicating the harness
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    import bench
+    try:
+        import bench
+    except ImportError:
+        raise SystemExit(
+            "bench requires a repo checkout (bench.py sits at the repo "
+            f"root, next to the package directory; looked in {repo})"
+        )
 
     bench.main()
     return 0

@@ -80,7 +80,12 @@ def word_shingles(tokens: Column, n: int = 5) -> Column:
         acc = F.zip_with(
             acc,
             F.slice(tokens, k + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+            # concat_ws, not concat: concat null-propagates the whole
+            # shingle on a NULL token, concat_ws skips it — the original
+            # concat_ws(" ", slice(...)) semantics this rewrite replaced.
+            # split()-produced arrays carry no nulls, but this helper is
+            # shared by five plans and the contract should not narrow.
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.when(F.size(tokens) >= n, acc).otherwise(
         F.array().cast("array<string>")

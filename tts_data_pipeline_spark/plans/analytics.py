@@ -1361,10 +1361,23 @@ def ev_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_median(df, key: str, col: str, out: str):
     """Sort-based exact interpolated median per ``key`` — the same
-    ranked two-bracket interpolation as ``agg_percentiles`` (identical
-    to DuckDB ``quantile_cont(col, 0.5)``), factored for operators that
-    need the median as an INPUT (join it back) rather than a report
-    column.  One shuffle per call; never holds a group in memory."""
+    ranked two-bracket interpolation as ``agg_percentiles``, factored for
+    operators that need the median as an INPUT (join it back) rather than
+    a report column.  One shuffle per call; never holds a group in memory.
+
+    Interpolation-form parity (matters because callers like
+    ``ev_anomaly_mad`` feed the UNROUNDED result into strict comparisons,
+    where a one-ulp divergence could flip a count): this computes
+    ``lo·(1−frac) + hi·frac``, which is the form DuckDB 1.0.0's
+    ``quantile_cont`` itself uses — verified empirically against the
+    alternative ``lo + (hi−lo)·frac`` on adversarial magnitude-spread
+    doubles where the two forms differ in the last ulp
+    (tests/test_analytics.py::test_exact_median_interpolation_form_matches_duckdb).
+    For the median frac ∈ {0, 0.5}: at 0 the bracket value passes through
+    exactly (×1.0), at 0.5 both products are exact halvings and the one
+    rounded add is the correctly-rounded mean.  Don't "simplify" to the
+    ``lo + (hi−lo)·frac`` form — that one carries two roundings and is
+    the form that does NOT match the oracle."""
     w = W.partitionBy(key).orderBy(col)
     ranked = df.select(
         key,

@@ -206,8 +206,9 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-filtered semi-join (Bloom 1970 / the runtime
     row-group filter every distributed engine builds for selective
-    joins): the small side (high-balance customers) sets k={k} md5 bit
-    positions in an m={m}-bit filter; the big side (orders) probes its
+    joins): the small side (high-balance customers) sets ``_BLOOM_K`` md5
+    bit positions in an ``_BLOOM_M``-bit filter; the big side (orders)
+    probes its
     own k positions against the broadcast bit-set and only candidates
     reach the exact membership check (geometry at module top:
     ``_BLOOM_M``/``_BLOOM_K``).  Output is the per-orderstatus
@@ -226,6 +227,22 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly here so the mechanism is testable and the fp accounting
     visible.  The exact check joins the (broadcast, small) key set, so
     the whole lineage shuffles only the final ≤ 3-row aggregate.
+
+    Bit-set sizing contract: the collected row costs O(min(m, k·|small|))
+    driver memory because it stores the DISTINCT SET POSITIONS, not the m
+    bits — fine at m=2048, and still fine whenever the small side is
+    small enough to broadcast at all (the operator's precondition).  But
+    the array form is the wrong layout for a PRODUCTION m sized to a big
+    build side: a 1e9-bit filter is ~125 MB as a dense bitmap and far
+    more as a long-array position set, and ``array_contains`` is a linear
+    probe, not a bit test.  At that scale the named paths are (a) Spark's
+    native ``bloom_filter_agg``/``might_contain`` (dense bitmap,
+    constant-time probe, same zero-big-side-shuffle shape) or runtime DPP,
+    or (b) chunking the bit-set into ``m/64``-bit long rows joined by
+    chunk id.  This entry keeps the explicit position-set form because
+    its contents are engine-portable (md5) and value-checked cell-by-cell
+    against the oracle — Spark's native filter hashes with xxhash64 and
+    cannot be replayed in DuckDB.
 
     Reference counterpart: the crawler's audio/text pairing passes
     (``tts_data_pipeline/crawler/utils.py`` existence probes before
