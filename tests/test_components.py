@@ -101,3 +101,56 @@ def test_require_converged_raises_at_cap_and_stats_record(spark):
     assert set(out.values()) == {0}
     assert C.LAST_RUN_STATS["converged"] is True
     assert 1 < C.LAST_RUN_STATS["rounds"] <= 20
+
+
+def test_lpa_convergence_observation(spark):
+    """lpa_propagate's per-round (n, hash-sum) signatures, collected via
+    Observation during the caller's own action, must report convergence
+    on a triangle (fixpoint by round 3: everyone settles on the min
+    label) and non-convergence on a single edge (the classic synchronous
+    two-node label swap oscillates forever)."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.graphops import (
+        lpa_propagate,
+        lpa_run_stats,
+    )
+
+    def both_ways(pairs):
+        e = spark.createDataFrame(pairs, ["src", "dst"])
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    # triangle: r1 = {1:2, 2:1, 3:1}, r2 = all 1, r3 = all 1 -> fixpoint
+    tri, tri_obs = lpa_propagate(both_ways([(1, 2), (2, 3), (1, 3)]), 3)
+    got = {r.node: r.label for r in tri.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    stats = lpa_run_stats(tri_obs)
+    assert stats["converged"] is True
+    assert stats["rounds_to_fixpoint"] == 3
+    assert stats["rounds_run"] == 3
+
+    # single edge: labels swap every round, never a fixpoint
+    edge, edge_obs = lpa_propagate(both_ways([(10, 20)]), 3)
+    edge.collect()
+    stats = lpa_run_stats(edge_obs)
+    assert stats["converged"] is False
+    assert stats["rounds_to_fixpoint"] is None
+    # the oscillation is period 2: round k and k-2 signatures tie
+    assert stats["sigs"][1] == stats["sigs"][3]
+    assert stats["sigs"][0] == stats["sigs"][2]
+
+
+def test_lpa_catalog_entry_populates_last_run(spark):
+    """graph_label_propagation stashes its observations in LPA_LAST_RUN so
+    a driver-style caller can read the convergence report after its own
+    collect."""
+    from tts_data_pipeline_spark.plans import graphops as G
+
+    df = G.graph_label_propagation(spark, "/root/testdata/sf0.001")
+    df.collect()
+    stats = G.lpa_run_stats()
+    assert stats["rounds_run"] == 3
+    assert len(stats["sigs"]) == 4
+    assert all(n > 0 for n, _ in stats["sigs"])

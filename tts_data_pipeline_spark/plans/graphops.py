@@ -18,7 +18,7 @@ the components-operator discipline."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from tts_data_pipeline_spark.plans.registry import query
@@ -26,6 +26,13 @@ from tts_data_pipeline_spark.sources import table
 
 _DAMP = 0.85
 _ITERS = 3
+
+# Convergence telemetry for the last graph_label_propagation run — the
+# same module-global channel operators.components.LAST_RUN_STATS uses.
+# Populated lazily: the Observation objects are stashed when the plan is
+# BUILT; lpa_run_stats() reads them (blocking .get) AFTER the caller's
+# action has executed the plan.
+LPA_LAST_RUN: dict = {"observations": [], "iters": 0}
 
 
 def _pagerank_oracle() -> str:
@@ -287,6 +294,95 @@ SELECT node, label AS community FROM l{rounds} ORDER BY node"""
     return "".join(parts)
 
 
+def lpa_propagate(
+    edges: DataFrame, iters: int
+) -> tuple[DataFrame, list[Observation]]:
+    """The synchronous-LPA round loop over a directed edge list (both
+    directions already present), factored so tests can drive crafted
+    graphs.  Returns ``(labels, observations)`` where ``labels`` is
+    ``(node, label)`` after ``iters`` rounds and ``observations`` is one
+    ``Observation`` per label frame (seed + each round) carrying the
+    order-insensitive ``(n, hash-sum)`` set signature of that round's
+    labels — the identical convergence channel
+    ``operators.components`` rides (``components.py`` ``cc_sig_*``).
+    The CollectMetrics nodes are transparent to the result and cost one
+    map-side aggregate each INSIDE the caller's existing action — no
+    extra job, no extra join (an exact labels-changed COUNT would need a
+    prev-round self-join per round, referencing each round's subtree
+    twice); signature equality between consecutive rounds is the
+    fixpoint signal.  Read them with :func:`lpa_run_stats` AFTER an
+    action has executed the returned frame."""
+
+    def _sig_observe(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
+        obs = Observation(name)
+        return (
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64("node", "label"), F.lit(2_147_483_647))
+                ).alias("h"),
+            ),
+            obs,
+        )
+
+    observations: list[Observation] = []
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels, obs = _sig_observe(labels, "lpa_sig_0")
+    observations.append(obs)
+    for i in range(1, iters + 1):
+        cnt = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # mode-with-tiebreak as ONE struct-max aggregate — (c DESC, label
+        # ASC) becomes max(struct(c, -label, label)), saving the per-node
+        # sort shuffle a ROW_NUMBER window would add every round (the
+        # oracle's ROW_NUMBER computes the same winner)
+        labels = (
+            cnt.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label"),
+                    )
+                )["label"].alias("label")
+            )
+        )
+        labels, obs = _sig_observe(labels, f"lpa_sig_{i}")
+        observations.append(obs)
+    return labels, observations
+
+
+def lpa_run_stats(observations: list[Observation] | None = None) -> dict:
+    """Convergence report for an EXECUTED label-propagation plan: per-round
+    ``(n, hash-sum)`` label signatures, whether consecutive rounds reached
+    the fixpoint, and the first fixpoint round.  Blocks on
+    ``Observation.get``, so only call after an action has run the frame
+    :func:`lpa_propagate` returned (defaults to the last
+    ``graph_label_propagation`` run via ``LPA_LAST_RUN``).  A signature
+    collision masking a real change needs the per-round hash SUMS mod
+    2³¹ to tie across different label multisets — the same accepted odds
+    as the components checkpoint loop."""
+    if observations is None:
+        observations = LPA_LAST_RUN["observations"]
+    sigs = [(o.get["n"], o.get["h"]) for o in observations]
+    first_fix = next(
+        (i for i in range(1, len(sigs)) if sigs[i] == sigs[i - 1]), None
+    )
+    return {
+        "sigs": sigs,
+        "converged": first_fix is not None,
+        "rounds_to_fixpoint": first_fix,
+        "rounds_run": len(sigs) - 1,
+    }
+
+
 @query("graph_label_propagation", oracle=_lpa_oracle(_ITERS))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
@@ -307,7 +403,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized and reshuffles per round, the canonical LPA dataflow; at
     billion-edge scale the per-round state persists to disk on the
     components-operator checkpoint discipline (the rounds here are a
-    static 3-deep lineage, so no checkpoint is needed)."""
+    static 3-deep lineage, so no checkpoint is needed).
+
+    Convergence telemetry: each round's label frame carries an
+    ``Observation`` with the components-style ``(n, hash-sum)`` set
+    signature, collected during the caller's OWN action (no extra job);
+    after executing the result, ``lpa_run_stats()`` reports per-round
+    signatures and whether the fixed 3 rounds hit the fixpoint — so a
+    fixed-round run is no longer silent about non-convergence
+    (tests/test_components.py pins a graph that converges in 3 rounds
+    and one that oscillates forever)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
@@ -333,31 +438,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism, F.col("dst")
         ),
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(_ITERS):
-        cnt = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("n2"), "label")
-            .agg(F.count("*").alias("c"))
-        )
-        # mode-with-tiebreak as ONE struct-max aggregate — (c DESC, label
-        # ASC) becomes max(struct(c, -label, label)), saving the per-node
-        # sort shuffle a ROW_NUMBER window would add every round (the
-        # oracle's ROW_NUMBER computes the same winner)
-        labels = (
-            cnt.groupBy(F.col("n2").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c"),
-                        (-F.col("label")).alias("nl"),
-                        F.col("label"),
-                    )
-                )["label"].alias("label")
-            )
-        )
+    labels, observations = lpa_propagate(edges, _ITERS)
+    # stash the per-round signature observations so a caller that has run
+    # an action can ask lpa_run_stats() whether the fixed 3 rounds
+    # converged — the signal the fixed-round variant otherwise lacks
+    LPA_LAST_RUN["observations"] = observations
+    LPA_LAST_RUN["iters"] = _ITERS
     return labels.select("node", F.col("label").alias("community")).orderBy(
         "node"
     )
