@@ -390,21 +390,26 @@ def test_minhash_signature_components_are_independent_and_seeded(spark):
 
 
 def test_ivf_dedup_recall_vs_exact(spark, tmp_path):
-    """Recall measurement for ``dedup_embedding_cosine_ivf`` against the
-    UNBUCKETED exact all-pairs ground truth (numpy, independent of any
-    Spark/DuckDB code path) — the evidence behind the docstring's
-    "recall < 1 by construction" claim, in two bands:
+    """Recall measurement for the SHIPPED ``dedup_embedding_cosine_ivf``
+    (not a numpy model of it) against the UNBUCKETED exact all-pairs
+    ground truth, in two bands:
 
-    1. **Driver table, recall@0.40** — every qualifying pair in the
-       shipped embeddings sits in cosine [0.40, 0.60): ~66-degree angles,
-       the adversarial band for ANY partition-based candidate scheme
-       (these are not near-dups; multi-probe is the knob that buys this
-       band, at candidate-fraction cost: measured nprobe=1/2/4 →
-       recall 0.18/0.41/0.74, candidates 3%/12%/42% of all pairs).
-       Pin the measured single-probe floor, not a wish.
+    1. **Driver table, recall@0.40, nprobe ladder** — every qualifying
+       pair in the shipped embeddings sits in cosine [0.40, 0.60):
+       ~66-degree angles, the adversarial band for ANY partition-based
+       candidate scheme (these are not near-dups; nprobe multiple
+       assignment is the knob that buys this band, at candidate-fraction
+       cost: measured nprobe=1/2/4 → recall 0.182/0.409/0.742 at
+       candidates 3%/12%/42% of all pairs — PLANS.md carries the
+       fraction ladder).  Pin the measured floors and the monotone
+       ladder, not a wish; also pin ZERO false candidates above
+       threshold (the verify stage is exact, so extras would mean a
+       broken sim fold, not loose banding).
     2. **Planted near-dups** (cosine ≥ 0.99 — what a DEDUP operator must
        catch): recall is limited only by Voronoi-boundary splits of the
-       32-sample codebook, measured 0.91 on this seed.  Pin ≥ 0.85.
+       32-sample codebook; the shipped nprobe=2 default catches the
+       boundary splits single-probe missed (measured 1.00 on this seed
+       vs 0.90 at nprobe=1).  Pin ≥ 0.95.
     """
     import numpy as np
     import pyarrow as pa
@@ -427,12 +432,18 @@ def test_ivf_dedup_recall_vs_exact(spark, tmp_path):
         for a, b in zip(ids[iu[0][hit]], ids[iu[1][hit]])
     }
     assert truth, "driver corpus lost its >=0.40 pairs — rebase the test"
-    got = {
-        (int(r.id_a), int(r.id_b))
-        for r in dedup_embedding_cosine_ivf(spark, SF_DIR).collect()
-    }
-    recall_040 = len(got & truth) / len(truth)
-    assert recall_040 >= 0.10, (recall_040, len(truth))
+    recalls = {}
+    for p in (1, 2, 4):
+        got = {
+            (int(r.id_a), int(r.id_b))
+            for r in dedup_embedding_cosine_ivf(spark, SF_DIR, nprobe=p).collect()
+        }
+        assert got <= truth, f"nprobe={p}: pairs above threshold not in truth"
+        recalls[p] = len(got & truth) / len(truth)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[1] >= 0.10, recalls
+    assert recalls[2] >= 0.35, recalls
+    assert recalls[4] >= 0.65, recalls
 
     # --- band 2: planted near-dups in a synthetic sf_dir
     rng = np.random.default_rng(7)
@@ -461,7 +472,7 @@ def test_ivf_dedup_recall_vs_exact(spark, tmp_path):
         (int(min(a, b)), int(max(a, b))) for a, b in zip(ids[:k], planted_ids)
     }
     recall_planted = len(pairs & planted) / len(planted)
-    assert recall_planted >= 0.85, recall_planted
+    assert recall_planted >= 0.95, recall_planted
 
 
 def test_decontaminate_semantic_empty_eval_keeps_all_training_rows(
