@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "dedup_semdedup",
+    "dedup_semdedup_keep_random",
+    "dedup_semdedup_keep_first",
     "agg_heavy_hitters_cms",
     "j13_bloom_semi_join",
     "j14_bucketed_colocated_join",

@@ -184,14 +184,22 @@ def test_bucketed_join_has_no_join_exchange(spark):
 def test_semdedup_cell_colocation_recall(spark):
     """Fraction of ALL τ-pairs whose endpoints share a cell — the recall
     of the bucketing itself (a pair in different cells can never be
-    flagged).  Measured on the driver corpus's adversarial 0.40–0.60
-    cosine band (no true near-dups exist there; planted ≥0.99 pairs in
-    the IVF recall test co-locate at 0.85+): 19/59 = 0.32 at sf0.01.
-    Floor pinned at 0.25 so a centroid/assignment regression is visible,
-    with the docstring's honest caveat that single-probe cell recall on
-    borderline pairs is the documented trade (multi-probe / k-means
-    codebook are the named lifts)."""
+    flagged).  Two bands, measured at sf0.01:
+
+    1. Driver corpus's adversarial 0.40–0.60 cosine band (no true
+       near-dups exist there): 14/59 = 0.237 under the round-8 TWO-LEVEL
+       assignment, down from 19/59 = 0.32 flat — the standard
+       coarse-quantizer trade (a vector whose best centroid sits outside
+       its super group lands in a second-best cell), paid exactly where
+       it is cheapest: borderline ~66° pairs.  Floor pinned at 0.20 so
+       an assignment regression is visible.
+    2. PLANTED near-dups (cosine ≥ 0.99 — what SemDeDup exists to
+       catch): co-location 0.99 and pair-flagged 0.99 under the same
+       two-level assignment.  Floor pinned at 0.95: the hierarchy is
+       allowed to shave the adversarial band, NOT the near-dup band."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from tts_data_pipeline_spark.sources import table
 
@@ -211,4 +219,45 @@ def test_semdedup_cell_colocation_recall(spark):
     ]
     assert pairs
     co = sum(1 for a, b in pairs if cells[a] == cells[b])
-    assert co / len(pairs) >= 0.25, (co, len(pairs))
+    assert co / len(pairs) >= 0.20, (co, len(pairs))
+
+
+def test_semdedup_planted_near_dups_colocate_and_flag(spark, tmp_path):
+    """Band 2 of the co-location evidence: 100 planted true near-dups
+    (cosine ≥ 0.99) must share a cell AND have one side flagged is_dup
+    at ≥ 0.95 under the two-level assignment (measured 0.99/0.99)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    v = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    rng = np.random.default_rng(7)
+    k = 100
+    pert = v[:k] + rng.normal(0.0, 0.05 * v.std(), (k, v.shape[1]))
+    planted_ids = ids.max() + 1 + np.arange(k)
+    labels = np.array(t.column("label").to_pylist())
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.concatenate([ids, planted_ids]).astype(np.int64),
+                "embedding": pa.array(
+                    [[float(x) for x in row] for row in np.vstack([v, pert])],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": np.concatenate([labels, labels[:k]]),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    res = {
+        r.vec_id: (r.cell, r.is_dup)
+        for r in SK.dedup_semdedup(spark, str(tmp_path)).collect()
+    }
+    co = sum(1 for a, b in zip(ids[:k], planted_ids) if res[a][0] == res[b][0])
+    flagged = sum(
+        1 for a, b in zip(ids[:k], planted_ids) if res[a][1] or res[b][1]
+    )
+    assert co / k >= 0.95, co
+    assert flagged / k >= 0.95, flagged

@@ -176,6 +176,135 @@ def ivf_assign(
     )
 
 
+def ivf_assign_hier(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-LEVEL (hierarchical coarse-quantizer) IVF cell assignment —
+    the Θ(n·√k) form of :func:`ivf_assign` for DATA-SCALED cell counts,
+    where the flat argmax's Θ(n·k) becomes the named superlinear segment
+    (k ∝ n ⇒ Θ(n²/c)); this is the faiss two-level coarse-quantizer
+    shape (`quantizer=IndexIVF...`), replayed relationally.
+
+    Output: ``(vec_id, v, nrm, cell, centroid_sim)`` where ``cell`` is
+    the chosen centroid id and ``centroid_sim`` the ROUNDED (6dp) cosine
+    to it.
+
+    Mechanics (every argmax ties to the smallest id, so a SQL oracle can
+    replay assignment row for row):
+
+    - **Codebook** = the ``k`` vectors with smallest ``(md5(vec_id),
+      vec_id)``; **super-codebook** = the first ``k1 = ceil(√k)`` of the
+      SAME ordering (two ``TakeOrderedAndProject``s, no window).
+    - **Centroid grouping**: each of the k centroids is assigned to its
+      nearest super-centroid (broadcast argmax over k1 — Θ(k·√k), paid
+      once, not per data row).
+    - **Vector assignment**: argmax over the k1 supers, then a broadcast
+      equi-join on the chosen super id fetches THAT group's member
+      centroids (expected √k of them), then argmax over the members —
+      Θ(√k + members) dot folds per row, all inside codegen; the big
+      side never shuffles.
+    - The join output copies the member array (~√k · dim doubles) into
+      each row — bytes, not dot products; at k = 65536/dim = 64 that is
+      ~130 KB against the ~√k·dim fused multiply-adds the flat form
+      would spend on the SAME row, and it stays off the shuffle.
+
+    Trade vs flat: a vector whose true nearest centroid lives in a
+    DIFFERENT super-group than its nearest super-centroid is assigned to
+    a second-best cell — the standard coarse-quantizer recall trade
+    (the pair stage downstream is what bounds correctness; assignment
+    only needs to be deterministic and replayable).  Group sizes are
+    uneven (md5-sample supers), so worst-case per-row cost is
+    k1 + max-group, expected 2√k."""
+    import math
+
+    k = n_centroids
+    k1 = math.ceil(math.sqrt(k))
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    ordered = e.orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    cent = ordered.limit(k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("ncv"),
+    )
+    sup = ordered.limit(k1).select(
+        F.col("vec_id").alias("sid"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("nsv"),
+    )
+    sup1 = sup.agg(F.collect_list(F.struct("sid", "sv", "nsv")).alias("sups"))
+
+    def _best(arr, vcol, ncol, key_field, vec_field, nrm_field):
+        return F.array_max(
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    (
+                        dot(vcol, s[vec_field])
+                        / F.greatest(ncol * s[nrm_field], F.lit(1e-12))
+                    ).alias("sim"),
+                    (-s[key_field]).alias("nk"),
+                    s[key_field].alias("k"),
+                ),
+            )
+        )
+
+    # centroid -> super group (k rows x k1 folds, once)
+    cgrp = (
+        cent.crossJoin(F.broadcast(sup1))
+        .select(
+            "cid",
+            "cv",
+            "ncv",
+            _best(F.col("sups"), F.col("cv"), F.col("ncv"), "sid", "sv", "nsv")[
+                "k"
+            ].alias("sid"),
+        )
+    )
+    members = cgrp.groupBy("sid").agg(
+        F.collect_list(F.struct("cid", "cv", "ncv")).alias("members")
+    )
+    # vector -> super (staged so the member argmax below can't re-evaluate
+    # the k1-fold super argmax), then -> member centroid via broadcast
+    # equi-join on the chosen super id
+    vsup = (
+        e.crossJoin(F.broadcast(sup1))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            _best(F.col("sups"), F.col("v"), F.col("nrm"), "sid", "sv", "nsv")[
+                "k"
+            ].alias("sid"),
+        )
+    )
+    return (
+        vsup.join(F.broadcast(members), "sid")
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            _best(
+                F.col("members"), F.col("v"), F.col("nrm"), "cid", "cv", "ncv"
+            ).alias("bm"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.col("bm")["k"].alias("cell"),
+            F.round(F.col("bm")["sim"], 6).alias("centroid_sim"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred: Column,

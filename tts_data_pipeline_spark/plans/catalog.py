@@ -84,6 +84,11 @@ _PRIORITY = (
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "dedup_semdedup",
+    "dedup_semdedup_keep_random",
+    "dedup_semdedup_keep_first",
+    "w13_ewma_per_user",
+    "w14_cusum_alarms",
+    "ev_anomaly_mad",
     "agg_heavy_hitters_cms",
     "j13_bloom_semi_join",
     "j14_bucketed_colocated_join",
