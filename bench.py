@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_semdedup",
     "dedup_semdedup_keep_random",
     "dedup_semdedup_keep_first",
+    "dedup_semdedup_distributed",
     "agg_heavy_hitters_cms",
     "j13_bloom_semi_join",
     "j14_bucketed_colocated_join",

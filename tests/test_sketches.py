@@ -261,3 +261,34 @@ def test_semdedup_planted_near_dups_colocate_and_flag(spark, tmp_path):
     )
     assert co / k >= 0.95, co
     assert flagged / k >= 0.95, flagged
+
+
+def test_semdedup_distributed_twin_hash_equal_and_plan_distinct(spark):
+    """The distributed-codebook twin must produce IDENTICAL rows to the
+    broadcast form (same assignment, different physical strategy) while
+    its plan actually runs the member fetch as a sort-merge join — i.e.
+    the named lift past the broadcast ceiling exists and is exercised,
+    not just documented."""
+    sf = "/root/testdata/sf0.001"
+    a = SK.dedup_semdedup(spark, sf)
+    b = SK.dedup_semdedup_distributed(spark, sf)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # plan distinctness is asserted on the assignment operator itself
+    # (the catalog entries cache the assignment, which folds the join
+    # into an InMemoryRelation); target the MEMBER-FETCH join key — the
+    # prior-mate join is a legitimate sort-merge in both forms
+    from tts_data_pipeline_spark.operators.similarity import ivf_assign_hier
+    from tts_data_pipeline_spark.sources import table
+
+    e = table(spark, sf, "embeddings")
+    pa = (
+        ivf_assign_hier(e, 16, codebook="broadcast")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pb = (
+        ivf_assign_hier(e, 16, codebook="distributed")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin [sid" in pb, pb
+    assert "SortMergeJoin [sid" not in pa, pa
+    assert "BroadcastHashJoin [sid" in pa, pa

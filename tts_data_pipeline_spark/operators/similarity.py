@@ -181,6 +181,7 @@ def ivf_assign_hier(
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: str = "broadcast",
 ) -> DataFrame:
     """TWO-LEVEL (hierarchical coarse-quantizer) IVF cell assignment —
     the Θ(n·√k) form of :func:`ivf_assign` for DATA-SCALED cell counts,
@@ -217,7 +218,17 @@ def ivf_assign_hier(
     (the pair stage downstream is what bounds correctness; assignment
     only needs to be deterministic and replayable).  Group sizes are
     uneven (md5-sample supers), so worst-case per-row cost is
-    k1 + max-group, expected 2√k."""
+    k1 + max-group, expected 2√k.
+
+    ``codebook``: ``"broadcast"`` (default) ships the k1-row member
+    table to every task — right while the full codebook (k·dim doubles)
+    fits executor memory.  ``"distributed"`` forces the member fetch to
+    a sort-merge join keyed on the super id (both sides Exchange on
+    ``sid``) — the DISTRIBUTED-CODEBOOK form for k past the broadcast
+    budget: no single node ever holds all k centroids; the price is one
+    keyed shuffle of the vector table.  Identical assignment either way
+    (same join, different physical strategy) — the twin is pinned
+    hash-equal and plan-distinct in tests."""
     import math
 
     k = n_centroids
@@ -285,8 +296,12 @@ def ivf_assign_hier(
             ].alias("sid"),
         )
     )
+    if codebook == "distributed":
+        fetch = vsup.join(members.hint("merge"), "sid")
+    else:
+        fetch = vsup.join(F.broadcast(members), "sid")
     return (
-        vsup.join(F.broadcast(members), "sid")
+        fetch
         .select(
             "vec_id",
             "v",

@@ -86,6 +86,7 @@ _PRIORITY = (
     "dedup_semdedup",
     "dedup_semdedup_keep_random",
     "dedup_semdedup_keep_first",
+    "dedup_semdedup_distributed",
     "w13_ewma_per_user",
     "w14_cusum_alarms",
     "ev_anomaly_mad",

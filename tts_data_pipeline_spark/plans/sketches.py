@@ -519,7 +519,25 @@ def dedup_semdedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup(spark, sf_dir, "first")
 
 
-def _semdedup(spark: SparkSession, sf_dir: str, keep: str) -> DataFrame:
+@query("dedup_semdedup_distributed", oracle=_semdedup_oracle("low_sim"))
+def dedup_semdedup_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_semdedup` with the DISTRIBUTED member codebook — the
+    named lift past the broadcast ceiling (module-top clamp paragraph):
+    the member-centroid fetch runs as a sort-merge join keyed on the
+    super id (both sides Exchange on ``sid``) instead of a broadcast, so
+    no single node ever holds all k centroids; the price is one keyed
+    shuffle of the vector table.  Assignment — and therefore every
+    output row — is IDENTICAL to ``dedup_semdedup`` (same oracle; the
+    twin is also pinned hash-equal and plan-distinct in
+    tests/test_sketches.py), which is the point: the 65536-cell clamp is
+    a deployment choice between these two physical strategies, not a
+    semantic ceiling."""
+    return _semdedup(spark, sf_dir, "low_sim", codebook="distributed")
+
+
+def _semdedup(
+    spark: SparkSession, sf_dir: str, keep: str, codebook: str = "broadcast"
+) -> DataFrame:
     import math
 
     from tts_data_pipeline_spark.operators.similarity import (
@@ -543,7 +561,18 @@ def _semdedup(spark: SparkSession, sf_dir: str, keep: str) -> DataFrame:
             ),
         ),
     )
-    asg = ivf_assign_hier(e, n_centroids=k)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # The assignment output is referenced THREE times downstream (both
+    # sides of the prior-mate pair join + the final survivor join), and
+    # Spark re-executes the subtree per reference — cache it so the
+    # Θ(n·√k) assignment runs once per invocation, shared across all
+    # four semdedup entries (same plan ⇒ same registry slot; a policy
+    # only changes the window above the cache)
+    asg = cache_replacing(
+        "dedup_semdedup_asg",
+        ivf_assign_hier(e, n_centroids=k, codebook=codebook),
+    )
     keep_order = {
         "low_sim": [F.col("centroid_sim").asc(), F.col("vec_id").asc()],
         "random": [
