@@ -41,9 +41,11 @@ Outputs (all deterministic, seeded):
 - ``sf0.1`` (K=1), ``sf0.3`` (K=3), ``sf1`` (K=10): scaling-curve points.
   sf0.1 is regenerated (keyed tables byte-tiled at K=1) so all curve
   points share the Zipfian document distribution.
-- ``sf3`` (documents only, n=150k): one more decade for the two
-  end-to-end lineages a 100 TB user actually runs
-  (``dedup_minhash_survivors``, ``pipeline_e2e_curation``).
+- ``sf3`` (documents + tiled events + tiled embeddings, n=150k docs):
+  one more decade for the two end-to-end lineages a 100 TB user
+  actually runs (``dedup_minhash_survivors``, ``pipeline_e2e_curation``),
+  the event-window rows, and the embedding-dedup family (the adaptive
+  cell-count policies double k/p more times at 61k vectors).
 
 Usage:  python tools/gen_scale_data.py [outdir]   (default /tmp/scaledata)
 """
@@ -269,18 +271,22 @@ def generate(
     src: str = SRC,
     documents_only: bool = False,
     with_events: bool | None = None,
+    with_embeddings: bool | None = None,
 ) -> None:
-    """``with_events`` applies ONLY to ``documents_only`` runs: it lets
+    """``with_events`` / ``with_embeddings`` apply ONLY to
+    ``documents_only`` runs: they let
     the sf3 point carry a tiled events table WITHOUT the rest of the
     keyed set — the extra-decade rows for the event-window family
     (w11_gap_fill) need events, while the e2e document lineages need only
-    documents.  Full runs (``documents_only=False``) always tile events
-    as part of the keyed set, so passing ``with_events`` there is a
-    contradiction and raises rather than being silently ignored."""
-    if with_events is not None and not documents_only:
+    documents; ``with_embeddings`` gives the embedding-dedup family its
+    third decade (the adaptive cell-count policy doubles k more times).
+    Full runs (``documents_only=False``) always tile events and
+    embeddings as part of the keyed set, so passing either flag there is
+    a contradiction and raises rather than being silently ignored."""
+    if (with_events is not None or with_embeddings is not None) and not documents_only:
         raise ValueError(
-            "with_events only applies to documents_only runs; a full run "
-            "always tiles the events table"
+            "with_events/with_embeddings only apply to documents_only "
+            "runs; a full run always tiles both tables"
         )
     os.makedirs(outdir, exist_ok=True)
     _write_documents(n_docs, doc_seed, outdir)
@@ -293,8 +299,11 @@ def generate(
         for name in KEYED:
             _tile_keyed(name, k_copies, outdir, src)
         _tile_embeddings(k_copies, outdir, src)
-    elif with_events:
-        _tile_keyed("events", k_copies, outdir, src)
+    else:
+        if with_events:
+            _tile_keyed("events", k_copies, outdir, src)
+        if with_embeddings:
+            _tile_embeddings(k_copies, outdir, src)
     print(f"wrote {outdir} (K={k_copies}, docs={n_docs})")
 
 
@@ -314,5 +323,5 @@ if __name__ == "__main__":
     # would triple generation time for tables nothing at sf3 reads)
     generate(
         os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
-        documents_only=True, with_events=True,
+        documents_only=True, with_events=True, with_embeddings=True,
     )

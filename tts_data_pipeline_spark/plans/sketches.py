@@ -569,8 +569,11 @@ def _semdedup(
     # Θ(n·√k) assignment runs once per invocation, shared across all
     # four semdedup entries (same plan ⇒ same registry slot; a policy
     # only changes the window above the cache)
+    # keyed per codebook form: the broadcast and distributed twins have
+    # different plans, and one shared slot would thrash (replace +
+    # recompute) every time a sweep alternates between them
     asg = cache_replacing(
-        "dedup_semdedup_asg",
+        f"dedup_semdedup_asg_{codebook}",
         ivf_assign_hier(e, n_centroids=k, codebook=codebook),
     )
     keep_order = {
