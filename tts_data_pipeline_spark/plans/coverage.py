@@ -292,12 +292,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are per-VECTOR, so they're computed once on the n rows before
     # the join, not once per pair (bit-identical floats — same sequential
     # fold over the same array — at a third of the per-pair fold work)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
     e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    e = e.withColumn("nrm", l2_norm(F.col("v")))
+    # cached: both pair-join sides reference the frame, and the per-vector
+    # norm fold should run once, not once per side
+    e = cache_replacing(
+        "dedup_embedding_cosine_base", e.withColumn("nrm", l2_norm(F.col("v")))
+    )
     a, b = e.alias("a"), e.alias("b")
     sim = F.round(
         dot(F.col("a.v"), F.col("b.v"))
@@ -498,14 +504,23 @@ def dedup_embedding_cosine_ivf(
         1,
         nprobe,
     )
-    cells = assigned.select(
-        "vec_id",
-        "v",
-        "nrm",
-        sub.alias("sub"),
-        F.explode(
-            F.transform(probe_cids, lambda s: s["cid"])
-        ).alias("cid"),
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # both pair-join sides reference this frame — cache it so the
+    # codebook argmax + sub-bucket fold run once per invocation, not
+    # once per side (the semdedup lesson; plan audit showed the
+    # embeddings scan and assignment duplicated 2x without it)
+    cells = cache_replacing(
+        "dedup_embedding_cosine_ivf_cells",
+        assigned.select(
+            "vec_id",
+            "v",
+            "nrm",
+            sub.alias("sub"),
+            F.explode(
+                F.transform(probe_cids, lambda s: s["cid"])
+            ).alias("cid"),
+        ),
     )
     a, b = cells.alias("a"), cells.alias("b")
     sim = F.round(
