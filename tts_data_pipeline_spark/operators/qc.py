@@ -162,14 +162,22 @@ def corpus_validate(
         F.col("stem").alias("a_stem"),
         "duration",
     )
-    p = t.join(
-        a, (t.tb == a.ab) & (t.t_stem == a.a_stem), "full_outer"
-    ).select(
-        F.coalesce("tb", "ab").alias("book_id"),
-        "t_stem",
-        "a_stem",
-        "txt",
-        "duration",
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the pairing frame feeds BOTH the defect-count aggregate and the
+    # token explode; cached so the full-outer shuffle (and everything
+    # upstream of it) runs once, not once per consumer
+    p = cache_replacing(
+        "qc_corpus_validate_pairs",
+        t.join(
+            a, (t.tb == a.ab) & (t.t_stem == a.a_stem), "full_outer"
+        ).select(
+            F.coalesce("tb", "ab").alias("book_id"),
+            "t_stem",
+            "a_stem",
+            "txt",
+            "duration",
+        ),
     )
     has_t = F.col("t_stem").isNotNull()
     has_a = F.col("a_stem").isNotNull()

@@ -598,19 +598,27 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase): each stage is
     a keyed min-timestamp aggregate conditioned on the previous stage's
     time — two shuffles on user_id, no window over the full event stream,
-    no per-user UDF."""
+    no per-user UDF.  The stage aggregates are USER-sized, not
+    event-sized, and each is referenced twice (the next stage's gate +
+    its own funnel count) — cached, so the event table is scanned once
+    per event_type filter (the pushdown-friendly minimum) instead of
+    once per downstream reference."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
+    s1 = cache_replacing(
+        "ev_funnel_s1",
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
     )
-    s2 = (
+    s2 = cache_replacing(
+        "ev_funnel_s2",
         e.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")

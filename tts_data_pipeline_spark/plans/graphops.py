@@ -203,6 +203,21 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # edges is referenced five times downstream (degree union x2,
+    # orientation join, the final count) and oriented three times
+    # (both wedge sides + the closure probe); uncached, Spark expands
+    # each reference into a full rebuild — the plan audit measured the
+    # lineitem scan duplicated 52x.  Cache both frames: one edge build,
+    # one orientation, everything downstream reads memory.  Repartition
+    # to core count ON THE DOWNSTREAM JOIN KEY before caching — a cached
+    # plan keeps its shuffle partitioning (AQE cannot coalesce it), so
+    # caching the raw 2-join output froze 400 near-empty partitions and
+    # made the cache build 7x slower than the duplicated lazy plan at
+    # test sf (1.6 s -> 11.5 s, reverted by this repartition).
+    dp = spark.sparkContext.defaultParallelism
+    edges = cache_replacing("graph_tri_edges", edges.repartition(dp, "u"))
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -224,6 +239,9 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dt"
             ),
         )
+    )
+    oriented = cache_replacing(
+        "graph_tri_oriented", oriented.repartition(dp, "s")
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
