@@ -756,7 +756,12 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 4).alias(f"{c}__max"),
             F.countDistinct(c).alias(f"{c}__distinct"),
         ]
-    one = li.agg(*agg_exprs)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the single aggregated row is referenced once per unpivot branch —
+    # uncached, each union arm re-ran the whole scan+aggregate (3 scans
+    # for a docstring that promised one); the cache is one row
+    one = cache_replacing("dq_profile_stats", li.agg(*agg_exprs))
     parts = [
         one.select(
             F.lit(c).alias("col"),

@@ -139,7 +139,16 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    cnt = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # vocabulary-sized and referenced three times downstream (cells via
+    # hrows, the estimate join's probe side, the stream total) — cached,
+    # so the corpus token scan runs once and every consumer reads the
+    # counted table
+    cnt = cache_replacing(
+        "agg_heavy_hitters_cnt",
+        toks.groupBy("tok").agg(F.count("*").alias("exact_cnt")),
+    )
     hrows = cnt.select(
         "tok",
         "exact_cnt",
