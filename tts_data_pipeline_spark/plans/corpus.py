@@ -487,8 +487,16 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the language histogram is a tiny aggregate that
     BROADCASTS back onto the corpus scan; the keep filter is then pure
     map-side — the resample itself adds zero shuffles."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # languages-sized and referenced twice (normalizer + rates) — cached,
+    # so the corpus histogram pass runs once; the operator's two corpus
+    # scans (histogram, keep-filter) are the algorithm's minimum
+    c = cache_replacing(
+        "mix_temp_lang_hist",
+        d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+    )
     tot = c.agg(F.sum(F.sqrt("n")).alias("tot"))
     rates = c.crossJoin(F.broadcast(tot)).select(
         "lang",

@@ -506,9 +506,17 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("b"),
     )
-    counts = bg.groupBy("b").agg(
-        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
-        F.sum((~F.col("is_target")).cast("bigint")).alias("cr"),
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # B-buckets-sized and referenced twice (totals + bucket weights) —
+    # cached, so the corpus bigram pass behind it runs once; DSIR's two
+    # corpus scans (fit weights, score docs) are the algorithm's minimum
+    counts = cache_replacing(
+        "mix_dsir_counts",
+        bg.groupBy("b").agg(
+            F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+            F.sum((~F.col("is_target")).cast("bigint")).alias("cr"),
+        ),
     )
     totals = counts.agg(
         F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
