@@ -226,3 +226,24 @@ def test_scale_generator_copy_codes_pairwise_lev_ge_2():
     ).read_text()
     m = re.search(r'f"(Cus\{d\}\{d\}mer#)"', src)
     assert m, "gen_scale_data.py no longer uses the Cus{d}{d}mer# code"
+
+
+def test_word_shingles_null_skip_semantics(spark):
+    """The shared shingle helper must SKIP null tokens (the original
+    concat_ws semantics), not null-propagate the whole shingle — pinned
+    on a null-bearing array because every catalog caller feeds
+    split()-produced (null-free) arrays and would never notice a
+    regression.  Also pins the null-free fast path against the plain
+    space-join ground truth."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(["a", None, "b", "c", "d", "e"],), (["x", "y", "z"],)], ["t"]
+    )
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    # windows are POSITIONAL (starts 1..4 of the 6-slot array); the null
+    # is skipped within each window it falls in, shortening that shingle
+    assert out[0].s == ["a b", "b c", "b c d", "c d e"]
+    assert out[1].s == ["x y z"]
