@@ -988,13 +988,21 @@ def pipeline_e2e_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     lowered = F.lower(F.col("rtext"))
-    # sequence(1, 0) steps BACKWARD in Spark: sub-3-char rebuilt text must
-    # yield an empty trigram array (same guard as ta_trigram_lang_id)
+    # trigrams off aligned char-array slices — per-position substr with a
+    # non-foldable start is O(L²)/doc (UTF-8 head seek); same rewrite,
+    # guard, and value-identity as ta_trigram_lang_id
+    chars = F.split(lowered, "")
+    m = F.length(lowered) - 2
     tri_arr = F.when(
         F.length(lowered) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(lowered) - 2),
-            lambda i: lowered.substr(i, F.lit(3)),
+        F.zip_with(
+            F.zip_with(
+                F.slice(chars, 1, m),
+                F.slice(chars, 2, m),
+                lambda x, y: F.concat(x, y),
+            ),
+            F.slice(chars, 3, m),
+            lambda x, y: F.concat(x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     tri = rebuilt.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
