@@ -599,3 +599,36 @@ def test_containment_prefix_equals_exhaustive_and_probe_picks_prefix(spark):
     )
     assert auto == exhaustive
     assert auto, "threshold must be live on the test corpus"
+
+
+def test_ivf_assign_hier_invariant_to_input_partitioning(spark):
+    """The two-level assignment must be a pure function of the DATA: the
+    md5-ordered codebook prefixes are TakeOrdered results and every
+    argmax ties to the smallest id, so repartitioning the input (13
+    skewed partitions vs the scan default) may not move a single vector
+    between cells — the determinism a 1000-executor run needs."""
+    from tts_data_pipeline_spark.operators.similarity import ivf_assign_hier
+    from tts_data_pipeline_spark.sources.readers import table
+
+    em = table(spark, SF_DIR, "embeddings")
+    base = {
+        r.vec_id: (r.cell, r.centroid_sim)
+        for r in ivf_assign_hier(em, 16).select(
+            "vec_id", "cell", "centroid_sim"
+        ).collect()
+    }
+    shuffled = {
+        r.vec_id: (r.cell, r.centroid_sim)
+        for r in ivf_assign_hier(em.repartition(13, "label"), 16)
+        .select("vec_id", "cell", "centroid_sim")
+        .collect()
+    }
+    assert base == shuffled
+    # and the distributed-codebook strategy lands the same assignment
+    dist = {
+        r.vec_id: (r.cell, r.centroid_sim)
+        for r in ivf_assign_hier(em, 16, codebook="distributed")
+        .select("vec_id", "cell", "centroid_sim")
+        .collect()
+    }
+    assert base == dist
