@@ -1190,9 +1190,14 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the grid explode is bounded by span-hours per key (not
     event count); one shuffle groups each key's grid+observations for the
     ordered ffill window, which scans each partition once."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
     e = table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    m = (
+    # (user, hour)-sized and referenced twice (span bounds + the grid
+    # join) — cached, so the events scan and the hour rollup run once
+    m = cache_replacing(
+        "w11_hourly_means",
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(
             (
@@ -1201,7 +1206,7 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 100.0
             ).alias("v")
-        )
+        ),
     )
     spans = m.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
