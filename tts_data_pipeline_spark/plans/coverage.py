@@ -1472,6 +1472,12 @@ def pipeline_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(narrators, F.lit(1)).alias("narrator_0_name"),
         F.try_element_at(narrators, F.lit(2)).alias("narrator_1_name"),
     )
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the parsed-fields frame feeds BOTH the per-category count and the
+    # final join; uncached, the count branch re-ran the whole crawl —
+    # HTML synthesis, the pandas-UDF probe, and every CSS extraction
+    fields = cache_replacing("pipeline_e2e_crawl_fields", fields)
     counts = fields.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("books_in_category")
     )
