@@ -220,7 +220,15 @@ def pipeline_e2e_align_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars") / 100.0).alias("total_dur"),
         )
     )
-    segments = A.align_books(books)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    # the aligner output feeds BOTH sides of the outlier anti-join (the
+    # outlier set derives from the same frame), so uncached the grouped
+    # map alignment ran twice; this is also the stage boundary a real
+    # pipeline checkpoints — alignment is never re-run for QC
+    segments = cache_replacing(
+        "pipeline_align_qc_segments", A.align_books(books)
+    )
     _, outliers = A.filter_segment_outliers(segments, 3.0, 12.0)
     # J6: the reference deletes outliers from the segment store — an
     # explicit anti-join, not a re-filter
