@@ -12,6 +12,13 @@ with the registry, a sweep-then-repeat session holds exactly one live
 base per operator and the repeats sit in the isolated-session band
 (26-38 s warm on this host) instead of climbing.
 
+Memory posture at scale: ``DataFrame.cache()`` is MEMORY_AND_DISK, so a
+corpus-sized base (the semdedup assignment, the minhash token sets)
+SPILLS to executor-local disk under pressure instead of OOMing — the
+same degradation a production run gets from persisting the stage
+boundary, which is what these caches stand in for.  The registry bounds
+the count (one live base per key), not the size.
+
 This registry is the fix, mirroring ``plans/scansinks._tmpdir``'s
 replace-on-reinvoke file lifecycle (itself the r3 kmeans-cache lesson):
 each operator keys its cached base here, and the next invocation of the
