@@ -424,12 +424,23 @@ def test_ivf_dedup_recall_vs_exact(spark, tmp_path):
     nrm = np.sqrt((v * v).sum(1))
 
     # --- band 1: driver table, exact all-pairs ground truth at 0.40
-    sim = np.round((v @ v.T) / np.maximum(np.outer(nrm, nrm), 1e-12), 6)
+    sim_raw = (v @ v.T) / np.maximum(np.outer(nrm, nrm), 1e-12)
+    sim = np.round(sim_raw, 6)
     iu = np.triu_indices(n, 1)
     hit = sim[iu] >= 0.40
     truth = {
         (int(min(a, b)), int(max(a, b)))
         for a, b in zip(ids[iu[0][hit]], ids[iu[1][hit]])
+    }
+    # boundary slack: pairs whose UNROUNDED cosine sits within 2e-6 of
+    # the 0.40 threshold can legitimately land on either side across
+    # engines (numpy matmul vs Spark's sequential fold sum in different
+    # orders; np.round is half-even, Spark ROUND half-up) — admit them
+    # in the containment check without counting them as recall truth
+    nearb = np.abs(sim_raw[iu] - 0.40) <= 2e-6
+    slack = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0][nearb]], ids[iu[1][nearb]])
     }
     assert truth, "driver corpus lost its >=0.40 pairs — rebase the test"
     recalls = {}
@@ -438,7 +449,9 @@ def test_ivf_dedup_recall_vs_exact(spark, tmp_path):
             (int(r.id_a), int(r.id_b))
             for r in dedup_embedding_cosine_ivf(spark, SF_DIR, nprobe=p).collect()
         }
-        assert got <= truth, f"nprobe={p}: pairs above threshold not in truth"
+        assert got <= truth | slack, (
+            f"nprobe={p}: pairs above threshold not in truth"
+        )
         recalls[p] = len(got & truth) / len(truth)
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
     assert recalls[1] >= 0.10, recalls

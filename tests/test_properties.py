@@ -240,10 +240,20 @@ def test_word_shingles_null_skip_semantics(spark):
     from tts_data_pipeline_spark.operators.dedup import word_shingles
 
     df = spark.createDataFrame(
-        [(["a", None, "b", "c", "d", "e"],), (["x", "y", "z"],)], ["t"]
+        [
+            (["a", None, "b", "c", "d", "e"],),
+            (["x", "y", "z"],),
+            ([None, None, None, "p", "q"],),
+        ],
+        ["t"],
     )
     out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
     # windows are POSITIONAL (starts 1..4 of the 6-slot array); the null
     # is skipped within each window it falls in, shortening that shingle
     assert out[0].s == ["a b", "b c", "b c d", "c d e"]
     assert out[1].s == ["x y z"]
+    # documented divergence from concat_ws: an ALL-null window yields a
+    # NULL element (concat_ws would yield '') — the one case the
+    # null-guarded when-chain does not reproduce, stated in the helper's
+    # comment; partially-null windows still skip-concatenate
+    assert out[2].s == [None, "p", "p q"]

@@ -85,11 +85,13 @@ def word_shingles(tokens: Column, n: int = 5) -> Column:
             # has the right skip semantics but measures ~25% slower in
             # this codegen loop — varargs + separator handling; 8.7 vs
             # 7.0 s min-of-4 shingling the sf1 Zipf corpus).  The when
-            # chain reproduces concat_ws's skip-null-side behavior —
-            # verified value-identical on null-bearing arrays — at plain
-            # concat speed.  split()-produced arrays carry no nulls, but
-            # this helper is shared by five plans and the contract
-            # should not narrow.
+            # chain reproduces concat_ws's skip-null-side behavior at
+            # plain concat speed — identical on null-bearing arrays
+            # EXCEPT a window whose tokens are ALL null, which yields a
+            # NULL element where concat_ws(' ', NULL, ..., NULL) yields
+            # '' (pinned in tests/test_properties.py).  split()-produced
+            # arrays carry no nulls, but this helper is shared by five
+            # plans and the contract should not narrow.
             lambda a, b: F.when(a.isNull(), b)
             .when(b.isNull(), a)
             .otherwise(F.concat(a, F.lit(" "), b)),

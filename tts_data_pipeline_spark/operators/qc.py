@@ -166,7 +166,13 @@ def corpus_validate(
 
     # the pairing frame feeds BOTH the defect-count aggregate and the
     # token explode; cached so the full-outer shuffle (and everything
-    # upstream of it) runs once, not once per consumer
+    # upstream of it) runs once, not once per consumer.  The key is
+    # deliberately corpus-independent: alternating corpora replace the
+    # single live base (recompute per switch — correct, just not warm),
+    # which is the registry's bounded-memory posture; a per-corpus key
+    # would hold one cached pairing per corpus ever validated.  Callers
+    # that genuinely interleave validations of a fixed corpus set can
+    # cache the pairing themselves.
     p = cache_replacing(
         "qc_corpus_validate_pairs",
         t.join(

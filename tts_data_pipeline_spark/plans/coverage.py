@@ -509,9 +509,15 @@ def dedup_embedding_cosine_ivf(
     # both pair-join sides reference this frame — cache it so the
     # codebook argmax + sub-bucket fold run once per invocation, not
     # once per side (the semdedup lesson; plan audit showed the
-    # embeddings scan and assignment duplicated 2x without it)
+    # embeddings scan and assignment duplicated 2x without it).
+    # nprobe is IN the key (the semdedup-codebook-twin precedent): the
+    # recall-ladder sweep alternates nprobe 1/2/4 and a single slot would
+    # thrash with replace+full-recompute per call.  sf_dir deliberately
+    # is NOT — replacing on dataset change is the registry's designed
+    # one-live-base-per-variant posture; keying per dataset would hold a
+    # cached base per sf across a scaling sweep, unbounded.
     cells = cache_replacing(
-        "dedup_embedding_cosine_ivf_cells",
+        f"dedup_embedding_cosine_ivf_cells_{nprobe}",
         assigned.select(
             "vec_id",
             "v",

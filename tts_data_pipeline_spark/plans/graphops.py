@@ -31,7 +31,12 @@ _ITERS = 3
 # same module-global channel operators.components.LAST_RUN_STATS uses.
 # Populated lazily: the Observation objects are stashed when the plan is
 # BUILT; lpa_run_stats() reads them (blocking .get) AFTER the caller's
-# action has executed the plan.
+# action has executed the plan.  BUILD-TIME-STASH HAZARD: because the
+# stash happens at plan-build time, building two LPA plans before
+# executing either overwrites the first plan's observations — the stats
+# then describe whichever plan was built LAST, and reading before any
+# execution blocks forever on Observation.get.  Build → execute → read,
+# one plan at a time (or pass observations to lpa_run_stats explicitly).
 LPA_LAST_RUN: dict = {"observations": [], "iters": 0}
 
 
@@ -389,6 +394,18 @@ def lpa_run_stats(observations: list[Observation] | None = None) -> dict:
     as the components checkpoint loop."""
     if observations is None:
         observations = LPA_LAST_RUN["observations"]
+    if not observations:
+        # explicit misuse signal: no LPA plan has been BUILT yet this
+        # session.  Without this guard the empty default silently
+        # returned rounds_run=-1/converged=False, indistinguishable from
+        # a real non-converged run.  (If a plan WAS built but never
+        # executed, Observation.get below still blocks — that hazard is
+        # inherent to the channel and noted at LPA_LAST_RUN.)
+        raise RuntimeError(
+            "lpa_run_stats: no LPA run recorded — build AND execute a "
+            "graph_label_propagation plan (or pass observations "
+            "explicitly) first"
+        )
     sigs = [(o.get["n"], o.get["h"]) for o in observations]
     first_fix = next(
         (i for i in range(1, len(sigs)) if sigs[i] == sigs[i - 1]), None
