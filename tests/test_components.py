@@ -154,3 +154,43 @@ def test_lpa_catalog_entry_populates_last_run(spark):
     assert stats["rounds_run"] == 3
     assert len(stats["sigs"]) == 4
     assert all(n > 0 for n, _ in stats["sigs"])
+
+
+def test_lpa_propagate_converged_fixpoint_and_oscillation(spark):
+    """The convergence-REQUIRED mode (round-8 verdict #3): iterate until
+    the labelling repeats, mirroring the components loop, instead of a
+    fixed round count.  A 5-cycle needs 5 synchronous rounds to settle
+    on the min label (hand-traced: [1,2,3,4,5] -> [2,1,2,3,1] ->
+    [1,2,1,1,2] -> [2,1,1,1,1] -> all-1 -> all-1), i.e. MORE than the
+    catalog's fixed 3; a single edge oscillates with period 2 and must
+    be detected, not spun to the cap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.graphops import lpa_propagate_converged
+
+    def both_ways(pairs):
+        e = spark.createDataFrame(pairs, ["src", "dst"])
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    cyc = both_ways([(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)])
+    labels, stats = lpa_propagate_converged(cyc, max_rounds=10)
+    assert {r.node: r.label for r in labels.collect()} == {
+        i: 1 for i in range(1, 6)
+    }
+    assert stats["converged"] is True
+    assert stats["oscillating"] is False
+    assert stats["rounds_run"] == 5  # > the fixed-round entry's 3
+
+    edge = both_ways([(10, 20)])
+    with pytest.raises(RuntimeError, match="oscillation"):
+        lpa_propagate_converged(edge, max_rounds=10)
+    _, stats = lpa_propagate_converged(
+        edge, max_rounds=10, require_convergence=False
+    )
+    assert stats["converged"] is False
+    assert stats["oscillating"] is True
+    # detected as soon as round k's signature matches round k-2's
+    assert stats["rounds_run"] <= 3

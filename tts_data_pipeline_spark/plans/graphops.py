@@ -356,30 +356,126 @@ def lpa_propagate(
     labels, obs = _sig_observe(labels, "lpa_sig_0")
     observations.append(obs)
     for i in range(1, iters + 1):
-        cnt = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("n2"), "label")
-            .agg(F.count("*").alias("c"))
-        )
-        # mode-with-tiebreak as ONE struct-max aggregate — (c DESC, label
-        # ASC) becomes max(struct(c, -label, label)), saving the per-node
-        # sort shuffle a ROW_NUMBER window would add every round (the
-        # oracle's ROW_NUMBER computes the same winner)
-        labels = (
-            cnt.groupBy(F.col("n2").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c"),
-                        (-F.col("label")).alias("nl"),
-                        F.col("label"),
-                    )
-                )["label"].alias("label")
-            )
-        )
-        labels, obs = _sig_observe(labels, f"lpa_sig_{i}")
+        labels, obs = _sig_observe(_lpa_round(edges, labels), f"lpa_sig_{i}")
         observations.append(obs)
     return labels, observations
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous-LPA round: every node adopts the most frequent
+    label among its neighbours, ties to the smallest label.  The
+    mode-with-tiebreak is ONE struct-max aggregate — (c DESC, label ASC)
+    becomes max(struct(c, -label, label)), saving the per-node sort
+    shuffle a ROW_NUMBER window would add every round (the oracle's
+    ROW_NUMBER computes the same winner)."""
+    cnt = (
+        edges.join(labels, edges.dst == labels.node)
+        .groupBy(F.col("src").alias("n2"), "label")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy(F.col("n2").alias("node")).agg(
+        F.max(
+            F.struct(
+                F.col("c"),
+                (-F.col("label")).alias("nl"),
+                F.col("label"),
+            )
+        )["label"].alias("label")
+    )
+
+
+def lpa_propagate_converged(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    require_convergence: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Label propagation iterated UNTIL THE LABELLING REPEATS — the
+    convergence-required mode the fixed-round catalog entry lacks
+    (round-8 verdict #3): a caller who needs a fixpoint no longer polls
+    ``lpa_run_stats`` and re-runs manually.  Mirrors
+    ``operators.components.connected_components``'s loop discipline
+    exactly: per-round labels persist to a per-call scratch parquet dir
+    (lineage truncation — without it the plan doubles per round), the
+    ``(n, hash-sum)`` set signature rides the write action via
+    ``observe`` (no extra job per round), round i-1's files are deleted
+    as soon as round i lands, and the final labels dir is removed at
+    interpreter exit.
+
+    Termination: synchronous LPA is NOT guaranteed to converge — a
+    bipartite pair swaps labels forever — so the loop also stops when a
+    signature repeats ONE ROUND BACK but not the last (period-2
+    oscillation), reported as ``converged=False, oscillating=True``.
+    ``require_convergence=True`` raises at ``max_rounds`` (or on
+    detected oscillation) instead of returning a non-fixpoint labelling.
+
+    Returns ``(labels, stats)``: labels is the (node, label) frame of the
+    LAST EXECUTED round (already materialized on scratch disk), stats has
+    ``rounds_run`` / ``converged`` / ``oscillating``.
+    """
+    import atexit
+    import os
+    import shutil
+
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
+    spark = edges.sparkSession
+    workdir = scratch_mkdtemp("lpa_state_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+
+    def _persist(df: DataFrame, name: str, obs: Observation) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("node", "label"), F.lit(2_147_483_647))
+            ).alias("h"),
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    obs0 = Observation("lpa_cv_sig_0")
+    labels = _persist(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label")),
+        "labels_0",
+        obs0,
+    )
+    # seed signature in the history: a graph whose round-1 labelling
+    # equals the seed (all-singleton components) converges at round 1
+    sigs: list[tuple] = [(obs0.get["n"], obs0.get["h"])]
+    converged = False
+    oscillating = False
+    rounds_run = 0
+    for i in range(1, max_rounds + 1):
+        obs = Observation(f"lpa_cv_sig_{i}")
+        labels = _persist(_lpa_round(edges, labels), f"labels_{i}", obs)
+        got = obs.get
+        sig = (got["n"], got["h"])
+        shutil.rmtree(
+            os.path.join(workdir, f"labels_{i - 1}"), ignore_errors=True
+        )
+        rounds_run = i
+        if sigs and sig == sigs[-1]:
+            converged = True
+            break
+        if len(sigs) >= 2 and sig == sigs[-2]:
+            oscillating = True
+            break
+        sigs.append(sig)
+    stats = {
+        "rounds_run": rounds_run,
+        "converged": converged,
+        "oscillating": oscillating,
+    }
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"lpa_propagate_converged: no fixpoint in {rounds_run} rounds "
+            f"({'period-2 oscillation detected' if oscillating else 'cap hit'}); "
+            f"labels would not be stable. Raise max_rounds or use the "
+            f"fixed-round lpa_propagate."
+        )
+    return labels, stats
 
 
 def lpa_run_stats(observations: list[Observation] | None = None) -> dict:
@@ -447,7 +543,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures and whether the fixed 3 rounds hit the fixpoint — so a
     fixed-round run is no longer silent about non-convergence
     (tests/test_components.py pins a graph that converges in 3 rounds
-    and one that oscillates forever)."""
+    and one that oscillates forever).  Callers that REQUIRE a fixpoint
+    use :func:`lpa_propagate_converged` — iterate-until-repeat with
+    oscillation detection, the components-loop discipline — instead of
+    polling these stats and re-running; this fixed-3-round entry stays
+    the oracle-replayable default (an unrolled 3-round SQL CTE chain is
+    checkable; an until-fixpoint run is not statically expressible)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
