@@ -292,3 +292,40 @@ def test_semdedup_distributed_twin_hash_equal_and_plan_distinct(spark):
     assert "SortMergeJoin [sid" in pb, pb
     assert "SortMergeJoin [sid" not in pa, pa
     assert "BroadcastHashJoin [sid" in pa, pa
+
+
+def test_codebook_strategy_switch_point_and_auto(spark):
+    """The AQE-style codebook policy (round-8 verdict #5): broadcast
+    while k·(8·dim+24) bytes fits under the 32 MB measured ceiling,
+    distributed past it.  At dim=64 the crossover sits between the
+    shipped kmax clamp's neighbours — k=32768 (~16.8 MB) broadcasts,
+    k=65536 (~33.5 MB) distributes — so every currently reachable k
+    keeps the measured-faster broadcast plan and a clamp lift flips
+    automatically.  codebook="auto" must resolve to the same physical
+    plan the explicit broadcast form builds at driver scale."""
+    from tts_data_pipeline_spark.operators.similarity import (
+        CODEBOOK_BROADCAST_MAX_BYTES,
+        codebook_strategy,
+        ivf_assign_hier,
+    )
+    from tts_data_pipeline_spark.sources import table
+
+    # exact switch point at dim=64: 536 bytes/centroid
+    assert codebook_strategy(16, 64) == "broadcast"
+    assert codebook_strategy(32768, 64) == "broadcast"
+    assert codebook_strategy(65536, 64) == "distributed"
+    # boundary: one centroid under/over the threshold
+    k_edge = CODEBOOK_BROADCAST_MAX_BYTES // (64 * 8 + 24)
+    assert codebook_strategy(k_edge, 64) == "broadcast"
+    assert codebook_strategy(k_edge + 1, 64) == "distributed"
+    # wider vectors cross earlier — the policy is bytes, not k
+    assert codebook_strategy(65536, 8) == "broadcast"
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    p_auto = (
+        ivf_assign_hier(e, 16, codebook="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin [sid" in p_auto, p_auto
+    assert "SortMergeJoin [sid" not in p_auto, p_auto

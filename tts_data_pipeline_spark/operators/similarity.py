@@ -176,6 +176,34 @@ def ivf_assign(
     )
 
 
+# Broadcast ceiling for the member codebook, in estimated bytes.  The
+# 65536-cell clamp paragraph (plans/sketches.py) measured the broadcast
+# member table workable up to ~32 MB; past that the distributed
+# sort-merge fetch is the named lift.  32 MB is therefore the crossover:
+# with dim=64 embeddings (8·64 + 24 ≈ 536 B/centroid) the policy flips
+# to "distributed" at k ≈ 62.6k — i.e. exactly at the current
+# _SEMDEDUP_KMAX clamp (65536, ~33.5 MB) and nowhere below it, so every
+# shipped sf keeps the measured-faster broadcast plan and a clamp lift
+# automatically switches strategy instead of oversizing a broadcast.
+CODEBOOK_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def codebook_strategy(
+    k: int, dim: int, threshold_bytes: int = CODEBOOK_BROADCAST_MAX_BYTES
+) -> str:
+    """AQE-style physical-strategy pick for the member-codebook fetch:
+    ``"broadcast"`` while the estimated codebook size — k centroids of
+    ``dim`` doubles plus per-row id/norm overhead — fits under
+    ``threshold_bytes``, else ``"distributed"`` (sort-merge keyed on the
+    super id).  Size-based like Spark's own broadcast-join threshold,
+    decided from the k the cell policy already computed rather than a
+    runtime statistic (k·dim is exact here, not an estimate).  Both
+    strategies produce identical assignments (pinned hash-equal in
+    tests/test_sketches.py); this chooses only the physical plan."""
+    est_bytes = k * (dim * 8 + 24)
+    return "broadcast" if est_bytes <= threshold_bytes else "distributed"
+
+
 def ivf_assign_hier(
     embeddings: DataFrame,
     n_centroids: int,
@@ -228,7 +256,10 @@ def ivf_assign_hier(
     budget: no single node ever holds all k centroids; the price is one
     keyed shuffle of the vector table.  Identical assignment either way
     (same join, different physical strategy) — the twin is pinned
-    hash-equal and plan-distinct in tests."""
+    hash-equal and plan-distinct in tests.  ``"auto"`` resolves via
+    :func:`codebook_strategy` from k and the embedding dimensionality
+    (one bounded ``head(1)`` to read dim — same driver-scalar class as
+    the caller's n-count)."""
     import math
 
     k = n_centroids
@@ -237,6 +268,9 @@ def ivf_assign_hier(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
+    if codebook == "auto":
+        head = e.select(F.size("v").alias("d")).head()
+        codebook = codebook_strategy(k, head["d"] if head else 0)
     ordered = e.orderBy(
         F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
     )

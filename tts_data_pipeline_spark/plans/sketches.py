@@ -59,7 +59,15 @@ _BLOOM_K = 4
 # populations resume growing.  The named lift at that scale is a
 # DISTRIBUTED codebook: shuffle vectors by super-cell and equi-join
 # per-super member tables (no single broadcast row) — same dataflow,
-# one more keyed shuffle.
+# one more keyed shuffle.  Strategy selection is AUTOMATIC via
+# operators.similarity.codebook_strategy (codebook="auto"): broadcast
+# while k·(8·dim+24) estimated bytes fits the 32 MB measured ceiling,
+# distributed past it — at dim=64 the crossover is k ≈ 62.6k, i.e.
+# between the clamp's last two doublings, so every k the current clamp
+# admits below 65536 keeps the measured-faster broadcast plan and the
+# clamp value itself flips to distributed.  The catalog twins stay
+# EXPLICIT (broadcast default / distributed) so each physical strategy
+# remains independently oracle-checked and plan-pinned.
 _SEMDEDUP_K0 = 16
 _SEMDEDUP_KMAX = 65536
 _SEMDEDUP_CELL_TARGET = 64
