@@ -76,6 +76,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_stream_join",
     "dedup_semantic_clusters",
+    "dedup_semantic_clusters_ivf",
     "split_train_val_test",
     "s9_html_css_extract",
     "s7_pdf_text_extract",

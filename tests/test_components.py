@@ -194,3 +194,48 @@ def test_lpa_propagate_converged_fixpoint_and_oscillation(spark):
     assert stats["oscillating"] is True
     # detected as soon as round k's signature matches round k-2's
     assert stats["rounds_run"] <= 3
+
+
+def test_pre_contract_components_identical_and_forest_sized(spark):
+    """Local union-find contraction (the Lattanzi-style filtering pass)
+    must (a) leave final components IDENTICAL on random graphs across
+    partitionings, and (b) actually shrink clique mass: a c-clique's
+    ~c²/2 edges contract to ≤ c-1 forest edges per partition."""
+    import random
+
+    from tts_data_pipeline_spark.operators.components import (
+        contract_pairs_locally,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 50
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 120))
+            }
+        )
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        base = {
+            r.id: r.component for r in connected_components(df).collect()
+        }
+        for parts in (1, 7):
+            got = {
+                r.id: r.component
+                for r in connected_components(
+                    df.repartition(parts), pre_contract=True
+                ).collect()
+            }
+            assert got == base, (trial, parts)
+
+    # one 40-clique in a single partition: 780 edges -> <= 39
+    clique = [(a, b) for a in range(40) for b in range(a + 1, 40)]
+    cdf = spark.createDataFrame(clique, ["id_a", "id_b"]).coalesce(1)
+    contracted = contract_pairs_locally(cdf).collect()
+    assert len(contracted) <= 39
+    got = {
+        r.id: r.component
+        for r in connected_components(cdf, pre_contract=True).collect()
+    }
+    assert got == {i: 0 for i in range(40)}

@@ -645,3 +645,71 @@ def test_ivf_assign_hier_invariant_to_input_partitioning(spark):
         .collect()
     }
     assert base == dist
+
+
+def test_grid_blocked_pairs_match_naive_all_pairs(spark):
+    """The grid-blocked self-join (round-9 parallelism fix: 10 label
+    keys capped the sf3 verify at 7 tasks) must emit EXACTLY the naive
+    label-bucketed all-pairs output — every unordered pair once, ids
+    ordered, cosine identical — including pairs whose hash blocks are
+    equal, cross, and in reversed id order."""
+    import itertools
+
+    import numpy as np
+
+    from tts_data_pipeline_spark.plans import coverage as C
+
+    rng = np.random.default_rng(23)
+    n = 120
+    base = rng.normal(size=(12, 16))
+    vecs = base[np.arange(n) % 12] + rng.normal(scale=0.35, size=(n, 16))
+    rows = [
+        (int(i), f"L{i % 3}", [float(x) for x in vecs[i]]) for i in range(n)
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="gridpairs_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": pa.array(
+                    [r[2] for r in rows], type=pa.list_(pa.float32())
+                ),
+                "label": [r[1] for r in rows],
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in C._embedding_cosine_pairs(spark, d).collect()
+    }
+    # naive ground truth from the same float32-truncated vectors
+    v64 = np.array(
+        pa.parquet.read_table(os.path.join(d, "embeddings.parquet"))
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    want = {}
+    for i, j in itertools.combinations(range(n), 2):
+        if i % 3 != j % 3:
+            continue
+        c = float(
+            np.round(
+                v64[i] @ v64[j]
+                / max(
+                    np.sqrt(v64[i] @ v64[i]) * np.sqrt(v64[j] @ v64[j]),
+                    1e-12,
+                ),
+                6,
+            )
+        )
+        if c >= 0.40:
+            want[(i, j)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])

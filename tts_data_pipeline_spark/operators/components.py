@@ -31,6 +31,70 @@ from pyspark.sql import functions as F
 LAST_RUN_STATS: dict = {"rounds": 0, "converged": False}
 
 
+def contract_pairs_locally(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Connectivity-preserving LOCAL contraction of an edge list: each
+    partition runs union-find over its own edges (one Arrow-batched
+    narrow pass, NO shuffle) and emits only its spanning forest —
+    ``(node, local_root)`` rows, at most ``distinct_nodes - 1`` per
+    partition regardless of how many edges came in.
+
+    This is the "filtering" step of Lattanzi et al. (SPAA'11)-style
+    MapReduce connectivity: a near-dup pair graph is clique-heavy (a
+    duplicate family of c copies arrives as ~c²/2 verified pairs), and
+    every downstream star round would shuffle that full edge mass; local
+    contraction collapses each partition's cliques to stars first, so
+    the iterative loop starts from O(n) forest edges instead of O(m)
+    pair edges.  Exactness: within a partition, union-find preserves the
+    partition's connectivity; across partitions, the union of per-
+    partition forests has the same transitive closure as the union of
+    the per-partition edge sets — so global components are IDENTICAL,
+    for any partitioning.  (Emitted edges differ per partitioning;
+    component labels — min id per component — do not.)
+
+    Python cost is per-EDGE algorithmic work (dict union-find with path
+    compression), the same class as the repo's other grouped-map
+    operators, and strictly narrower than the 2-shuffle star round it
+    displaces."""
+    t = pairs.schema[src].dataType.simpleString()
+
+    def _contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_u, out_v = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                out_u.append(x)
+                out_v.append(r)
+        yield pd.DataFrame({"u": out_u, "v": out_v})
+
+    return (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .mapInPandas(_contract, schema=f"u {t}, v {t}")
+        .select(F.col("u").alias(src), F.col("v").alias(dst))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -38,6 +102,7 @@ def connected_components(
     max_iterations: int = 20,
     checkpointer: str = "auto",
     require_converged: bool = False,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """(src, dst) pairs → (id, component) with component = min id reachable.
 
@@ -85,6 +150,11 @@ def connected_components(
     #   "auto"    — "parquet" (measurement above; reliable on clusters too).
     if checkpointer == "auto":
         checkpointer = "parquet"
+    if pre_contract:
+        # collapse per-partition clique mass to forest edges before the
+        # iterative loop (see contract_pairs_locally) — components are
+        # provably identical, the loop's input drops from O(m) to O(n)
+        pairs = contract_pairs_locally(pairs, src, dst)
     from tts_data_pipeline_spark.scratch import scratch_mkdtemp
 
     workdir = scratch_mkdtemp("cc_state_")

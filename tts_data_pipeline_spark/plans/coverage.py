@@ -246,6 +246,95 @@ def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Grid-block count for the all-pairs self-join: each label bucket's
+# candidate space splits into S(S+1)/2 = 36 cells, so join parallelism
+# is labels × 36 keys instead of `labels` keys.  Round-9 measurement:
+# with only the 10-value label as the join key, the sf3 verify (428M
+# candidate pairs) ran on SEVEN tasks — a 10-key ceiling that caps ANY
+# cluster at 10-way parallelism.  S=8 gives 360 cells (≫ 32 cores; at
+# 1000 executors raise S — replication grows ~S/2 per row, the standard
+# grid/theta-join trade, Okcan & Riedewald SIGMOD'11).  Block id is a
+# pure hash of vec_id, so the blocking is a partition of the candidate
+# space: OUTPUT PAIRS ARE IDENTICAL and the oracle is unchanged.
+_COSINE_GRID_S = 8
+
+
+def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED embedding-cosine near-dup pairs (grid-blocked self-join).
+
+    Factored from :func:`dedup_embedding_cosine` for consumers that feed
+    the pairs onward (connected components): the catalog entry's
+    trailing ``orderBy`` is NOT harmless mid-plan — under a downstream
+    ``mapInPandas`` the sort survives optimization (``EliminateSorts``
+    fires below aggregates/joins only) and its range-partitioner runs a
+    SAMPLING PASS that re-executes the entire verify subtree — measured
+    2× the whole operator at sf3 (493 s vs 256 s) before this split.
+
+    Grid coverage: a-side rows in block i replicate to cells (i, j≥i),
+    b-side rows in block j to cells (i≤j, j); an unordered pair with
+    blocks (i, j), i<j, meets exactly in cell (i, j) — as (a, b) in
+    hash order, so ids are re-ordered with least/greatest on output —
+    and a same-block pair meets once in cell (i, i) under the id-order
+    predicate.  tests/test_dedup_similarity.py pins blocked == naive
+    all-pairs output."""
+    from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
+    from tts_data_pipeline_spark.sources.readers import spread
+
+    # norms are per-VECTOR, so they're computed once on the n rows before
+    # the join, not once per pair (bit-identical floats — same sequential
+    # fold over the same array — at a third of the per-pair fold work)
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    S = _COSINE_GRID_S
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # cached: both pair-join sides reference the frame, and the per-vector
+    # norm fold should run once, not once per side
+    e = cache_replacing(
+        "dedup_embedding_cosine_base",
+        e.withColumn("nrm", l2_norm(F.col("v"))).withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
+        ),
+    )
+    a = e.withColumn(
+        "gj", F.explode(F.sequence(F.col("blk"), F.lit(S - 1)))
+    ).alias("a")
+    b = e.withColumn(
+        "gi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.gj") == F.col("b.blk"))
+            & (F.col("a.blk") == F.col("b.gi"))
+            # same-cell pairs order by id; cross-cell pairs are already
+            # unique (each unordered pair meets in exactly one cell)
+            & (
+                (F.col("a.blk") != F.col("b.blk"))
+                | (F.col("a.vec_id") < F.col("b.vec_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
+            # eval_once: the dot product must not be inlined into the join
+            # condition / filter (see operators/dedup.py:eval_once);
+            # cosine is symmetric, so the id re-ordering doesn't touch it
+            D.eval_once(sim).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.40)
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -272,7 +361,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucketed-pair-space pattern at the vector layer: the label bounds
     the self-join, cosine verifies.  Dot products are JVM-side
-    ``aggregate(zip_with(...))`` — no Python in the loop.
+    ``aggregate(zip_with(...))`` — no Python in the loop.  The self-join
+    is GRID-BLOCKED (``_embedding_cosine_pairs``): join parallelism is
+    labels × 36 cells, not `labels` keys — the round-9 fix for the
+    10-key ceiling that ran the sf3 verify on 7 tasks.
 
     Scale honesty (round-5 measurement: slope 1.38 at a FIXED label
     count): all-pairs-within-bucket is Θ(Σ bucket²) by definition, and —
@@ -286,46 +378,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive.  With the test data's fixed label column the quadratic
     growth here is the semantics being asked for, not a plan defect;
     at scale, reach for the IVF form."""
-    from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
-    from tts_data_pipeline_spark.sources.readers import spread
-
-    # norms are per-VECTOR, so they're computed once on the n rows before
-    # the join, not once per pair (bit-identical floats — same sequential
-    # fold over the same array — at a third of the per-pair fold work)
-    from tts_data_pipeline_spark.cachereg import cache_replacing
-
-    e = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    # cached: both pair-join sides reference the frame, and the per-vector
-    # norm fold should run once, not once per side
-    e = cache_replacing(
-        "dedup_embedding_cosine_base", e.withColumn("nrm", l2_norm(F.col("v")))
-    )
-    a, b = e.alias("a"), e.alias("b")
-    sim = F.round(
-        dot(F.col("a.v"), F.col("b.v"))
-        / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
-        6,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            # eval_once: the dot product must not be inlined into the join
-            # condition / filter (see operators/dedup.py:eval_once)
-            D.eval_once(sim).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.40)
-        .orderBy("id_a", "id_b")
-    )
+    return _embedding_cosine_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _ivf_dedup_planes():
@@ -420,7 +473,10 @@ def _ivf_dedup_oracle(nprobe: int) -> str:
     oracle=_ivf_dedup_oracle(_IVF_DEDUP_NPROBE),
 )
 def dedup_embedding_cosine_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_DEDUP_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = _IVF_DEDUP_NPROBE,
+    ordered: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with a DATA-SCALED bucket — the
     100 TB form of ``dedup_embedding_cosine`` (which verifies all pairs
@@ -534,7 +590,7 @@ def dedup_embedding_cosine_ivf(
         / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
         6,
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
@@ -554,8 +610,12 @@ def dedup_embedding_cosine_ivf(
         # duplicate rows are value-identical so the kept row is
         # deterministic.  The oracle's SELECT DISTINCT mirrors this.
         .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
     )
+    # ordered=False for pair CONSUMERS (connected components): a trailing
+    # sort under a downstream mapInPandas survives optimization and its
+    # range-partitioner sampling pass re-executes the subtree (see
+    # _embedding_cosine_pairs)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query(
@@ -1250,12 +1310,87 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (label-bucketed, ``dedup_embedding_cosine``) fed through
     the large-star/small-star connected components — the composition a
     training pipeline runs to collapse paraphrase families, not just
-    byte-level dups.  Oracle replays the closure with a recursive CTE."""
+    byte-level dups.  Oracle replays the closure with a recursive CTE.
+
+    Scale shape (round-9 hardening): a near-dup pair graph is
+    CLIQUE-heavy — a duplicate family of c copies arrives as ~c²/2
+    verified pairs, so the edge mass m grows quadratically with family
+    size even when n grows linearly (measured on the tiled Zipf corpus:
+    the round-8 form's slope 0.83 with CC rounds 2→4→6 was exactly this
+    m-growth paid per star round).  ``pre_contract=True`` runs the
+    per-partition union-find contraction
+    (:func:`operators.components.contract_pairs_locally`) first — one
+    narrow Arrow pass, no shuffle — so the star loop starts from O(n)
+    forest edges instead of O(m) pair edges; components are provably
+    identical and the recursive-CTE oracle is unchanged.  Star-round
+    growth law and the re-measured sf0.1→3 decade are in PLANS.md
+    round 9.
+
+    The pair source is the UNSORTED generator: consuming the catalog
+    entry's ordered frame re-executed the whole verify subtree through
+    the range-partitioner's sampling pass (measured 2× at sf3 — see
+    ``_embedding_cosine_pairs``)."""
     from tts_data_pipeline_spark.operators.components import connected_components
 
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    pairs = _embedding_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
     return (
-        connected_components(pairs, require_converged=True)
+        connected_components(pairs, require_converged=True, pre_contract=True)
+        .select("id", "component")
+        .orderBy("id")
+    )
+
+
+def _ivf_clusters_oracle(nprobe: int) -> str:
+    """Recursive-CTE closure over the IVF pair oracle: reuse the entire
+    ``_ivf_dedup_oracle`` CTE chain up to ``pairs``, then replay the
+    connected-components semantics exactly as the exact-form oracle
+    does."""
+    base = _ivf_dedup_oracle(nprobe)
+    head = base[: base.rindex("SELECT id_a")]
+    return (
+        head.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+        + """, fp AS (
+      SELECT id_a, id_b FROM pairs WHERE cosine_sim >= 0.40
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM fp
+      UNION
+      SELECT id_b, id_a FROM fp
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e2.u, r.comp FROM edges e2 JOIN reach r ON e2.v = r.id
+    )
+    SELECT id, MIN(comp) AS component
+    FROM reach
+    GROUP BY id
+    ORDER BY id
+    """
+    )
+
+
+@query(
+    "dedup_semantic_clusters_ivf",
+    oracle=_ivf_clusters_oracle(_IVF_DEDUP_NPROBE),
+)
+def dedup_semantic_clusters_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB PATH for semantic clustering: the same
+    pairs → contraction → connected-components composition as
+    :func:`dedup_semantic_clusters`, but over the DATA-SCALED pair
+    generator (``dedup_embedding_cosine_ivf``: IVF cell +
+    adaptive-precision sub-bucket, nprobe=2, measured slope 0.19)
+    instead of the exact fixed-label all-pairs verify whose candidate
+    mass is Θ(Σ bucket²) by semantics.  The exact form stays the
+    oracle-strongest twin; THIS is the form a curation run points at a
+    corpus that doesn't fit an all-pairs budget — same cluster
+    semantics over the banded pair graph, linear-ish end to end.
+    Oracle replays the full IVF pair chain plus the recursive closure."""
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    pairs = dedup_embedding_cosine_ivf(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    return (
+        connected_components(pairs, require_converged=True, pre_contract=True)
         .select("id", "component")
         .orderBy("id")
     )
