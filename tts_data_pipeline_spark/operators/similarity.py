@@ -210,6 +210,7 @@ def ivf_assign_hier(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: str = "broadcast",
+    nprobe_super: int = 1,
 ) -> DataFrame:
     """TWO-LEVEL (hierarchical coarse-quantizer) IVF cell assignment —
     the Θ(n·√k) form of :func:`ivf_assign` for DATA-SCALED cell counts,
@@ -316,34 +317,70 @@ def ivf_assign_hier(
     members = cgrp.groupBy("sid").agg(
         F.collect_list(F.struct("cid", "cv", "ncv")).alias("members")
     )
-    # vector -> super (staged so the member argmax below can't re-evaluate
-    # the k1-fold super argmax), then -> member centroid via broadcast
-    # equi-join on the chosen super id
+    # vector -> its nprobe_super nearest supers (staged: the scored-super
+    # array is sorted/sliced in ONE projection so the k1-fold super argmax
+    # runs once), then -> member centroid via one equi-join PER PROBED
+    # super.  Joining per-rank columns (sid1, sid2, ...) instead of
+    # exploding keeps the big side shuffle-free on the broadcast path and
+    # avoids a groupBy(vec_id) re-shuffle to merge the unions; the final
+    # cell is greatest() over the per-group argmax structs — identical to
+    # an argmax over the union since member groups are disjoint and the
+    # struct order is (sim DESC, cid ASC).  nprobe_super=1 reproduces the
+    # round-8 single-assignment form bit for bit; =2 is the super-cell
+    # multi-probe that buys back the adversarial-band co-location the
+    # hierarchical quantizer traded (measured ladder in tests/PLANS.md).
+    p = nprobe_super
+    scored_sups = F.transform(
+        F.col("sups"),
+        lambda s: F.struct(
+            (
+                -(
+                    dot(F.col("v"), s["sv"])
+                    / F.greatest(F.col("nrm") * s["nsv"], F.lit(1e-12))
+                )
+            ).alias("ns"),
+            s["sid"].alias("sid"),
+        ),
+    )
     vsup = (
         e.crossJoin(F.broadcast(sup1))
         .select(
             "vec_id",
             "v",
             "nrm",
-            _best(F.col("sups"), F.col("v"), F.col("nrm"), "sid", "sv", "nsv")[
-                "k"
-            ].alias("sid"),
+            F.slice(F.array_sort(scored_sups), 1, p).alias("tops"),
         )
-    )
-    if codebook == "distributed":
-        fetch = vsup.join(members.hint("merge"), "sid")
-    else:
-        fetch = vsup.join(F.broadcast(members), "sid")
-    return (
-        fetch
         .select(
             "vec_id",
             "v",
             "nrm",
-            _best(
-                F.col("members"), F.col("v"), F.col("nrm"), "cid", "cv", "ncv"
-            ).alias("bm"),
+            *[
+                F.element_at("tops", r)["sid"].alias(f"sid{r}")
+                for r in range(1, p + 1)
+            ],
         )
+    )
+    fetch = vsup
+    for r in range(1, p + 1):
+        m_r = members.select(
+            F.col("sid").alias(f"sid{r}"), F.col("members").alias(f"mem{r}")
+        )
+        # rank-1 is total (every vector has a best super, and every super
+        # group contains at least the super itself); ranks past k1 are
+        # null -> left join keeps the row, greatest() skips the null best
+        how = "inner" if r == 1 else "left"
+        if codebook == "distributed":
+            fetch = fetch.join(m_r.hint("merge"), f"sid{r}", how)
+        else:
+            fetch = fetch.join(F.broadcast(m_r), f"sid{r}", how)
+    bests = [
+        _best(F.col(f"mem{r}"), F.col("v"), F.col("nrm"), "cid", "cv", "ncv")
+        for r in range(1, p + 1)
+    ]
+    bm = bests[0] if p == 1 else F.greatest(*bests)
+    return (
+        fetch
+        .select("vec_id", "v", "nrm", bm.alias("bm"))
         .select(
             "vec_id",
             "v",

@@ -72,6 +72,20 @@ _SEMDEDUP_K0 = 16
 _SEMDEDUP_KMAX = 65536
 _SEMDEDUP_CELL_TARGET = 64
 _SEMDEDUP_TAU = 0.40
+# Super-cell multi-probe count (round-9): each vector is assigned through
+# its p nearest SUPER-cells and the member argmax runs over the union of
+# the probed groups — the same recall dial dedup_embedding_cosine_ivf
+# ships one level down, applied to the coarse quantizer.  Cost ~p x the
+# member-fold stage, still Theta(n*sqrt(k)) with zero big-side shuffle
+# (per-rank broadcast joins, no explode/groupBy).  Measured adversarial-
+# band (0.40-0.60 cosine) co-location ladder at sf0.01 (flat quantizer =
+# 0.322): p=1 0.237, p=2 0.254, p=3 0.356 — p=2 does NOT recover the
+# flat form's band (at the driver's k=16 there are only k1=4 supers, and
+# the second-ranked super rarely holds the missing centroid), p=3 does
+# and overshoots it, so 3 ships.  Near-dup floor (>=0.95) and the
+# semdedup slope row are re-pinned under p=3; ladder in
+# tests/test_sketches.py and PLANS.md round 9.
+_SEMDEDUP_NPROBE_SUPER = 3
 
 # Keep-rule within a cell (curation runs disagree on this knob): which
 # cell-mates count as "prior" — a row is a duplicate iff some mate that
@@ -428,7 +442,8 @@ def _semdedup_oracle(keep: str) -> str:
         FROM cent c CROSS JOIN sup s
       ) WHERE rn = 1
     ), vsup AS MATERIALIZED (
-      -- vector -> nearest super-centroid
+      -- vector -> its {_SEMDEDUP_NPROBE_SUPER} nearest super-centroids
+      -- (super-cell multi-probe; round-9)
       SELECT vec_id, v, sid FROM (
         SELECT e.vec_id, e.v, s.sid,
                ROW_NUMBER() OVER (
@@ -436,9 +451,10 @@ def _semdedup_oracle(keep: str) -> str:
                  ORDER BY {_cos.format(a="e.v", b="s.sv")} DESC,
                           s.sid ASC) AS rn
         FROM e CROSS JOIN sup s
-      ) WHERE rn = 1
+      ) WHERE rn <= {_SEMDEDUP_NPROBE_SUPER}
     ), asg AS MATERIALIZED (
-      -- vector -> nearest member centroid OF ITS SUPER GROUP
+      -- vector -> nearest member centroid over the UNION of its probed
+      -- super groups (groups are disjoint, so no duplicate members)
       SELECT vec_id, v, cell, ROUND(csim, 6) AS centroid_sim FROM (
         SELECT vs.vec_id, vs.v, g.cid AS cell,
                {_cos.format(a="vs.v", b="g.cv")} AS csim,
@@ -591,7 +607,12 @@ def _semdedup(
     # recompute) every time a sweep alternates between them
     asg = cache_replacing(
         f"dedup_semdedup_asg_{codebook}",
-        ivf_assign_hier(e, n_centroids=k, codebook=codebook),
+        ivf_assign_hier(
+            e,
+            n_centroids=k,
+            codebook=codebook,
+            nprobe_super=_SEMDEDUP_NPROBE_SUPER,
+        ),
     )
     keep_order = {
         "low_sim": [F.col("centroid_sim").asc(), F.col("vec_id").asc()],
