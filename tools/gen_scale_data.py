@@ -263,6 +263,82 @@ def _tile_embeddings(k_copies: int, outdir: str, src: str = SRC) -> None:
     )
 
 
+# --- Skewed-KEY variants (round-9) -----------------------------------
+#
+# The Zipf corpus de-biased document CONTENT, but every join/group key in
+# the tiled tables stays near-uniform (TPC-H-style), so the scaling table
+# never exercised the skew path of the keyed-shuffle operators.  The
+# skew variants remap the HOT keys of the shuffle-heavy tables to a
+# Zipf(s=1.1) draw over the EXISTING key domain — row counts, schemas,
+# and foreign-key validity are unchanged; only the key histogram changes
+# (at sf1 the hottest of ~150k user_ids carries ~4% of all events
+# instead of ~1/150k).  Values drawn FROM the existing domain keep every
+# FK resolvable: events.user_id and orders.o_custkey over their own
+# distinct sets, lineitem.l_orderkey over ORDERS' key set.
+ZIPF_KEY_S = 1.1
+
+
+def _zipf_remap(vals: np.ndarray, domain: np.ndarray, seed: int) -> np.ndarray:
+    """Replace each value with a Zipf-weighted draw over ``domain``
+    (random rank permutation so the hot keys aren't the smallest ids)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(domain)
+    p = 1.0 / np.power(np.arange(1, len(domain) + 1, dtype=np.float64), ZIPF_KEY_S)
+    p /= p.sum()
+    return perm[rng.choice(len(domain), size=len(vals), p=p)]
+
+
+def make_skewed(outdir: str, src_dir: str, seed: int) -> None:
+    """Skewed-key replica of a generated scale dir: events.user_id,
+    orders.o_custkey, lineitem.l_orderkey go Zipfian; every other table
+    (and every other column) is byte-copied."""
+    import shutil
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def _remap(name: str, col: str, domain: np.ndarray, s: int) -> None:
+        t = pq.read_table(f"{src_dir}/{name}.parquet")
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        i = t.schema.get_field_index(col)
+        t = t.set_column(
+            i,
+            t.schema.field(col),
+            pa.array(_zipf_remap(vals, domain, s), type=t.schema.field(col).type),
+        )
+        pq.write_table(t, f"{outdir}/{name}.parquet")
+
+    ev = pq.read_table(f"{src_dir}/events.parquet", columns=["user_id"])
+    _remap(
+        "events",
+        "user_id",
+        np.unique(ev.column("user_id").to_numpy(zero_copy_only=False)),
+        seed + 1,
+    )
+    orders = pq.read_table(
+        f"{src_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    _remap(
+        "orders",
+        "o_custkey",
+        np.unique(orders.column("o_custkey").to_numpy(zero_copy_only=False)),
+        seed + 2,
+    )
+    _remap(
+        "lineitem",
+        "l_orderkey",
+        np.unique(orders.column("o_orderkey").to_numpy(zero_copy_only=False)),
+        seed + 3,
+    )
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet") and f.split(".")[0] not in (
+            "events",
+            "orders",
+            "lineitem",
+        ):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(outdir, f))
+    print(f"wrote {outdir} (skewed keys, s={ZIPF_KEY_S})")
+
+
 def generate(
     outdir: str,
     k_copies: int,
@@ -325,3 +401,11 @@ if __name__ == "__main__":
         os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
         documents_only=True, with_events=True, with_embeddings=True,
     )
+    # skewed-key replicas of the curve points (round-9): same rows, same
+    # schemas, Zipfian key histograms for the keyed-shuffle operators
+    for i, sf in enumerate(("sf0.1", "sf0.3", "sf1")):
+        make_skewed(
+            os.path.join(base, f"skew-{sf[2:]}"),
+            os.path.join(base, sf),
+            seed=900 + 10 * i,
+        )

