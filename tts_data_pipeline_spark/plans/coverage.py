@@ -728,7 +728,9 @@ def u6_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_levenshtein(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Fuzzy-match dedup: edit-distance-≤1 pairs within a nation — the
     typo-level near-dup modality (exact hash, MinHash, SimHash, embedding
     cosine cover the other granularities).
@@ -788,15 +790,19 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_band",
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
+    out = (
         a.join(b, ["nat", "_band"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "name_a", "id_b", "name_b")
         .distinct()
         .select("id_a", "id_b", D.eval_once(dist.cast("long")).alias("dist"))
         .filter(F.col("dist") <= 1)
-        .orderBy("id_a", "id_b")
     )
+    # ordered=False for pair CONSUMERS (connected components with local
+    # contraction): the trailing sort survives under a downstream
+    # mapInPandas and its range-partitioner sampling pass re-executes the
+    # verify subtree (see _embedding_cosine_pairs)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query(
@@ -835,9 +841,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE, so cluster assignments are value-checked."""
     from tts_data_pipeline_spark.operators.components import connected_components
 
-    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_fuzzy_levenshtein(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
     return (
-        connected_components(pairs, require_converged=True)
+        connected_components(pairs, require_converged=True, pre_contract=True)
         .select(F.col("id"), F.col("component"))
         .orderBy("id")
     )
@@ -999,8 +1007,10 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tts_data_pipeline_spark.operators.components import connected_components
 
     c = table(spark, sf_dir, "customer")
-    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).select("id_a", "id_b")
-    clusters = connected_components(pairs, require_converged=True)
+    pairs = dedup_fuzzy_levenshtein(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    clusters = connected_components(pairs, require_converged=True, pre_contract=True)
     dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
     return (
         c.join(dropped, c.c_custkey == dropped.id, "left_anti")

@@ -224,7 +224,9 @@ _MH_BANDS = 4  # 2 rows per band
     ORDER BY id_a, id_b
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """MinHash-LSH with the FULL pipeline value-checked: 3-word shingles →
     8-seed md5 MinHash signature → 4 bands × 2 rows → within-band
     equi-join candidates → exact shingle-Jaccard ≥ 0.5 verify.  Same
@@ -292,7 +294,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
     union = F.size("tok_a") + F.size("tok_b") - inter
-    return (
+    out = (
         pairs.withColumn(
             "jaccard",
             D.eval_once(
@@ -301,8 +303,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+    # ordered=False for pair CONSUMERS feeding mapInPandas (see
+    # coverage._embedding_cosine_pairs: the sampling-pass double-run)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query(
@@ -380,8 +384,10 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    clusters = connected_components(pairs, require_converged=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    clusters = connected_components(pairs, require_converged=True, pre_contract=True)
     dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
     d = table(spark, sf_dir, "documents")
     return (
