@@ -77,6 +77,7 @@ HEADLINE = [
     "stream_stream_join",
     "dedup_semantic_clusters",
     "dedup_semantic_clusters_ivf",
+    "dedup_semantic_apply_survivors",
     "split_train_val_test",
     "s9_html_css_extract",
     "s7_pdf_text_extract",

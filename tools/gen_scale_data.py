@@ -314,21 +314,24 @@ def make_skewed(outdir: str, src_dir: str, seed: int) -> None:
         np.unique(ev.column("user_id").to_numpy(zero_copy_only=False)),
         seed + 1,
     )
-    orders = pq.read_table(
-        f"{src_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    _remap(
-        "orders",
-        "o_custkey",
-        np.unique(orders.column("o_custkey").to_numpy(zero_copy_only=False)),
-        seed + 2,
-    )
-    _remap(
-        "lineitem",
-        "l_orderkey",
-        np.unique(orders.column("o_orderkey").to_numpy(zero_copy_only=False)),
-        seed + 3,
-    )
+    # orders/lineitem exist only in full-keyed dirs; the sf3 point is
+    # documents_only+events, so its skew replica carries events alone
+    if os.path.exists(f"{src_dir}/orders.parquet"):
+        orders = pq.read_table(
+            f"{src_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        _remap(
+            "orders",
+            "o_custkey",
+            np.unique(orders.column("o_custkey").to_numpy(zero_copy_only=False)),
+            seed + 2,
+        )
+        _remap(
+            "lineitem",
+            "l_orderkey",
+            np.unique(orders.column("o_orderkey").to_numpy(zero_copy_only=False)),
+            seed + 3,
+        )
     for f in os.listdir(src_dir):
         if f.endswith(".parquet") and f.split(".")[0] not in (
             "events",
@@ -403,7 +406,7 @@ if __name__ == "__main__":
     )
     # skewed-key replicas of the curve points (round-9): same rows, same
     # schemas, Zipfian key histograms for the keyed-shuffle operators
-    for i, sf in enumerate(("sf0.1", "sf0.3", "sf1")):
+    for i, sf in enumerate(("sf0.1", "sf0.3", "sf1", "sf3")):
         make_skewed(
             os.path.join(base, f"skew-{sf[2:]}"),
             os.path.join(base, sf),

@@ -1406,6 +1406,64 @@ def dedup_semantic_clusters_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_survivors_oracle(nprobe: int) -> str:
+    """One more composition step on :func:`_ivf_clusters_oracle`: keep
+    each cluster's min-id representative and anti-join the rest out of
+    the embeddings table."""
+    base = _ivf_clusters_oracle(nprobe)
+    head = base[: base.rindex("SELECT id, MIN(comp) AS component")]
+    return (
+        head
+        + """, clusters AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    ), dropped AS (
+      SELECT id FROM clusters WHERE id <> component
+    )
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM dropped)
+    ORDER BY vec_id
+    """
+    )
+
+
+@query(
+    "dedup_semantic_apply_survivors",
+    oracle=_ivf_survivors_oracle(_IVF_DEDUP_NPROBE),
+)
+def dedup_semantic_apply_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The complete semantic-dedup APPLY path at the vector layer —
+    banded IVF pairs → local contraction → connected components → drop
+    every non-representative cluster member → surviving vectors via
+    anti-join.  Completes the pairs→clusters→survivors matrix
+    (``dedup_apply_survivors`` does it for fuzzy keys,
+    ``dedup_minhash_survivors`` for document text) on the embedding
+    column, over the DATA-SCALED pair generator — this whole lineage is
+    the one a curation run actually executes against a 100 TB corpus.
+    Rows never in any pair survive untouched.  100 TB shape: every
+    stage is the audited component (grid-banded pairs, narrow
+    contraction, star loop with lineage truncation); the anti-join
+    builds its hash side from the DROPPED set, strictly ~the duplicate
+    rate of the corpus."""
+    from tts_data_pipeline_spark.operators.components import connected_components
+
+    pairs = dedup_embedding_cosine_ivf(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    clusters = connected_components(
+        pairs, require_converged=True, pre_contract=True
+    )
+    dropped = clusters.filter(F.col("id") != F.col("component")).select("id")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.join(dropped, e.vec_id == dropped.id, "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "k5_chunked_download",
     oracle="""
