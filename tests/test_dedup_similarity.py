@@ -713,3 +713,74 @@ def test_grid_blocked_pairs_match_naive_all_pairs(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+
+
+def test_semantic_apply_survivors_drops_planted_copies(spark, tmp_path):
+    """End-to-end survivor semantics at the vector layer: 100 planted
+    near-identical copies (cosine >= 0.99 to their originals) must be
+    DROPPED by dedup_semantic_apply_survivors — the IVF pair stage finds
+    the pair (nprobe=2 planted-near-dup recall measured 1.00), the
+    closure puts copy and original in one component, and the copy
+    (larger id) is never the min representative.  Rows never in any
+    pair survive untouched."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tts_data_pipeline_spark.plans.coverage import (
+        dedup_semantic_apply_survivors,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    v = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    rng = np.random.default_rng(7)
+    k = 100
+    pert = v[:k] + rng.normal(0.0, 0.01 * v.std(), (k, v.shape[1]))
+    planted_ids = ids.max() + 1 + np.arange(k)
+    labels = np.array(t.column("label").to_pylist())
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.concatenate([ids, planted_ids]).astype(np.int64),
+                "embedding": pa.array(
+                    [[float(x) for x in row] for row in np.vstack([v, pert])],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": np.concatenate([labels, labels[:k]]),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    survivors = {
+        r.vec_id
+        for r in dedup_semantic_apply_survivors(spark, str(tmp_path)).collect()
+    }
+    dropped_copies = sum(1 for p in planted_ids if int(p) not in survivors)
+    assert dropped_copies >= 95, dropped_copies
+    # beyond the planted copies, only members of the driver corpus's own
+    # 59 adversarial-band pairs can be dropped — everything else is
+    # never in a pair and must survive untouched
+    assert len(survivors) >= len(ids) - 59, len(survivors)
+
+
+def test_pre_contract_empty_and_tiny_pair_frames(spark):
+    """Edge cases of the local-contraction pass: an EMPTY pair frame
+    (zero near-dups found) must produce an empty component table, not an
+    Arrow schema error from empty pandas batches; a single pair
+    contracts to itself."""
+    from tts_data_pipeline_spark.operators.components import (
+        connected_components,
+        contract_pairs_locally,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert contract_pairs_locally(empty).collect() == []
+    assert connected_components(empty, pre_contract=True).collect() == []
+
+    one = spark.createDataFrame([(7, 3)], ["id_a", "id_b"])
+    got = {
+        r.id: r.component
+        for r in connected_components(one, pre_contract=True).collect()
+    }
+    assert got == {3: 3, 7: 3}
