@@ -493,3 +493,41 @@ def test_incremental_minhash_shuffles_bands_not_text(spark):
     ]
     assert hash_exchanges, plan
     assert not any("text#" in ln for ln in hash_exchanges), hash_exchanges
+
+
+def test_tpch_double_referenced_subtrees_read_cache(spark):
+    """q11/q15/q17 each reference a heavy derived frame twice (the scoped
+    values, the revenue CTE, the branded join); uncached, Spark rebuilds
+    the lineitem scan + shuffle per reference.  Round 10 caches them via
+    the registry — both references must resolve to InMemoryTableScan.
+    (The printed plan still re-expands the cached build under each scan,
+    so count InMemoryTableScan nodes, not parquet mentions.)"""
+    for name in (
+        "q11_important_value_parts",
+        "q15_top_revenue_supplier",
+        "q17_small_qty_revenue",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("InMemoryTableScan") >= 2, (name, plan)
+
+
+def test_tpch_single_scan_of_lineitem_elsewhere(spark):
+    """The rest of the suite reads each heavy fact once per ROLE: the only
+    legitimate multi-scans are different-filter base-table re-reads with
+    column pruning (q21's EXISTS profile vs probe, q22's scalar-avg twin,
+    q2/q7/q8 two-role dims) — never a duplicated derived subtree.  Pin the
+    single-scan queries so a refactor can't silently double one."""
+    single_scan = [
+        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority_exists",
+        "q5_region_revenue", "q6_forecast_revenue", "q9_profit_by_nation_year",
+        "q10_returned_items", "q12_priority_shipping_buckets", "q14_promo_ratio",
+        "q16_supplier_part_variety", "q18_large_volume_having",
+        "q19_disjunctive_predicates", "q20_qualified_part_suppliers",
+    ]
+    from tests.conftest import SF_DIR
+    from tts_data_pipeline_spark.plans import catalog
+
+    for name in single_scan:
+        df = catalog.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") <= 1, (name, plan)
