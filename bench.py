@@ -95,6 +95,7 @@ HEADLINE = [
     "emb_kmeans_lloyd",
     "graph_pagerank_trade",
     "graph_label_propagation",
+    "graph_label_propagation_converged",
     "ta_collocations_llr",
     "ta_kl_source_drift",
     "s5_remote_csv_scan",

