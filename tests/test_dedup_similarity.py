@@ -647,12 +647,19 @@ def test_ivf_assign_hier_invariant_to_input_partitioning(spark):
     assert base == dist
 
 
-def test_grid_blocked_pairs_match_naive_all_pairs(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("grid_s", [None, 3, 13])
+def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s):
     """The grid-blocked self-join (round-9 parallelism fix: 10 label
     keys capped the sf3 verify at 7 tasks) must emit EXACTLY the naive
     label-bucketed all-pairs output — every unordered pair once, ids
     ordered, cosine identical — including pairs whose hash blocks are
-    equal, cross, and in reversed id order."""
+    equal, cross, and in reversed id order.  Parameterized over the
+    spark.graft.cosine.grid_s conf dial (round-10): S is physical-only,
+    so the shipped default (None = 8), a smaller S, and a larger
+    non-divisor S must all produce the identical pair set."""
     import itertools
 
     import numpy as np
@@ -683,10 +690,16 @@ def test_grid_blocked_pairs_match_naive_all_pairs(spark):
         ),
         os.path.join(d, "embeddings.parquet"),
     )
-    got = {
-        (r.id_a, r.id_b): r.cosine_sim
-        for r in C._embedding_cosine_pairs(spark, d).collect()
-    }
+    if grid_s is not None:
+        spark.conf.set("spark.graft.cosine.grid_s", str(grid_s))
+    try:
+        got = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in C._embedding_cosine_pairs(spark, d).collect()
+        }
+    finally:
+        if grid_s is not None:
+            spark.conf.unset("spark.graft.cosine.grid_s")
     # naive ground truth from the same float32-truncated vectors
     v64 = np.array(
         pa.parquet.read_table(os.path.join(d, "embeddings.parquet"))

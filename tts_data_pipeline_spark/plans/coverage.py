@@ -256,7 +256,10 @@ def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid/theta-join trade, Okcan & Riedewald SIGMOD'11).  Block id is a
 # pure hash of vec_id, so the blocking is a partition of the candidate
 # space: OUTPUT PAIRS ARE IDENTICAL and the oracle is unchanged.
-_COSINE_GRID_S = 8
+# Round 10: a conf dial (spark.graft.cosine.grid_s, default 8) — a
+# 1000-executor deployment raises it per the trade above without
+# editing source; any value yields the identical pair set (pinned in
+# tests/test_dedup_similarity.py's parameterized grid test).
 
 
 def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +288,9 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the same array — at a third of the per-pair fold work)
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
-    S = _COSINE_GRID_S
+    from tts_data_pipeline_spark.conf import COSINE_GRID_S, dial
+
+    S = dial(spark, COSINE_GRID_S)
     e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
