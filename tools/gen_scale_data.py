@@ -280,12 +280,34 @@ ZIPF_KEY_S = 1.1
 
 def _zipf_remap(vals: np.ndarray, domain: np.ndarray, seed: int) -> np.ndarray:
     """Replace each value with a Zipf-weighted draw over ``domain``
-    (random rank permutation so the hot keys aren't the smallest ids)."""
+    (random rank permutation so the hot keys aren't the smallest ids).
+    PER-ROW independent — right for keys where each row is its own
+    entity (events.user_id, orders.o_custkey: one row per order); for
+    keys that GROUP rows (lineitem.l_orderkey) use
+    :func:`_zipf_remap_keyed` so the grouping survives."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(domain)
     p = 1.0 / np.power(np.arange(1, len(domain) + 1, dtype=np.float64), ZIPF_KEY_S)
     p /= p.sum()
     return perm[rng.choice(len(domain), size=len(vals), p=p)]
+
+
+def _zipf_remap_keyed(vals: np.ndarray, domain: np.ndarray, seed: int) -> np.ndarray:
+    """Zipf remap through a KEY→KEY table: each distinct old value maps
+    to one Zipf-drawn new key, so rows sharing an old key still share
+    the new one (lines of one order stay together — a round-9 replica
+    remapped l_orderkey per row, which destroyed per-order line counts
+    and made 'same rows, skewed histogram' untrue for any query
+    aggregating lines per order).  Distinct old keys may collide on a
+    hot new key — that merging IS the intended histogram skew."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(domain)
+    p = 1.0 / np.power(np.arange(1, len(domain) + 1, dtype=np.float64), ZIPF_KEY_S)
+    p /= p.sum()
+    olds = np.unique(vals)
+    drawn = perm[rng.choice(len(domain), size=len(olds), p=p)]
+    lut = dict(zip(olds.tolist(), drawn.tolist()))
+    return np.array([lut[v] for v in vals.tolist()], dtype=vals.dtype)
 
 
 def make_skewed(outdir: str, src_dir: str, seed: int) -> None:
@@ -296,14 +318,17 @@ def make_skewed(outdir: str, src_dir: str, seed: int) -> None:
 
     os.makedirs(outdir, exist_ok=True)
 
-    def _remap(name: str, col: str, domain: np.ndarray, s: int) -> None:
+    def _remap(
+        name: str, col: str, domain: np.ndarray, s: int, keyed: bool = False
+    ) -> None:
         t = pq.read_table(f"{src_dir}/{name}.parquet")
         vals = t.column(col).to_numpy(zero_copy_only=False)
+        fn = _zipf_remap_keyed if keyed else _zipf_remap
         i = t.schema.get_field_index(col)
         t = t.set_column(
             i,
             t.schema.field(col),
-            pa.array(_zipf_remap(vals, domain, s), type=t.schema.field(col).type),
+            pa.array(fn(vals, domain, s), type=t.schema.field(col).type),
         )
         pq.write_table(t, f"{outdir}/{name}.parquet")
 
@@ -326,17 +351,33 @@ def make_skewed(outdir: str, src_dir: str, seed: int) -> None:
             np.unique(orders.column("o_custkey").to_numpy(zero_copy_only=False)),
             seed + 2,
         )
+        # keyed remap: l_orderkey GROUPS lineitem rows — lines of one
+        # order must land on the same (Zipf-drawn) key
         _remap(
             "lineitem",
             "l_orderkey",
             np.unique(orders.column("o_orderkey").to_numpy(zero_copy_only=False)),
             seed + 3,
+            keyed=True,
+        )
+    # embeddings.label is the BLOCKING KEY of the exact cosine verify
+    # (_embedding_cosine_pairs): a Zipfian label concentrates the
+    # Θ(bucket²) candidate mass in one bucket — the stress the uniform
+    # 10-label histogram never exercises (round-10, verdict #5)
+    if os.path.exists(f"{src_dir}/embeddings.parquet"):
+        emb = pq.read_table(f"{src_dir}/embeddings.parquet", columns=["label"])
+        _remap(
+            "embeddings",
+            "label",
+            np.unique(emb.column("label").to_numpy(zero_copy_only=False)),
+            seed + 4,
         )
     for f in os.listdir(src_dir):
         if f.endswith(".parquet") and f.split(".")[0] not in (
             "events",
             "orders",
             "lineitem",
+            "embeddings",
         ):
             shutil.copy(os.path.join(src_dir, f), os.path.join(outdir, f))
     print(f"wrote {outdir} (skewed keys, s={ZIPF_KEY_S})")

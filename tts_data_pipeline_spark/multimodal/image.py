@@ -40,14 +40,22 @@ def fake_decode_image(payload: bytes, height: int = 32, width: int = 32):
 
 
 def real_decode_image(payload: bytes):  # pragma: no cover - needs PIL/cv2
-    """Real codec hook — requires Pillow or opencv (not in this image)."""
+    """Real codec hook — requires Pillow (not in this image).
+
+    Same contract as :func:`fake_decode_image`: (H, W, 3) uint8 RGB.
+    tests/test_real_library_seams.py smoke-checks the contract the day
+    the image gains Pillow."""
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "image decode requires Pillow/opencv (not in this environment); "
             "swap fake_decode_image for PIL.Image.open(BytesIO(payload))"
         ) from exc
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -28,14 +28,26 @@ FRAME_SCHEMA = (
 
 
 def real_decode_video(payload: bytes):  # pragma: no cover - needs pyav/ffmpeg
-    """Real codec hook — requires pyav/ffmpeg (not in this image)."""
+    """Real codec hook — requires pyav/ffmpeg (not in this image).
+
+    Same per-frame contract as the fake frame source: a list of
+    (frame_idx, (H, W, 3) uint8 RGB ndarray).  tests/
+    test_real_library_seams.py smoke-checks the contract when pyav is
+    installed."""
     try:
-        import av  # noqa: F401
+        import io
+
+        import av
     except ImportError as exc:
         raise NotImplementedError(
             "video decode requires pyav/ffmpeg (not in this environment); "
             "swap the fake frame source for av.open(BytesIO(payload))"
         ) from exc
+    frames = []
+    with av.open(io.BytesIO(payload)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            frames.append((i, frame.to_ndarray(format="rgb24")))
+    return frames
 
 
 def sample_frame_indices(n_frames: int, every_k: int) -> list[int]:
