@@ -651,7 +651,8 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize("grid_s", [None, 3, 13])
-def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s):
+@_pytest.mark.parametrize("skew_labels", [False, True])
+def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s, skew_labels):
     """The grid-blocked self-join (round-9 parallelism fix: 10 label
     keys capped the sf3 verify at 7 tasks) must emit EXACTLY the naive
     label-bucketed all-pairs output — every unordered pair once, ids
@@ -670,9 +671,12 @@ def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s):
     n = 120
     base = rng.normal(size=(12, 16))
     vecs = base[np.arange(n) % 12] + rng.normal(scale=0.35, size=(n, 16))
-    rows = [
-        (int(i), f"L{i % 3}", [float(x) for x in vecs[i]]) for i in range(n)
-    ]
+    # skewed case: one label carries ~67% of rows, so the adaptive grid
+    # assigns it a LARGER per-label S — the pair set must stay identical
+    lab = (lambda i: f"L{i % 3}") if not skew_labels else (
+        lambda i: f"L{i % 3}" if i % 3 else "L0" if i % 2 else "L1"
+    )
+    rows = [(int(i), lab(i), [float(x) for x in vecs[i]]) for i in range(n)]
     import pyarrow as pa
     import pyarrow.parquet as pq
     import tempfile, os
@@ -709,7 +713,7 @@ def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s):
     )
     want = {}
     for i, j in itertools.combinations(range(n), 2):
-        if i % 3 != j % 3:
+        if lab(i) != lab(j):
             continue
         c = float(
             np.round(

@@ -353,3 +353,25 @@ def test_codebook_strategy_switch_point_and_auto(spark):
     )
     assert "BroadcastHashJoin [sid" in p_auto, p_auto
     assert "SortMergeJoin [sid" not in p_auto, p_auto
+
+
+def test_conf_dials_validate_and_default(spark):
+    """Round-10 conf dials: defaults flow when unset; non-integer and
+    sub-1 values raise at plan build (a silently-ignored typo'd dial is
+    worse than a crash)."""
+    import pytest
+
+    from tts_data_pipeline_spark.conf import COSINE_GRID_S, dial
+
+    assert dial(spark, COSINE_GRID_S) == 8
+    spark.conf.set("spark.graft.cosine.grid_s", "12")
+    try:
+        assert dial(spark, COSINE_GRID_S) == 12
+        spark.conf.set("spark.graft.cosine.grid_s", "eight")
+        with pytest.raises(ValueError, match="integer"):
+            dial(spark, COSINE_GRID_S)
+        spark.conf.set("spark.graft.cosine.grid_s", "0")
+        with pytest.raises(ValueError, match=">= 1"):
+            dial(spark, COSINE_GRID_S)
+    finally:
+        spark.conf.unset("spark.graft.cosine.grid_s")

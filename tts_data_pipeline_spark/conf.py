@@ -52,6 +52,11 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 COSINE_GRID_S = ("spark.graft.cosine.grid_s", 8)
+# ceiling for the per-label ADAPTIVE grid (see _embedding_cosine_pairs:
+# a label holding x× the mean row count gets S_l = clamp(ceil(S·x), S,
+# this) so per-cell pair mass stays ≈ (mean/S)² under label skew);
+# physical-only like grid_s — any value yields the identical pair set
+COSINE_GRID_S_MAX = ("spark.graft.cosine.grid_s_max", 1024)
 CODEBOOK_BROADCAST_MAX_MB = ("spark.graft.codebook.broadcast_max_mb", 32)
 SEMDEDUP_KMAX = ("spark.graft.semdedup.kmax", 65536)
 SEMDEDUP_NPROBE_SUPER = ("spark.graft.semdedup.nprobe_super", 3)

@@ -259,7 +259,11 @@ def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 10: a conf dial (spark.graft.cosine.grid_s, default 8) — a
 # 1000-executor deployment raises it per the trade above without
 # editing source; any value yields the identical pair set (pinned in
-# tests/test_dedup_similarity.py's parameterized grid test).
+# tests/test_dedup_similarity.py's parameterized grid test).  The dial
+# is the BASE of a per-label adaptive grid: hot labels get
+# S_l ∝ their row count (clamped by spark.graft.cosine.grid_s_max), so
+# a Zipfian label histogram can't concentrate the candidate mass on a
+# fixed cell count — see the histogram block in _embedding_cosine_pairs.
 
 
 def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,24 +292,57 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the same array — at a third of the per-pair fold work)
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
-    from tts_data_pipeline_spark.conf import COSINE_GRID_S, dial
+    from tts_data_pipeline_spark.conf import (
+        COSINE_GRID_S,
+        COSINE_GRID_S_MAX,
+        dial,
+    )
 
     S = dial(spark, COSINE_GRID_S)
-    e = spread(table(spark, sf_dir, "embeddings")).select(
+    S_max = dial(spark, COSINE_GRID_S_MAX)
+    e0 = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    # ADAPTIVE per-label grid (round-10, label-skew decade): with one
+    # global S, a Zipfian label re-caps the verify — the hot label's
+    # Θ(bucket²) mass lands on the same 36 cells as every cold label's
+    # (measured: slope 1.66 / 286 s at skew-3 where uniform reads ~1.0).
+    # Scale S per label so per-cell pair mass stays ≈ (mean/S)²:
+    # S_l = clamp(ceil(S · n_l/mean_n), S, S_max).  S_l is CONSTANT
+    # within a label, so the grid-coverage argument is untouched and the
+    # pair set is identical for any histogram (parameterized test).  The
+    # histogram is a label-count aggregate (|labels| rows, broadcast) —
+    # a second NARROW scan of the two grouping columns, cheaper than
+    # caching the unexploded base just to avoid it.
+    hist = e0.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    hist = (
+        hist.join(F.broadcast(hist.agg(F.avg("n_l").alias("mean_n"))))
+        .select(
+            "label",
+            F.least(
+                F.greatest(
+                    F.ceil(F.lit(S) * F.col("n_l") / F.col("mean_n")),
+                    F.lit(S),
+                ),
+                F.lit(S_max),
+            )
+            .cast("int")
+            .alias("s_l"),
+        )
+    )
+    e = e0.join(F.broadcast(hist), "label")
     # cached: both pair-join sides reference the frame, and the per-vector
     # norm fold should run once, not once per side
     e = cache_replacing(
         "dedup_embedding_cosine_base",
         e.withColumn("nrm", l2_norm(F.col("v"))).withColumn(
-            "blk", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
+            "blk", F.pmod(F.xxhash64("vec_id"), F.col("s_l")).cast("int")
         ),
     )
     a = e.withColumn(
-        "gj", F.explode(F.sequence(F.col("blk"), F.lit(S - 1)))
+        "gj", F.explode(F.sequence(F.col("blk"), F.col("s_l") - 1))
     ).alias("a")
     b = e.withColumn(
         "gi", F.explode(F.sequence(F.lit(0), F.col("blk")))
