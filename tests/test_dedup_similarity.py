@@ -801,3 +801,24 @@ def test_pre_contract_empty_and_tiny_pair_frames(spark):
         for r in connected_components(one, pre_contract=True).collect()
     }
     assert got == {3: 3, 7: 3}
+
+
+def test_cachereg_recaches_after_external_clearcache(spark):
+    """spark.catalog.clearCache() between invocations de-materializes a
+    registry-held frame; the registry must detect the external
+    unpersist (storageLevel == NONE) and re-cache the same plan instead
+    of handing back a frame every reference silently rebuilds."""
+    from pyspark import StorageLevel
+
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    base = spark.range(100).selectExpr("id", "id * 2 AS y")
+    c1 = cache_replacing("test_clearcache_slot", base)
+    c1.count()
+    assert c1.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert c1.storageLevel == StorageLevel.NONE
+    c2 = cache_replacing("test_clearcache_slot", base)
+    c2.count()
+    assert c2.storageLevel != StorageLevel.NONE
+    c2.unpersist()

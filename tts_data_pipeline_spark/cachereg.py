@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import threading
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _CACHED: dict[str, tuple[int, DataFrame]] = {}
@@ -60,9 +61,18 @@ def cache_replacing(key: str, df: DataFrame) -> DataFrame:
         prev = _CACHED.get(key)
         if prev is not None:
             if prev[0] == h:
-                return prev[1]
-            prev[1].unpersist()
-            del _CACHED[key]
+                # guard against EXTERNAL unpersists — e.g. a caller ran
+                # spark.catalog.clearCache() between invocations.  The
+                # stored frame stays correct (plans recompute) but its
+                # recompute protection is silently gone; re-cache the
+                # same plan instead of handing back a de-materialized
+                # frame that every reference rebuilds.
+                if prev[1].storageLevel != StorageLevel.NONE:
+                    return prev[1]
+                del _CACHED[key]
+            else:
+                prev[1].unpersist()
+                del _CACHED[key]
         out = df.cache()
         _CACHED[key] = (h, out)
         return out
