@@ -392,13 +392,15 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS cosine_sim
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
+    -- no ORDER BY: unordered catalog contract (see docstring)
     SELECT id_a, id_b, cosine_sim
     FROM pairs
     WHERE cosine_sim >= 0.40
-    ORDER BY id_a, id_b
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup pairs within label buckets.
 
     The bucketed-pair-space pattern at the vector layer: the label bounds
@@ -419,8 +421,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     which uses THIS all-pairs form as its within-bucket verify
     primitive.  With the test data's fixed label column the quadratic
     growth here is the semantics being asked for, not a plan defect;
-    at scale, reach for the IVF form."""
-    return _embedding_cosine_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    at scale, reach for the IVF form.
+
+    Ordering contract (round-10, the w11 precedent): UNORDERED pair set
+    by default — the TERMINAL sort's range-sampler re-executes the whole
+    verify subtree (measured 239 vs ~112 s at skew-3, pairs vs
+    pairs+CC-unsorted); ``ordered=True`` restores the total (id_a, id_b)
+    order for order-sensitive consumers.  Driver hash is
+    row-order-insensitive; the oracle states the unordered contract."""
+    out = _embedding_cosine_pairs(spark, sf_dir)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def _ivf_dedup_planes():
@@ -514,10 +524,11 @@ def _ivf_dedup_oracle(nprobe: int) -> str:
         "\n    WITH "
         + _ivf_dedup_ctes(nprobe)
         + """
+    -- no ORDER BY: the catalog entry returns an UNORDERED pair set
+    -- (see docstring); ordered=True restores the total order
     SELECT id_a, id_b, cosine_sim
     FROM pairs
     WHERE cosine_sim >= 0.40
-    ORDER BY id_a, id_b
     """
     )
 
@@ -545,11 +556,18 @@ def dedup_embedding_cosine_ivf(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int = _IVF_DEDUP_NPROBE,
-    ordered: bool = True,
+    ordered: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with a DATA-SCALED bucket — the
     100 TB form of ``dedup_embedding_cosine`` (which verifies all pairs
     inside a fixed label column and is therefore Θ(Σ bucket²)).
+
+    Ordering contract (round-10, the w11 precedent): the catalog entry
+    returns an UNORDERED pair set — a TERMINAL sort costs the same
+    range-sampler re-execution of the verify subtree the r9 fix removed
+    for downstream consumers (2× the operator); pass ``ordered=True``
+    for the total (id_a, id_b) order.  The driver's value hash is
+    row-order-insensitive; the oracle states the unordered contract.
 
     Candidate bound, two independent keys:
 
@@ -794,15 +812,21 @@ def u6_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer a JOIN customer b
       ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
-    ORDER BY id_a, id_b
+    -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
 def dedup_fuzzy_levenshtein(
-    spark: SparkSession, sf_dir: str, ordered: bool = True
+    spark: SparkSession, sf_dir: str, ordered: bool = False
 ) -> DataFrame:
     """Fuzzy-match dedup: edit-distance-≤1 pairs within a nation — the
     typo-level near-dup modality (exact hash, MinHash, SimHash, embedding
     cosine cover the other granularities).
+
+    Ordering contract (round-10, the w11 precedent): the catalog entry
+    returns an UNORDERED pair set (the terminal sort's range-sampler
+    re-executes the verify subtree — 2×); ``ordered=True`` restores the
+    total (id_a, id_b) order.  Oracle states the unordered contract;
+    the driver's value hash is row-order-insensitive.
 
     Candidate bounding is DELETION-NEIGHBORHOOD banding (the FastSS /
     SymSpell symmetric-delete scheme): every name emits itself plus its L

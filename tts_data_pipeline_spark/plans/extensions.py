@@ -76,19 +76,24 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(inter AS DOUBLE) / greatest(uni, 1), 4) AS jaccard
     FROM pairs
     WHERE CAST(inter AS DOUBLE) / greatest(uni, 1) >= 0.5
-    ORDER BY id_a, id_b
+    -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
-def dedup_ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_bucketed(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Near-dup verification stage: exact token-set Jaccard over (lang,
     size-bucket) candidate pairs — the bounded-pair-space pattern; LSH
-    (below) replaces the bucketing at scale."""
+    (below) replaces the bucketing at scale.  UNORDERED pair set by
+    default (round-10: a terminal sort's range-sampler re-executes the
+    verify subtree — 2×); ``ordered=True`` restores the total order."""
     d = table(spark, sf_dir, "documents").withColumn(
         "size_bucket", F.floor(F.col("n_chars") / 100.0).cast("long")
     )
-    return D.ngram_jaccard_pairs(
+    out = D.ngram_jaccard_pairs(
         d, bucket_cols=("lang", "size_bucket"), threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query(
@@ -115,10 +120,12 @@ def dedup_ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, containment
     FROM pairs WHERE containment >= 0.8
-    ORDER BY id_a, id_b
+    -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
-def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_shingle_containment(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs over 3-word shingle sets
     within language buckets — the quote/subset detector resemblance
     misses (``operators/dedup.py::shingle_containment_pairs``: a
@@ -134,20 +141,24 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     route.  Exact verify keeps results identical either way
     (property-tested)."""
     d = table(spark, sf_dir, "documents")
-    return D.shingle_containment_pairs(
-        d, bucket_cols=("lang",), threshold=0.8
-    ).orderBy("id_a", "id_b")
+    out = D.shingle_containment_pairs(d, bucket_cols=("lang",), threshold=0.8)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query("dedup_minhash_xx64")
-def dedup_minhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_xx64(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """MinHash-LSH on engine-native xxhash64 seeds — the production hash
     (fastest, codegen'd) but rows-only checkable: xxhash64 has no DuckDB
     equivalent.  The FULL pipeline (signature→bands→verify) is value-checked
     by ``dedup_minhash_lsh`` below on the engine-portable md5 hash.
-    shingle→minhash→band→bucket-join: O(n·bands) shuffle, never O(n²)."""
+    shingle→minhash→band→bucket-join: O(n·bands) shuffle, never O(n²).
+    UNORDERED pair set by default (round-10); ordered=True restores the
+    total order."""
     d = table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+    out = D.minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 @query("dedup_simhash_blake2b")
@@ -221,11 +232,11 @@ _MH_BANDS = 4  # 2 rows per band
           / greatest(len(ta.toks) + len(tb.toks)
             - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))), 1)
           >= 0.5
-    ORDER BY id_a, id_b
+    -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, ordered: bool = True
+    spark: SparkSession, sf_dir: str, ordered: bool = False
 ) -> DataFrame:
     """MinHash-LSH with the FULL pipeline value-checked: 3-word shingles →
     8-seed md5 MinHash signature → 4 bands × 2 rows → within-band
@@ -687,7 +698,9 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    return pairs.orderBy("id_a", "id_b")
+    # unordered (round-10): rows-only entry, terminal sort pays the
+    # range-sampler re-execution for no checkable benefit
+    return pairs
 
 
 def _lsh_planes(n_planes: int = 8, dim: int = 64, seed: int = 7):
