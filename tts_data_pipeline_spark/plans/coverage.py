@@ -407,8 +407,11 @@ def dedup_embedding_cosine(
     the self-join, cosine verifies.  Dot products are JVM-side
     ``aggregate(zip_with(...))`` — no Python in the loop.  The self-join
     is GRID-BLOCKED (``_embedding_cosine_pairs``): join parallelism is
-    labels × 36 cells, not `labels` keys — the round-9 fix for the
-    10-key ceiling that ran the sf3 verify on 7 tasks.
+    Σ_label S_l(S_l+1)/2 cells, not `labels` keys — the round-9 fix for
+    the 10-key ceiling that ran the sf3 verify on 7 tasks, made
+    label-ADAPTIVE in round 10 (a hot label gets S_l ∝ its row count,
+    so a Zipfian histogram can't re-cap the verify; per-cell pair mass
+    pinned at ~(mean/S)²).
 
     Scale honesty (round-5 measurement: slope 1.38 at a FIXED label
     count): all-pairs-within-bucket is Θ(Σ bucket²) by definition, and —
