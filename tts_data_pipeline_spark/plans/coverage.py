@@ -315,7 +315,10 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair set is identical for any histogram (parameterized test).  The
     # histogram is a label-count aggregate (|labels| rows, broadcast) —
     # a second NARROW scan of the two grouping columns, cheaper than
-    # caching the unexploded base just to avoid it.
+    # caching the unexploded base just to avoid it.  Broadcast ceiling:
+    # the hist is |labels| × ~16 B — fine to ~10M labels; past that the
+    # average bucket is tiny, adaptive S is moot (every S_l = S), and
+    # the right move is dropping the hint so AQE picks the strategy.
     hist = e0.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
     hist = (
         hist.join(F.broadcast(hist.agg(F.avg("n_l").alias("mean_n"))))
