@@ -531,3 +531,24 @@ def test_tpch_single_scan_of_lineitem_elsewhere(spark):
         df = catalog.queries()[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("lineitem.parquet") <= 1, (name, plan)
+
+
+def test_pair_entries_plan_no_terminal_sort(spark):
+    """Round-10 unordered pair contracts: a terminal global Sort on a
+    pair generator re-executes the verify subtree via the
+    range-partitioner's sampling pass (measured 2.2× at skew-3).  The
+    catalog entries must plan NO global Sort; ordered=True is the
+    opt-in.  (Sort inside window functions doesn't appear as a
+    top-level Sort+RangePartitioning pair on these plans.)"""
+    for name in (
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf",
+        "dedup_fuzzy_levenshtein",
+        "dedup_minhash_lsh",
+        "dedup_minhash_xx64",
+        "dedup_minhash_ml",
+        "dedup_ngram_jaccard_bucketed",
+        "dedup_shingle_containment",
+    ):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning(" not in plan.lower(), (name, plan)
