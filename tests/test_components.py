@@ -276,3 +276,95 @@ def test_w11_ordered_param_returns_total_order(spark):
     keys = [(r.user_id, r.h) for r in rows]
     assert keys == sorted(keys)
     assert len(rows) > 0
+
+
+def test_lpa_dials_read_and_oracle_constants_derived(spark):
+    """Round-11 dial promotion: the LPA/IVF semantic dials must (a) be
+    DERIVED into the oracle-side constants so dial default and oracle
+    unroll can't drift (the r10 ADVICE defect: a 28-round oracle beside
+    a 40-round cap), and (b) actually be READ at plan build — proven by
+    observing the behavior change when set."""
+    from tts_data_pipeline_spark.conf import (
+        IVF_NPROBE,
+        LPA_MAX_ROUNDS,
+        LPA_MIN_COOCCUR,
+    )
+    from tts_data_pipeline_spark.plans import coverage, graphops
+
+    # (a) derivation equalities — these ARE the no-drift guarantee
+    assert graphops._CONV_ORACLE_ROUNDS == LPA_MAX_ROUNDS[1]
+    assert graphops._CONV_MIN_COOCCUR == LPA_MIN_COOCCUR[1]
+    assert coverage._IVF_DEDUP_NPROBE == IVF_NPROBE[1]
+
+    sf = "/root/testdata/sf0.001"
+    # (b) min_cooccur dial: loosening the threshold to 1 must admit
+    # strictly more co-occurrence edges than the default 4
+    n_default = graphops.conv_cooccur_edges(spark, sf).count()
+    spark.conf.set("spark.graft.lpa.min_cooccur", "1")
+    try:
+        n_loose = graphops.conv_cooccur_edges(spark, sf).count()
+    finally:
+        spark.conf.unset("spark.graft.lpa.min_cooccur")
+    assert n_loose > n_default, (n_loose, n_default)
+
+    # (b) max_rounds dial: sf0.001 converges at round 2, so a cap of 1
+    # must hit the require_convergence raise — proving the entry passes
+    # the dial through to the loop
+    import pytest
+
+    spark.conf.set("spark.graft.lpa.max_rounds", "1")
+    try:
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            graphops.graph_label_propagation_converged(spark, sf)
+    finally:
+        spark.conf.unset("spark.graft.lpa.max_rounds")
+
+    # (b) ivf.nprobe dial: setting it must equal passing the same value
+    # explicitly, and differ from the default-2 pair set (nprobe is
+    # monotone: top-1 cells ⊆ top-2, so the dial=1 set is a subset)
+    from tts_data_pipeline_spark.plans.coverage import (
+        dedup_embedding_cosine_ivf,
+    )
+
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine_ivf(spark, sf, nprobe=1).collect()
+    }
+    spark.conf.set("spark.graft.ivf.nprobe", "1")
+    try:
+        via_dial = {
+            (r.id_a, r.id_b)
+            for r in dedup_embedding_cosine_ivf(spark, sf).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.ivf.nprobe")
+    assert via_dial == explicit
+    default_set = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine_ivf(spark, sf).collect()
+    }
+    assert via_dial <= default_set
+
+
+def test_lpa_conv_oracle_margin(spark):
+    """Round-11 (r10 verdict #5): the converged-LPA oracle replays a
+    static ``_CONV_ORACLE_ROUNDS`` unroll, correct only when the Spark
+    side converges within it.  sf0.01 is the oracle gate's scale and the
+    measured max anywhere (20 rounds at r10); assert measured rounds ≤
+    unroll − 5 so a data/seed regeneration that eats the margin fails
+    HERE, loudly, instead of as a far-from-cause hash mismatch in the
+    sweep."""
+    from tts_data_pipeline_spark.plans import graphops
+
+    edges = graphops.conv_cooccur_edges(spark, "/root/testdata/sf0.01")
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    ).cache()
+    try:
+        _, stats = graphops.lpa_propagate_converged(
+            edges, max_rounds=graphops._CONV_ORACLE_ROUNDS
+        )
+    finally:
+        edges.unpersist()
+    assert stats["converged"] is True
+    assert stats["rounds_run"] <= graphops._CONV_ORACLE_ROUNDS - 5, stats

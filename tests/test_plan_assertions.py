@@ -552,3 +552,41 @@ def test_pair_entries_plan_no_terminal_sort(spark):
     ):
         plan = plan_of(spark, name)
         assert "rangepartitioning(" not in plan.lower(), (name, plan)
+
+
+def test_ordered_opt_in_sorts_over_cache(spark):
+    """Round-11 (r10 verdict #2): ``ordered=True`` must cost ONE
+    materialization, not a sampling-pass double run — the terminal
+    Sort's direct child must be the InMemoryRelation planted by
+    ``cachereg.sort_via_cache``, so the RangePartitioner's sampling job
+    fills the cache and the sort proper reads it.  Values are unchanged
+    by the cache+sort (spot-checked on one entry per family below)."""
+    from tts_data_pipeline_spark.plans import catalog
+
+    entries = {
+        "dedup_embedding_cosine": ("id_a", "id_b"),
+        "dedup_embedding_cosine_ivf": ("id_a", "id_b"),
+        "dedup_fuzzy_levenshtein": ("id_a", "id_b"),
+        "dedup_minhash_lsh": ("id_a", "id_b"),
+        "dedup_minhash_xx64": ("id_a", "id_b"),
+        "dedup_minhash_ml": ("id_a", "id_b"),
+        "dedup_ngram_jaccard_bucketed": ("id_a", "id_b"),
+        "dedup_shingle_containment": ("id_a", "id_b"),
+        "w11_gap_fill_ffill": ("user_id", "h"),
+    }
+    for name in entries:
+        df = catalog.queries()[name](spark, SF_DIR, ordered=True)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        assert lines[0].startswith("Sort "), (name, lines[0])
+        assert "InMemoryRelation" in lines[1], (name, lines[:3])
+    # value identity: ordered == unordered as a multiset (one pair
+    # entry and the window entry)
+    for name in ("dedup_embedding_cosine", "w11_gap_fill_ffill"):
+        fn = catalog.queries()[name]
+        unord = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+        ordd = [tuple(r) for r in fn(spark, SF_DIR, ordered=True).collect()]
+        assert sorted(unord, key=repr) == sorted(ordd, key=repr), name
+        cols = entries[name]
+        keyed = [tuple(r[c] for c in cols) for r in fn(spark, SF_DIR, ordered=True).select(*cols).collect()]
+        assert keyed == sorted(keyed), name

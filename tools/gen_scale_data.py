@@ -278,6 +278,26 @@ def _tile_embeddings(k_copies: int, outdir: str, src: str = SRC) -> None:
 ZIPF_KEY_S = 1.1
 
 
+def _densify_events(k_copies: int, outdir: str, src: str = SRC) -> None:
+    """User-DENSITY tile of the events table (round-11): k copies with
+    only ``user_id`` offset — timestamps and event types verbatim, so
+    the (event_type, hour) co-occurrence bucket COUNT stays fixed while
+    users-per-bucket grows ×k and per-bucket pair mass ×k².  This is the
+    deployment shape the r10 verdict flagged for the LPA co-occurrence
+    build: a service's user count grows while its event-type count (and
+    any fixed observation window) does not.  Used by
+    ``tools/density_curve.py``."""
+    os.makedirs(outdir, exist_ok=True)
+    t = pq.read_table(f"{src}/events.parquet")
+    copies = []
+    for k in range(k_copies):
+        i = t.schema.get_field_index("user_id")
+        arr = pa.compute.add(t.column("user_id"), k * KEY_OFF)
+        copies.append(t.set_column(i, t.schema.field("user_id"), arr))
+    pq.write_table(pa.concat_tables(copies), f"{outdir}/events.parquet")
+    print(f"wrote {outdir} (events density ×{k_copies})")
+
+
 def _zipf_remap(vals: np.ndarray, domain: np.ndarray, seed: int) -> np.ndarray:
     """Replace each value with a Zipf-weighted draw over ``domain``
     (random rank permutation so the hot keys aren't the smallest ids).
@@ -428,7 +448,8 @@ def generate(
 
 
 if __name__ == "__main__":
-    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata"
+    _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base = _pos[0] if _pos else "/tmp/scaledata"
     # full oracle-sweep replica at driver-sf0.01 size, Zipfian text
     generate(
         os.path.join(base, "sf0.01"), 1, 500, doc_seed=11,
@@ -453,3 +474,17 @@ if __name__ == "__main__":
             os.path.join(base, sf),
             seed=900 + 10 * i,
         )
+    # fourth-decade + density tiles, behind --extra (minutes, used only
+    # by the decade measurements; the default path stays ~25 s):
+    #   sf10e — embeddings-only ×100 (IVF round-growth decade, round-10)
+    #   sf10d — documents-only 100× corpus (tokenizer-encode decade, r11)
+    #   dens-{2,4,8} — events user-density tiles (LPA co-occurrence, r11)
+    if "--extra" in sys.argv:
+        _tile_embeddings(100, os.path.join(base, "sf10e"), src=f"{TESTDATA}/sf0.1")
+        print(f"wrote {base}/sf10e (embeddings x100)")
+        generate(
+            os.path.join(base, "sf10d"), 100, 100 * DOCS_PER_SF01,
+            doc_seed=57, documents_only=True,
+        )
+        for k in (2, 4, 8):
+            _densify_events(k, os.path.join(base, f"dens-{k}"))

@@ -76,3 +76,16 @@ def cache_replacing(key: str, df: DataFrame) -> DataFrame:
         out = df.cache()
         _CACHED[key] = (h, out)
         return out
+
+
+def sort_via_cache(key: str, df: DataFrame, *cols: str) -> DataFrame:
+    """Terminal sort that costs ONE materialization, not two subtree
+    runs: a global ``orderBy``'s RangePartitioner fires a separate
+    SAMPLING job that re-executes the entire child subtree (the r9/r10
+    sampling-pass defect class — measured 2× on the pair verifies).
+    Caching the child first makes the sampling pass the run that FILLS
+    the cache and the sort proper a cache read.  Used by the pair
+    entries' ``ordered=True`` opt-in branch (round-11, r10 verdict #2:
+    the unordered default was right, but the opt-in was a loaded
+    footgun paying the exact tax the contract change removed)."""
+    return cache_replacing(key, df).orderBy(*cols)

@@ -21,6 +21,38 @@ spark.graft.cosine.grid_s                8          physical-only: the
                                                     parallelism is
                                                     labels × S(S+1)/2,
                                                     replication ~S/2.
+spark.graft.cosine.grid_s_max            1024       physical-only:
+                                                    ceiling of the
+                                                    per-label ADAPTIVE
+                                                    grid (a label with x×
+                                                    the mean row count
+                                                    gets S_l = clamp(
+                                                    ceil(S·x), S, this)
+                                                    so per-cell pair mass
+                                                    stays ≈ (mean/S)²
+                                                    under label skew);
+                                                    identical pair set
+                                                    for any value.
+spark.graft.pairgrid.target_rows         256        physical-only: the
+                                                    generic helper's
+                                                    (operators/pairgrid,
+                                                    round-11) ABSOLUTE
+                                                    rows-per-cell target
+                                                    for many-bucket
+                                                    callers (the LPA
+                                                    co-occurrence build):
+                                                    S_b = clamp(ceil(n_b/
+                                                    this), 1, s_max) —
+                                                    cell pair mass stays
+                                                    ≈ this² under any
+                                                    histogram; buckets
+                                                    under it run as the
+                                                    plain bucketed join.
+spark.graft.pairgrid.s_max               1024       physical-only: S_b
+                                                    ceiling of the
+                                                    generic helper;
+                                                    identical pair set
+                                                    for any value.
 spark.graft.codebook.broadcast_max_mb    32         physical-only: the
                                                     broadcast/distributed
                                                     crossover for the IVF
@@ -40,6 +72,32 @@ spark.graft.semdedup.kmax                65536      SEMANTIC: the cell-
 spark.graft.semdedup.nprobe_super        3          SEMANTIC: super-cell
                                                     multi-probe width,
                                                     same caveat as kmax.
+spark.graft.ivf.nprobe                   2          SEMANTIC: IVF-dedup
+                                                    multiple-assignment
+                                                    width (recall dial —
+                                                    1→0.18 / 2→0.41 /
+                                                    4→0.74 on the
+                                                    adversarial band).
+                                                    Oracles pin the
+                                                    default.
+spark.graft.lpa.max_rounds               40         Termination cap of
+                                                    the until-convergence
+                                                    LPA.  Never changes a
+                                                    RETURNED labelling
+                                                    (non-fixpoint runs
+                                                    RAISE) — but the
+                                                    shipped oracle unroll
+                                                    equals this default,
+                                                    so RAISING it past 40
+                                                    leaves the oracle
+                                                    gate (a run converging
+                                                    at round 41+ replays a
+                                                    pre-fixpoint oracle).
+spark.graft.lpa.min_cooccur              4          SEMANTIC: co-occurrence
+                                                    edge threshold of the
+                                                    LPA user graph.
+                                                    Oracles pin the
+                                                    default.
 ======================================= ========== =====================
 
 Physical-only dials are safe to change anywhere: they re-partition the
@@ -57,9 +115,23 @@ COSINE_GRID_S = ("spark.graft.cosine.grid_s", 8)
 # this) so per-cell pair mass stays ≈ (mean/S)² under label skew);
 # physical-only like grid_s — any value yields the identical pair set
 COSINE_GRID_S_MAX = ("spark.graft.cosine.grid_s_max", 1024)
+# generic adaptive pair-grid dials (operators/pairgrid, round-11); the
+# cosine pair the entry above predates and keeps for compat.  The
+# many-bucket callers (LPA co-occurrence) use the ABSOLUTE mode:
+# S_b = clamp(ceil(n_b / target_rows), 1, s_max) — cell pair mass stays
+# ≈ target_rows² whatever the bucket histogram does, and buckets under
+# target_rows rows run as the plain bucketed join (zero replication).
+# All three are physical-only: identical pair set for any values.
+PAIRGRID_S_MAX = ("spark.graft.pairgrid.s_max", 1024)
+PAIRGRID_TARGET_ROWS = ("spark.graft.pairgrid.target_rows", 256)
 CODEBOOK_BROADCAST_MAX_MB = ("spark.graft.codebook.broadcast_max_mb", 32)
 SEMDEDUP_KMAX = ("spark.graft.semdedup.kmax", 65536)
 SEMDEDUP_NPROBE_SUPER = ("spark.graft.semdedup.nprobe_super", 3)
+# SEMANTIC dials (docstring table): overrides change results by design
+# and therefore leave the shipped-oracle gate
+IVF_NPROBE = ("spark.graft.ivf.nprobe", 2)
+LPA_MAX_ROUNDS = ("spark.graft.lpa.max_rounds", 40)
+LPA_MIN_COOCCUR = ("spark.graft.lpa.min_cooccur", 4)
 
 
 def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:

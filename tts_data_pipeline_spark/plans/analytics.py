@@ -1247,7 +1247,11 @@ def w11_gap_fill_ffill(
         F.coalesce("v", ffill).alias("v_ffill"),
     )
     if ordered:
-        return out.orderBy("user_id", "h")
+        # opt-in global sort rides sort_via_cache: one materialization,
+        # not a range-sampler double run of the grid+window subtree
+        from tts_data_pipeline_spark.cachereg import sort_via_cache
+
+        return sort_via_cache("w11_gap_fill_ordered", out, "user_id", "h")
     # sortWithinPartitions, NOT a global orderBy: the output here is
     # DATA-sized (one row per key-hour), and a global range sort of a
     # data-sized result was the one stage of this plan that degraded

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tts_data_pipeline_spark.cachereg import sort_via_cache
 from tts_data_pipeline_spark.functions import vi_text
 from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.functions import exact as X
@@ -277,20 +278,20 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLING PASS that re-executes the entire verify subtree — measured
     2× the whole operator at sf3 (493 s vs 256 s) before this split.
 
-    Grid coverage: a-side rows in block i replicate to cells (i, j≥i),
-    b-side rows in block j to cells (i≤j, j); an unordered pair with
-    blocks (i, j), i<j, meets exactly in cell (i, j) — as (a, b) in
-    hash order, so ids are re-ordered with least/greatest on output —
-    and a same-block pair meets once in cell (i, i) under the id-order
-    predicate.  tests/test_dedup_similarity.py pins blocked == naive
-    all-pairs output."""
+    Grid + adaptive-S mechanics live in
+    ``operators.pairgrid.adaptive_grid_pair_join`` (round-11: factored to
+    a library so the LPA co-occurrence build shares it); this wrapper
+    owns the cosine payload — per-VECTOR norms computed once on the n
+    rows before the join (bit-identical floats — same sequential fold
+    over the same array — at a third of the per-pair fold work), the
+    eval_once dot product, and the 0.40 threshold.
+    tests/test_dedup_similarity.py pins blocked == naive all-pairs
+    output, parameterized over (grid_s × skewed labels)."""
+    from tts_data_pipeline_spark.operators.pairgrid import (
+        adaptive_grid_pair_join,
+    )
     from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
     from tts_data_pipeline_spark.sources.readers import spread
-
-    # norms are per-VECTOR, so they're computed once on the n rows before
-    # the join, not once per pair (bit-identical floats — same sequential
-    # fold over the same array — at a third of the per-pair fold work)
-    from tts_data_pipeline_spark.cachereg import cache_replacing
 
     from tts_data_pipeline_spark.conf import (
         COSINE_GRID_S,
@@ -298,77 +299,32 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dial,
     )
 
-    S = dial(spark, COSINE_GRID_S)
-    S_max = dial(spark, COSINE_GRID_S_MAX)
-    e0 = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    # ADAPTIVE per-label grid (round-10, label-skew decade): with one
-    # global S, a Zipfian label re-caps the verify — the hot label's
-    # Θ(bucket²) mass lands on the same 36 cells as every cold label's
-    # (measured: slope 1.66 / 286 s at skew-3 where uniform reads ~1.0).
-    # Scale S per label so per-cell pair mass stays ≈ (mean/S)²:
-    # S_l = clamp(ceil(S · n_l/mean_n), S, S_max).  S_l is CONSTANT
-    # within a label, so the grid-coverage argument is untouched and the
-    # pair set is identical for any histogram (parameterized test).  The
-    # histogram is a label-count aggregate (|labels| rows, broadcast) —
-    # a second NARROW scan of the two grouping columns, cheaper than
-    # caching the unexploded base just to avoid it.  Broadcast ceiling:
-    # the hist is |labels| × ~16 B — fine to ~10M labels; past that the
-    # average bucket is tiny, adaptive S is moot (every S_l = S), and
-    # the right move is dropping the hint so AQE picks the strategy.
-    hist = e0.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
-    hist = (
-        hist.join(F.broadcast(hist.agg(F.avg("n_l").alias("mean_n"))))
+    e0 = (
+        spread(table(spark, sf_dir, "embeddings"))
         .select(
+            "vec_id",
             "label",
-            F.least(
-                F.greatest(
-                    F.ceil(F.lit(S) * F.col("n_l") / F.col("mean_n")),
-                    F.lit(S),
-                ),
-                F.lit(S_max),
-            )
-            .cast("int")
-            .alias("s_l"),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
+        .withColumn("nrm", l2_norm(F.col("v")))
     )
-    e = e0.join(F.broadcast(hist), "label")
-    # cached: both pair-join sides reference the frame, and the per-vector
-    # norm fold should run once, not once per side
-    e = cache_replacing(
-        "dedup_embedding_cosine_base",
-        e.withColumn("nrm", l2_norm(F.col("v"))).withColumn(
-            "blk", F.pmod(F.xxhash64("vec_id"), F.col("s_l")).cast("int")
-        ),
+    joined = adaptive_grid_pair_join(
+        e0,
+        bucket_cols=("label",),
+        id_col="vec_id",
+        s=dial(spark, COSINE_GRID_S),
+        s_max=dial(spark, COSINE_GRID_S_MAX),
+        # cached: both pair-join sides reference the frame, and the
+        # per-vector norm fold should run once, not once per side
+        cache_name="dedup_embedding_cosine_base",
     )
-    a = e.withColumn(
-        "gj", F.explode(F.sequence(F.col("blk"), F.col("s_l") - 1))
-    ).alias("a")
-    b = e.withColumn(
-        "gi", F.explode(F.sequence(F.lit(0), F.col("blk")))
-    ).alias("b")
     sim = F.round(
         dot(F.col("a.v"), F.col("b.v"))
         / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.gj") == F.col("b.blk"))
-            & (F.col("a.blk") == F.col("b.gi"))
-            # same-cell pairs order by id; cross-cell pairs are already
-            # unique (each unordered pair meets in exactly one cell)
-            & (
-                (F.col("a.blk") != F.col("b.blk"))
-                | (F.col("a.vec_id") < F.col("b.vec_id"))
-            ),
-        )
-        .select(
+        joined.select(
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
             # eval_once: the dot product must not be inlined into the join
@@ -436,7 +392,13 @@ def dedup_embedding_cosine(
     order for order-sensitive consumers.  Driver hash is
     row-order-insensitive; the oracle states the unordered contract."""
     out = _embedding_cosine_pairs(spark, sf_dir)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    if ordered:
+        # opt-in sort costs ONE materialization, not a sampling-pass
+        # double run of the verify subtree (cachereg.sort_via_cache)
+        return sort_via_cache(
+            "dedup_embedding_cosine_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 def _ivf_dedup_planes():
@@ -473,8 +435,12 @@ def _ivf_dedup_sub_sql():
 # adversarial 0.40-0.60 cosine band (test_ivf_dedup_recall_vs_exact):
 # nprobe 1 → recall 0.18, 2 → 0.41, 4 → 0.74, at candidate fractions
 # ~3% / ~12% / ~42% of all pairs — the recall dial is candidate-bounded
-# (≈ p² bucket growth), never all-pairs.
-_IVF_DEDUP_NPROBE = 2
+# (≈ p² bucket growth), never all-pairs.  Round-11: the default is the
+# spark.graft.ivf.nprobe conf dial's (SEMANTIC — the shipped oracles pin
+# it; derived here so oracle and dial can't drift).
+from tts_data_pipeline_spark.conf import IVF_NPROBE as _IVF_NPROBE_DIAL  # noqa: E402
+
+_IVF_DEDUP_NPROBE = _IVF_NPROBE_DIAL[1]
 
 
 def _ivf_dedup_ctes(nprobe: int) -> str:
@@ -561,7 +527,7 @@ _IVF_CLOSURE_CTES = """, fp AS (
 def dedup_embedding_cosine_ivf(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = _IVF_DEDUP_NPROBE,
+    nprobe: int | None = None,
     ordered: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with a DATA-SCALED bucket — the
@@ -599,8 +565,11 @@ def dedup_embedding_cosine_ivf(
     ``COUNT(*)``.  Recall < 1 by construction (near-dups split by a plane
     are still missed); the CELL boundary is bought back by ``nprobe``
     multiple assignment — each vector enters the pair space under its
-    ``nprobe`` nearest cells (shipped default ``_IVF_DEDUP_NPROBE`` = 2),
-    candidate cost growing ~p² per bucket while staying bucket-bounded.
+    ``nprobe`` nearest cells.  ``nprobe=None`` (the catalog path) reads
+    the ``spark.graft.ivf.nprobe`` dial (default ``_IVF_DEDUP_NPROBE`` =
+    2; SEMANTIC — an override changes the pair set by design and leaves
+    the shipped-oracle gate, the ``conf.py`` convention); candidate cost
+    grows ~p² per bucket while staying bucket-bounded.
     tests/test_dedup_similarity.py::test_ivf_dedup_recall_vs_exact
     measures the SHIPPED operator at nprobe 1/2/4 against the UNBUCKETED
     all-pairs ground truth on the adversarial 0.40-0.60 band and pins
@@ -616,10 +585,13 @@ def dedup_embedding_cosine_ivf(
     """
     import math
 
+    from tts_data_pipeline_spark.conf import IVF_NPROBE, dial
     from tts_data_pipeline_spark.operators.similarity import dot, ivf_assign
     from tts_data_pipeline_spark.plans.extensions import _bucket_expr
     from tts_data_pipeline_spark.sources.readers import spread
 
+    if nprobe is None:
+        nprobe = dial(spark, IVF_NPROBE)
     em = spread(table(spark, sf_dir, "embeddings"))
     n = em.count()
     bits = min(
@@ -707,8 +679,12 @@ def dedup_embedding_cosine_ivf(
     # ordered=False for pair CONSUMERS (connected components): a trailing
     # sort under a downstream mapInPandas survives optimization and its
     # range-partitioner sampling pass re-executes the subtree (see
-    # _embedding_cosine_pairs)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    # _embedding_cosine_pairs); the opt-in rides sort_via_cache
+    if ordered:
+        return sort_via_cache(
+            "dedup_embedding_cosine_ivf_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query(
@@ -900,8 +876,13 @@ def dedup_fuzzy_levenshtein(
     # ordered=False for pair CONSUMERS (connected components with local
     # contraction): the trailing sort survives under a downstream
     # mapInPandas and its range-partitioner sampling pass re-executes the
-    # verify subtree (see _embedding_cosine_pairs)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    # verify subtree (see _embedding_cosine_pairs); opt-in via
+    # sort_via_cache
+    if ordered:
+        return sort_via_cache(
+            "dedup_fuzzy_levenshtein_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_data_pipeline_spark.cachereg import sort_via_cache
 from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.operators import similarity as S
 from tts_data_pipeline_spark.plans.registry import query
@@ -93,7 +94,13 @@ def dedup_ngram_jaccard_bucketed(
     out = D.ngram_jaccard_pairs(
         d, bucket_cols=("lang", "size_bucket"), threshold=0.5
     )
-    return out.orderBy("id_a", "id_b") if ordered else out
+    if ordered:
+        # opt-in sort costs one materialization, not a sampling-pass
+        # double run of the verify subtree (cachereg.sort_via_cache)
+        return sort_via_cache(
+            "dedup_ngram_jaccard_bucketed_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query(
@@ -142,7 +149,11 @@ def dedup_shingle_containment(
     (property-tested)."""
     d = table(spark, sf_dir, "documents")
     out = D.shingle_containment_pairs(d, bucket_cols=("lang",), threshold=0.8)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    if ordered:
+        return sort_via_cache(
+            "dedup_shingle_containment_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query("dedup_minhash_xx64")
@@ -158,7 +169,11 @@ def dedup_minhash_xx64(
     total order."""
     d = table(spark, sf_dir, "documents")
     out = D.minhash_lsh_pairs(d, jaccard_threshold=0.5)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    if ordered:
+        return sort_via_cache(
+            "dedup_minhash_xx64_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query("dedup_simhash_blake2b")
@@ -316,8 +331,13 @@ def dedup_minhash_lsh(
         .select("id_a", "id_b", "jaccard")
     )
     # ordered=False for pair CONSUMERS feeding mapInPandas (see
-    # coverage._embedding_cosine_pairs: the sampling-pass double-run)
-    return out.orderBy("id_a", "id_b") if ordered else out
+    # coverage._embedding_cosine_pairs: the sampling-pass double-run);
+    # opt-in via sort_via_cache
+    if ordered:
+        return sort_via_cache(
+            "dedup_minhash_lsh_ordered", out, "id_a", "id_b"
+        )
+    return out
 
 
 @query(
@@ -663,7 +683,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_minhash_ml")
-def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_ml(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """MinHash-LSH near-dup pairs via Spark ML's MinHashLSH /
     approxSimilarityJoin (rows-only: ml hash coefficients aren't
     DuckDB-replayable; the hand-built LSH above is the oracle-adjacent
@@ -699,7 +721,12 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
     )
     # unordered (round-10): rows-only entry, terminal sort pays the
-    # range-sampler re-execution for no checkable benefit
+    # range-sampler re-execution for no checkable benefit; round-11
+    # (ADVICE): same ordered opt-in as the rest of the pair family
+    if ordered:
+        return sort_via_cache(
+            "dedup_minhash_ml_ordered", pairs, "id_a", "id_b"
+        )
     return pairs
 
 

