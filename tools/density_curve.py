@@ -52,6 +52,12 @@ DENS = [
     (2, "/tmp/scaledata/dens-2"),
     (4, "/tmp/scaledata/dens-4"),
     (8, "/tmp/scaledata/dens-8"),
+    # hot-BUCKET control (gen_scale_data._hotspot_events: 30% of the
+    # dens-4 events remapped to ONE (event_type, hour)): the uniform
+    # tiles never make a single bucket hot enough to hurt a 32-core
+    # host, so this is where grid-vs-nogrid separates — the plain join
+    # runs the hot bucket's Θ(n²) mass on ONE task.  k is nominal.
+    ("4hot", "/tmp/scaledata/dens-4hot"),
 ]
 
 
@@ -106,7 +112,7 @@ def main() -> None:
                     f"{edge_counts[k]} vs {n_edges}"
                 )
             edge_counts[k] = n_edges
-        if k <= full_max_k:
+        if isinstance(k, int) and k <= full_max_k:
             best = math.inf
             for _ in range(runs):
                 t0 = time.time()

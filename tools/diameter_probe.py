@@ -94,8 +94,12 @@ def component_stats(pairs: list[tuple[int, int]]) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf1"
+    global _EXACT_CAP
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/scaledata/sf1"
     control = "--control" in sys.argv
+    if "--cap" in sys.argv:
+        _EXACT_CAP = int(sys.argv[sys.argv.index("--cap") + 1])
 
     from tts_data_pipeline_spark.operators import components
     from tts_data_pipeline_spark.plans.coverage import (
@@ -111,7 +115,9 @@ def main() -> None:
     )
     pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    print(f"collected {len(pairs)} pairs; computing diameters", flush=True)
     stats = component_stats(pairs)
+    print(f"stats done: {stats}", flush=True)
 
     components.LAST_RUN_STATS["rounds"] = 0
     components.connected_components(

@@ -298,6 +298,34 @@ def _densify_events(k_copies: int, outdir: str, src: str = SRC) -> None:
     print(f"wrote {outdir} (events density ×{k_copies})")
 
 
+def _hotspot_events(
+    outdir: str, src_dir: str, frac: float = 0.3, seed: int = 77
+) -> None:
+    """Hot-BUCKET variant of a density tile (round-11): remap ``frac``
+    of the events to one (event_type, hour) — the flash-crowd shape
+    where a single co-occurrence bucket captures ~every user, so the
+    plain bucketed self-join runs that bucket's Θ(n²) pair mass on ONE
+    task while the adaptive grid splits it into ceil(n/target)² cells.
+    This is the measurable 32-core form of the 1000-executor argument."""
+    os.makedirs(outdir, exist_ok=True)
+    t = pq.read_table(f"{src_dir}/events.parquet")
+    rng = np.random.default_rng(seed)
+    mask = pa.array(rng.random(len(t)) < frac)
+    import datetime
+
+    hot_ts = pa.scalar(
+        datetime.datetime(2024, 6, 1, 12, 0, 0),
+        type=t.schema.field("ts").type,
+    )
+    hot_et = pa.scalar("hotspot", type=t.schema.field("event_type").type)
+    for col, val in (("ts", hot_ts), ("event_type", hot_et)):
+        i = t.schema.get_field_index(col)
+        arr = pa.compute.if_else(mask, val, t.column(col).combine_chunks())
+        t = t.set_column(i, t.schema.field(col), arr)
+    pq.write_table(t, f"{outdir}/events.parquet")
+    print(f"wrote {outdir} (hotspot frac={frac})")
+
+
 def _zipf_remap(vals: np.ndarray, domain: np.ndarray, seed: int) -> np.ndarray:
     """Replace each value with a Zipf-weighted draw over ``domain``
     (random rank permutation so the hot keys aren't the smallest ids).
@@ -488,3 +516,6 @@ if __name__ == "__main__":
         )
         for k in (2, 4, 8):
             _densify_events(k, os.path.join(base, f"dens-{k}"))
+        _hotspot_events(
+            os.path.join(base, "dens-4hot"), os.path.join(base, "dens-4")
+        )

@@ -33,7 +33,7 @@ spark.graft.cosine.grid_s_max            1024       physical-only:
                                                     under label skew);
                                                     identical pair set
                                                     for any value.
-spark.graft.pairgrid.target_rows         256        physical-only: the
+spark.graft.pairgrid.target_rows         256         physical-only: the
                                                     generic helper's
                                                     (operators/pairgrid,
                                                     round-11) ABSOLUTE
@@ -123,6 +123,16 @@ COSINE_GRID_S_MAX = ("spark.graft.cosine.grid_s_max", 1024)
 # target_rows rows run as the plain bucketed join (zero replication).
 # All three are physical-only: identical pair set for any values.
 PAIRGRID_S_MAX = ("spark.graft.pairgrid.s_max", 1024)
+# 256 rows/cell ⇒ ≤ ~33k pairs per grid task.  Measured three ways on
+# the density/hot-bucket tiles (PLANS.md round-11): the candidate-pair
+# SHUFFLE (identical under any grid) is the local cost driver, so the
+# plain join (s_max=1) wins by ≤13% even against a 12k-user hot bucket
+# — but a COARSE grid (4096) measured WORSE than the fine one (60.6 vs
+# 52.7 s): multi-million-pair cells pressure the per-task partial-agg
+# hash, exactly the failure the small cell bound removes.  256 keeps
+# every task's enumeration+partial-agg footprint trivially bounded for
+# ANY bucket histogram — the property that matters at cluster scale —
+# at ≤13% local cost on the worst tile and ~0 on uniform ones.
 PAIRGRID_TARGET_ROWS = ("spark.graft.pairgrid.target_rows", 256)
 CODEBOOK_BROADCAST_MAX_MB = ("spark.graft.codebook.broadcast_max_mb", 32)
 SEMDEDUP_KMAX = ("spark.graft.semdedup.kmax", 65536)
