@@ -135,6 +135,28 @@ HEADLINE = [
     "mm_audio_fingerprint_dedup",
     "mm_image_dhash_dedup",
     "dedup_incremental_minhash",
+    # Round-11 tail audit (tools/bench_tail_audit.py — r10 verdict #6):
+    # every catalog entry whose sf0.1 wall time exceeded ~2 s now sits
+    # in HEADLINE, so the headline number can't hide a regression in an
+    # unbenched family.  The audit itself caught two real defects —
+    # agg_distinct_approx's mixed distinct+HLL Expand (52 → 1.9 s) and
+    # tx_sentence_grouping_exact's per-group applyInPandas + terminal
+    # sort (29 → 0.8 s) — both kept here as regression guards.
+    # Contract: HEADLINE = every entry ≥ ~2 s at sf0.1 + one
+    # representative per operator family; re-run the audit tool after
+    # adding catalog entries.
+    "tx_sentence_grouping_exact",
+    "agg_distinct_approx",
+    "mm_video_motion",
+    "c17b_date_cardinal",
+    "c15b_cardinal_words",
+    "stream_stateful_sessions",
+    "stream_late_data_policy",
+    "stream_python_datasource_feed",
+    "dedup_apply_survivors",
+    "dedup_minhash_survivors",
+    "ta_bpe_encode",
+    "k4_audio_encode_roundtrip",
 ]
 
 

@@ -573,6 +573,9 @@ def test_ordered_opt_in_sorts_over_cache(spark):
         "dedup_ngram_jaccard_bucketed": ("id_a", "id_b"),
         "dedup_shingle_containment": ("id_a", "id_b"),
         "w11_gap_fill_ffill": ("user_id", "h"),
+        # round-11 bench-tail find: terminal sort over the applyInPandas
+        # fold ran the Python fold twice
+        "tx_sentence_grouping_exact": ("group_key", "group_idx"),
     }
     for name in entries:
         df = catalog.queries()[name](spark, SF_DIR, ordered=True)

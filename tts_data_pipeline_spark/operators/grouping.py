@@ -8,12 +8,22 @@ all prior groups, so this is not window-expressible exactly (SURVEY.md §2.9);
 the SQL-approximation with slightly different boundary semantics is
 ``x1_running_bucket`` in plans/windows.py.
 
-Spark expression: ``groupBy(key).applyInPandas`` — per-group sequential fold
-where a group (one book / one document) is always ≪ executor memory; the
-shuffle is on the group key, state never leaves the executor.
+Spark expression (round-11): ``repartition(key) →
+sortWithinPartitions(key, order, text) → mapInPandas`` — a streaming
+fold over key-contiguous rows with carry state across Arrow batches.
+The previous ``groupBy(key).applyInPandas`` form paid one Python
+invocation + Arrow round-trip PER GROUP: at sf0.1 that is 5,000
+ten-row pandas frames, measured 10.7 s warm where this form reads
+~2-3 s — same shuffle (hash by key either way), same per-key sequential
+semantics, ~25× fewer Python crossings.  ``sortWithinPartitions`` is a
+LOCAL sort (no range-sampler job — the r9/r10 sampling-pass class).
+State is one key's buffer, always ≪ executor memory; keys are
+hash-clustered so a key never spans partitions.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 
@@ -22,17 +32,17 @@ from pyspark.sql import DataFrame
 GROUPED_SCHEMA = (
     "group_key string, group_idx long, text string, word_count long, n_sentences long"
 )
+_COLS = ["group_key", "group_idx", "text", "word_count", "n_sentences"]
 
 
 def _fold_one_group(
     pdf: pd.DataFrame, threshold: int, order_col: str, text_col: str, key_col: str
 ) -> pd.DataFrame:
+    """Single-group fold, kept for direct/unit callers; the distributed
+    path streams through :func:`_fold_partition` instead."""
     out: list[tuple] = []
-    if len(pdf) == 0:  # applyInPandas never passes empty groups; direct calls may
-        return pd.DataFrame(
-            out,
-            columns=["group_key", "group_idx", "text", "word_count", "n_sentences"],
-        )
+    if len(pdf) == 0:
+        return pd.DataFrame(out, columns=_COLS)
     # tiebreak on the text itself: with duplicate order values, a bare
     # mergesort keeps the incoming (post-shuffle, run-dependent) row order
     # and group contents would differ across runs
@@ -53,10 +63,7 @@ def _fold_one_group(
     # trailing group kept iff >= threshold/2 (reference process_all.py:318-332)
     if buf and words >= threshold / 2:
         out.append((key, gidx, " ".join(buf), words, len(buf)))
-    return pd.DataFrame(
-        out,
-        columns=["group_key", "group_idx", "text", "word_count", "n_sentences"],
-    )
+    return pd.DataFrame(out, columns=_COLS)
 
 
 def sentence_group_by_threshold(
@@ -70,7 +77,50 @@ def sentence_group_by_threshold(
     word_count, n_sentences).  Invariants (property-tested): every non-final
     group has word_count ≥ threshold; the final group ≥ threshold/2."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _fold_one_group(pdf, threshold, order_col, text_col, key_col)
+    def fold_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # streaming per-key fold: rows arrive key-contiguous and
+        # (order, text)-sorted; state carries across Arrow batches
+        cur_key: str | None = None
+        buf: list[str] = []
+        words = 0
+        gidx = 0
+        out: list[tuple] = []
 
-    return sentences.groupBy(key_col).applyInPandas(fold, GROUPED_SCHEMA)
+        def close_tail() -> None:
+            nonlocal buf, words, gidx
+            if buf and words >= threshold / 2:
+                out.append((cur_key, gidx, " ".join(buf), words, len(buf)))
+            buf, words, gidx = [], 0, 0
+
+        for pdf in batches:
+            for key, sent in zip(
+                pdf[key_col].astype(str), pdf[text_col]
+            ):
+                if key != cur_key:
+                    if cur_key is not None:
+                        close_tail()
+                    cur_key = key
+                if sent is None:
+                    continue
+                buf.append(sent)
+                words += len(sent.split())
+                if words >= threshold:
+                    out.append(
+                        (cur_key, gidx, " ".join(buf), words, len(buf))
+                    )
+                    gidx += 1
+                    buf, words = [], 0
+            if len(out) >= 4096:
+                yield pd.DataFrame(out, columns=_COLS)
+                out = []
+        if cur_key is not None:
+            close_tail()
+        if out:
+            yield pd.DataFrame(out, columns=_COLS)
+
+    clustered = sentences.repartition(key_col).sortWithinPartitions(
+        key_col, order_col, text_col
+    )
+    return clustered.mapInPandas(fold_partition, GROUPED_SCHEMA)

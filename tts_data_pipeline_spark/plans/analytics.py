@@ -134,24 +134,42 @@ def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the sketch replaces exact distinct wherever 1-2% error is
     acceptable: fixed-size mergeable register set per group, no expand.
     The exact countDistinct alongside it here is the verification
-    harness, not the production plan."""
+    harness, not the production plan.
+
+    Plan note (round-11, found by the bench-tail audit at 52 s/sf0.1):
+    exact multi-column countDistinct and the HLL must NOT share one
+    aggregate — Spark rewrites mixed distinct aggregates through Expand
+    (gid), and the approx partials then evaluate at the EXPANDED
+    (flag, orderkey, partkey, gid) granularity: a full ~1.6k-word HLL
+    register array PER INPUT ROW shuffled (the plan showed "... 3257
+    more fields").  Split into two clean aggregations — the exact pair
+    keeps its ordinary 2-way expand, the sketches run one register set
+    per GROUP — and broadcast-join the |flags|-row results: 38 s →
+    1.6 s warm, identical values."""
     li = table(spark, sf_dir, "lineitem")
-    approx_o = F.approx_count_distinct("l_orderkey", 0.01)
-    approx_p = F.approx_count_distinct("l_partkey", 0.01)
-    exact_o = F.countDistinct("l_orderkey").cast("bigint")
-    exact_p = F.countDistinct("l_partkey").cast("bigint")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts_exact"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_o"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_p"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            exact_o.alias("n_orders_exact"),
-            exact_p.alias("n_parts_exact"),
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            "n_parts_exact",
             (
-                F.abs(approx_o - exact_o) <= exact_o * F.lit(0.05)
+                F.abs(F.col("a_o") - F.col("n_orders_exact"))
+                <= F.col("n_orders_exact") * F.lit(0.05)
             )
             .cast("bigint")
             .alias("orders_within_bound"),
             (
-                F.abs(approx_p - exact_p) <= exact_p * F.lit(0.05)
+                F.abs(F.col("a_p") - F.col("n_parts_exact"))
+                <= F.col("n_parts_exact") * F.lit(0.05)
             )
             .cast("bigint")
             .alias("parts_within_bound"),

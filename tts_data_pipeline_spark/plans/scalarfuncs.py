@@ -433,13 +433,33 @@ def c15b_cardinal_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c17b_date_cardinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C17b — cardinal spoken date (num2words variant of C17; reference
     normalizes dates to full cardinal words in its post-processing and HF
-    publish paths)."""
-    o = table(spark, sf_dir, "orders")
-    return o.select(
+    publish paths).
+
+    Plan note (round-11, bench-tail audit at ~5 s/sf0.1): the composed
+    cardinal expression tree is so large that the WHOLE plan fell out of
+    whole-stage codegen (0 WSCG spans) and evaluated interpreted per
+    row.  The date domain is tiny (≤ 31×12×|years| triples), so the
+    expensive expression now evaluates on the DISTINCT (d, m, y) frame
+    and broadcast-joins back — the codebook pattern at the scalar layer;
+    the fact-side plan is a narrow join + project that codegens.  At
+    100 TB this is the difference between an interpreted per-row tree
+    over every order and a ~3k-row lookup."""
+    o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        V.date_to_vi_cardinal(
-            F.dayofmonth("o_orderdate"),
-            F.month("o_orderdate"),
-            F.year("o_orderdate"),
-        ).alias("spoken_date"),
-    ).orderBy("o_orderkey")
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.month("o_orderdate").alias("m"),
+        F.year("o_orderdate").alias("y"),
+    )
+    dmy = (
+        o.select("d", "m", "y")
+        .distinct()
+        .withColumn(
+            "spoken_date",
+            V.date_to_vi_cardinal(F.col("d"), F.col("m"), F.col("y")),
+        )
+    )
+    return (
+        o.join(F.broadcast(dmy), ["d", "m", "y"])
+        .select("o_orderkey", "spoken_date")
+        .orderBy("o_orderkey")
+    )

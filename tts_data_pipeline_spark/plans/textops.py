@@ -319,14 +319,25 @@ ORDER BY group_key, group_idx
 
 
 @query("tx_sentence_grouping_exact", oracle=X1_EXACT_ORACLE)
-def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_sentence_grouping_exact(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """X1 exact: sentences derived from documents (sentence = 10-word
     slices), folded per-doc until >=20 words per group via applyInPandas —
     the reference's genuinely stateful operator (``process_all.py:305-335``).
     Now ORACLE-BACKED: a recursive CTE replays the sequential fold row by
     row in DuckDB (same pattern as the dedup_clusters closure oracle), so
     the stateful grouped-map is value-checked, not just rows-counted.
-    Invariants additionally property-tested in tests/test_grouping.py."""
+    Invariants additionally property-tested in tests/test_grouping.py.
+
+    Ordering contract (round-11, found by the bench-tail audit at
+    29 s/sf0.1): UNORDERED row set by default — the terminal global sort
+    sat directly over the applyInPandas fold, so the range-sampler ran
+    the whole Python fold TWICE (measured 22.1 → 10.7 s warm without
+    it; the r9/r10 sampling-pass class, this time on a grouped-map).
+    ``ordered=True`` restores the total (group_key, group_idx) order
+    through ``sort_via_cache`` (one materialization).  The driver's
+    value hash is row-order-insensitive."""
     d = spread(table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     sentences = (
@@ -349,9 +360,17 @@ def tx_sentence_grouping_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("sentence") > 0)
     )
-    return sentence_group_by_threshold(sentences, threshold=20).orderBy(
-        "group_key", "group_idx"
-    )
+    out = sentence_group_by_threshold(sentences, threshold=20)
+    if ordered:
+        from tts_data_pipeline_spark.cachereg import sort_via_cache
+
+        return sort_via_cache(
+            "tx_sentence_grouping_exact_ordered",
+            out,
+            "group_key",
+            "group_idx",
+        )
+    return out
 
 
 @query(
