@@ -576,6 +576,27 @@ def test_ordered_opt_in_sorts_over_cache(spark):
         # round-11 bench-tail find: terminal sort over the applyInPandas
         # fold ran the Python fold twice
         "tx_sentence_grouping_exact": ("group_key", "group_idx"),
+        # round-11 catalog-wide sweep: every UDF-backed entry whose
+        # terminal sort sat over a Python node (the range-sampler runs
+        # the decode/fold twice — measured 1.96× on mm_video_motion)
+        "align_segments_pipeline": ("book_id", "line_id"),
+        "c13_nfc_normalize": ("doc_id",),
+        "k5_chunked_download": ("p_partkey",),
+        "mm_audio_book_concat": ("book_id",),
+        "mm_audio_fingerprint_dedup": ("fp",),
+        "mm_audio_qc": ("doc_id",),
+        "mm_audio_resample": ("doc_id",),
+        "mm_audio_segment_cut": ("doc_id",),
+        "mm_audio_silence_trim": ("doc_id",),
+        "mm_image_dhash_dedup": ("dhash_lo", "dhash_hi"),
+        "mm_image_features": ("path",),
+        "mm_video_motion": ("path",),
+        "pipeline_e2e_crawl": ("book_id",),
+        "pipeline_e2e_preprocess": ("doc_id",),
+        "qc_wer_gate": ("book_id",),
+        "s10_dynamic_render_scan": ("doc_id", "track_no"),
+        "s5_remote_csv_scan": ("id",),
+        "sim_lsh_ann_topk_rng": ("query_id", "rank"),
     }
     for name in entries:
         df = catalog.queries()[name](spark, SF_DIR, ordered=True)

@@ -89,3 +89,18 @@ def sort_via_cache(key: str, df: DataFrame, *cols: str) -> DataFrame:
     the unordered default was right, but the opt-in was a loaded
     footgun paying the exact tax the contract change removed)."""
     return cache_replacing(key, df).orderBy(*cols)
+
+
+def opt_in_sorted(key: str, ordered: bool, *cols: str):
+    """``DataFrame.transform`` form of the ordered opt-in contract: the
+    catalog's UDF-backed entries return UNORDERED rows by default (a
+    terminal global sort's range-sampler re-executes the whole child —
+    2× the Python decode/fold; round-11 measured 1.96× on
+    mm_video_motion) and restore the total order through
+    :func:`sort_via_cache` when the caller passes ``ordered=True``.
+    Usage: ``df.transform(opt_in_sorted(key, ordered, *cols))``."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return sort_via_cache(key, df, *cols) if ordered else df
+
+    return _t

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tts_data_pipeline_spark.cachereg import sort_via_cache
+from tts_data_pipeline_spark.cachereg import opt_in_sorted, sort_via_cache
 from tts_data_pipeline_spark.functions import vi_text
 from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.functions import exact as X
@@ -235,7 +235,9 @@ def c10_typographic_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c13_nfc_normalize(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """C13 — Unicode NFC normalization (reference ``process_all.py:174``).
     Arrow-batched pandas UDF (no Catalyst builtin); DuckDB's nfc_normalize is
     the oracle.  A decomposed Vietnamese prefix is prepended so the
@@ -244,7 +246,9 @@ def c13_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposed = F.concat(F.lit("Vieệt "), F.col("text"))
     return d.select(
         "doc_id", vi_text.nfc_normalize(decomposed).alias("nfc_text")
-    ).orderBy("doc_id")
+    ).transform(
+        opt_in_sorted("c13_nfc_normalize_ordered", ordered, "doc_id")
+    )
 
 
 # Grid-block count for the all-pairs self-join: each label bucket's
@@ -1188,7 +1192,9 @@ def s11_url_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id
     """,
 )
-def s5_remote_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s5_remote_csv_scan(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """S5 — remote CSV feeds end-to-end: URL table → distributed fake-HTTP
     GET (``sources/http.py:fetch_csv``) → declarative parse: split the
     body into lines, drop the header positionally, ``from_csv`` each
@@ -1217,7 +1223,9 @@ def s5_remote_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parsed.select(F.col("rec.id").alias("id"), F.col("rec.label").alias("label"), "feed")
         .filter(F.col("id").isNotNull())
-        .orderBy("id")
+        .transform(
+        opt_in_sorted("s5_remote_csv_scan_ordered", ordered, "id")
+    )
     )
 
 
@@ -1282,7 +1290,9 @@ def s9_html_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.doc_id, track_no
     """,
 )
-def s10_dynamic_render_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s10_dynamic_render_scan(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """S10 end-to-end: catalog URLs → browser render (deterministic fake
     hydrated DOM; Playwright slots into the same per-partition seam,
     reference ``crawler/utils.py:395-416`` + ``playwright_server.py:7-84``)
@@ -1315,7 +1325,9 @@ def s10_dynamic_render_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("track_no").cast("long").alias("track_no"),
             "href",
         )
-        .orderBy("doc_id", "track_no")
+        .transform(
+        opt_in_sorted("s10_dynamic_render_scan_ordered", ordered, "doc_id", "track_no")
+    )
     )
 
 
@@ -1571,7 +1583,9 @@ def dedup_semantic_apply_survivors(
     ORDER BY c.p_partkey
     """,
 )
-def k5_chunked_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k5_chunked_download(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """K5 — streamed chunked download end-to-end (reference
     ``crawler/download.py:62-117``: 8 KB ranged chunks, exponential
     backoff, 3 retries): a URL table fans out across partitions, each URL
@@ -1603,7 +1617,9 @@ def k5_chunked_download(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("checksum"),
             F.col("length_ok").cast("bigint").alias("length_ok"),
         )
-        .orderBy("p_partkey")
+        .transform(
+        opt_in_sorted("k5_chunked_download_ordered", ordered, "p_partkey")
+    )
     )
 
 
@@ -1649,7 +1665,9 @@ def k5_chunked_download(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY f.book_id
     """,
 )
-def pipeline_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_e2e_crawl(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """The reference's crawler/metadata entry point
     (``crawler/metadata.py`` + ``crawler/utils.py``, SURVEY.md §3.1) as
     ONE Spark lineage:
@@ -1771,5 +1789,7 @@ def pipeline_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "narrator_1_name",
             "books_in_category",
         )
-        .orderBy("book_id")
+        .transform(
+        opt_in_sorted("pipeline_e2e_crawl_ordered", ordered, "book_id")
+    )
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tts_data_pipeline_spark.cachereg import sort_via_cache
+from tts_data_pipeline_spark.cachereg import opt_in_sorted, sort_via_cache
 from tts_data_pipeline_spark.operators import dedup as D
 from tts_data_pipeline_spark.operators import similarity as S
 from tts_data_pipeline_spark.plans.registry import query
@@ -523,7 +523,9 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("sim_lsh_ann_topk_rng")
-def sim_lsh_ann_topk_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_ann_topk_rng(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Scale-path ANN on seeded-numpy random hyperplanes (rows-only: the
     RNG has no DuckDB equivalent — ``sim_lsh_ann_topk`` below is the
     value-checked fixed-plane twin): hyperplane bucket join + exact cosine
@@ -531,7 +533,9 @@ def sim_lsh_ann_topk_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py (test_lsh_ann_recall_vs_bruteforce)."""
     em = table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 8)
-    return S.lsh_ann_topk(em, q, k=5).orderBy("query_id", "rank")
+    return S.lsh_ann_topk(em, q, k=5).transform(
+        opt_in_sorted("sim_lsh_ann_topk_rng_ordered", ordered, "query_id", "rank")
+    )
 
 
 @query(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from tts_data_pipeline_spark.multimodal import audio as A
 from tts_data_pipeline_spark.multimodal import image as I
 from tts_data_pipeline_spark.multimodal import video as V
+from tts_data_pipeline_spark.cachereg import opt_in_sorted
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 from tts_data_pipeline_spark.sources.readers import spread
@@ -63,7 +64,9 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ch.path
     """,
 )
-def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_image_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Binary → decode (fake codec, real plumbing) → per-image channel
     stats.  One mapInPandas chain, no shuffle until the final sort.
 
@@ -87,7 +90,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.std_rgb[1].alias("std_g"),
         feats.std_rgb[2].alias("std_b"),
         "brightness",
-    ).orderBy("path")
+    ).transform(
+        opt_in_sorted("mm_image_features_ordered", ordered, "path")
+    )
 
 
 @query(
@@ -128,7 +133,9 @@ FROM nfs n LEFT JOIN agg a ON n.path = a.path
 ORDER BY n.path
 """,
 )
-def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_video_motion(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Binary → frame-sample+decode (one row per sampled frame) → per-video
     motion aggregate.  Frame rows shuffle by video key; per-group state is
     bounded by sampled-frame count, not video length.
@@ -145,7 +152,9 @@ def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (20 + F.col("doc_id") % 30).cast("int").alias("n_frames"),
     )
     frames = V.decode_sampled_frames(p, every_k=10, height=8, width=8)
-    return V.frame_motion_features(frames).orderBy("path")
+    return V.frame_motion_features(frames).transform(
+        opt_in_sorted("mm_video_motion_ordered", ordered, "path")
+    )
 
 
 @query(
@@ -158,7 +167,9 @@ def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY source ORDER BY book_id
     """,
 )
-def mm_audio_book_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_book_concat(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """X2-X4 end-to-end: per-part decode (fake codec) → per-book ordered
     concat + resample + peak-normalize (reference ``process_all.py:409-438``)
     — grouped-map with per-book bounded state.  Parts = documents grouped by
@@ -184,7 +195,9 @@ def mm_audio_book_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "sr",
         F.size("samples").cast("long").alias("n_samples"),
-    ).orderBy("book_id")
+    ).transform(
+        opt_in_sorted("mm_audio_book_concat_ordered", ordered, "book_id")
+    )
 
 
 @query(
@@ -257,7 +270,9 @@ SELECT doc_id,
 FROM agg ORDER BY doc_id
 """,
 )
-def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_qc(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Audio QC stats — the gate the reference applies before accepting a
     book's audio (``process_all.py:465-510`` checks sample rate/duration;
     peak/RMS/clipping are the standard additions): binary payload → fake
@@ -288,7 +303,9 @@ def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sqrt(sumsq / n)).alias("rms"),
             r4(clip.cast("double") / n).alias("clip_ratio"),
         )
-        .orderBy("doc_id")
+        .transform(
+        opt_in_sorted("mm_audio_qc_ordered", ordered, "doc_id")
+    )
     )
 
 
@@ -320,7 +337,9 @@ SELECT doc_id,
 FROM agg ORDER BY doc_id
 """,
 )
-def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_silence_trim(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """X3' — leading/trailing silence trim over decoded audio (the gate a
     TTS segmenter applies before alignment), as pure array expressions:
     decode (fake codec: bytes tiled 4x), flag ``|x| < 0.125`` (exactly
@@ -346,7 +365,9 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.trail").alias("trail"),
             F.size("t.trimmed").cast("bigint").alias("n_trimmed"),
         )
-        .orderBy("doc_id")
+        .transform(
+        opt_in_sorted("mm_audio_silence_trim_ordered", ordered, "doc_id")
+    )
     )
 
 
@@ -374,7 +395,9 @@ FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
 ORDER BY d.doc_id
 """,
 )
-def mm_audio_segment_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_segment_cut(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """X6 — segment cut as a pure array slice: decode, cut
     [0.01 s, 0.06 s) at 16 kHz (0-based samples 160..959), report exact
     integer stats of the cut window.  The reference shells out to ffmpeg
@@ -409,7 +432,9 @@ def mm_audio_segment_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("max_abs_u"),
         )
-        .orderBy("doc_id")
+        .transform(
+        opt_in_sorted("mm_audio_segment_cut_ordered", ordered, "doc_id")
+    )
     )
 
 
@@ -446,7 +471,9 @@ FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
 ORDER BY d.doc_id
 """,
 )
-def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_resample(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """X4 — linear-interpolation resample (librosa.resample stand-in,
     reference ``process_all.py:394-398``) at an exact 2x upsample
     (16 kHz → 32 kHz), Arrow-batched ``mapInPandas`` over the decoded
@@ -500,7 +527,9 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("max_abs_q"),
         )
-        .orderBy("doc_id")
+        .transform(
+        opt_in_sorted("mm_audio_resample_ordered", ordered, "doc_id")
+    )
     )
 
 
@@ -531,7 +560,9 @@ SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc_id
 FROM fps GROUP BY fp ORDER BY fp
 """,
 )
-def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Audio NEAR-dup via acoustic fingerprint (Haitsma & Kalker 2002,
     the energy-difference scheme behind industrial audio matching):
     decode → 16-sample frame energies → one bit per adjacent-frame
@@ -590,7 +621,9 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("rep_doc_id"),
         )
-        .orderBy("fp")
+        .transform(
+        opt_in_sorted("mm_audio_fingerprint_dedup_ordered", ordered, "fp")
+    )
     )
 
 
@@ -631,7 +664,9 @@ FROM fp GROUP BY dhash_lo, dhash_hi ORDER BY dhash_lo, dhash_hi
 
 
 @query("mm_image_dhash_dedup", oracle=_dhash_oracle())
-def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_image_dhash_dedup(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Image NEAR-dup via difference hash (dHash — the standard cheap
     perceptual hash: downsample to a 9×8 gray grid, one bit per
     horizontal gradient sign, 64 bits): re-encoded/resized copies of an
@@ -676,5 +711,7 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("path").alias("rep_path"),
         )
-        .orderBy("dhash_lo", "dhash_hi")
+        .transform(
+        opt_in_sorted("mm_image_dhash_dedup_ordered", ordered, "dhash_lo", "dhash_hi")
+    )
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from tts_data_pipeline_spark.functions import vi_text as V
 from tts_data_pipeline_spark.operators.grouping import sentence_group_by_threshold
+from tts_data_pipeline_spark.cachereg import opt_in_sorted
 from tts_data_pipeline_spark.plans.registry import query
 from tts_data_pipeline_spark.sources import table
 from tts_data_pipeline_spark.sources.readers import spread
@@ -362,7 +363,7 @@ def tx_sentence_grouping_exact(
     )
     out = sentence_group_by_threshold(sentences, threshold=20)
     if ordered:
-        from tts_data_pipeline_spark.cachereg import sort_via_cache
+        from tts_data_pipeline_spark.cachereg import opt_in_sorted, sort_via_cache
 
         return sort_via_cache(
             "tx_sentence_grouping_exact_ordered",
@@ -1126,7 +1127,9 @@ _E2E_ORACLE = (
 
 
 @query("pipeline_e2e_preprocess", oracle=_E2E_ORACLE)
-def pipeline_e2e_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_e2e_preprocess(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """The reference's ENTIRE pre-processing entry point
     (``process_all.py`` §3.2: PDF → extract → normalize → sentence split →
     filter → sequential grouping → metadata upsert) as ONE Spark lineage,
@@ -1271,5 +1274,7 @@ def pipeline_e2e_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             status.alias("status"),
         )
-        .orderBy("doc_id")
+        .transform(
+        opt_in_sorted("pipeline_e2e_preprocess_ordered", ordered, "doc_id")
+    )
     )
