@@ -822,3 +822,32 @@ def test_cachereg_recaches_after_external_clearcache(spark):
     c2.count()
     assert c2.storageLevel != StorageLevel.NONE
     c2.unpersist()
+
+
+def test_split_leakage_safe_no_pair_straddles(spark):
+    """The property the entry exists for: every near-dup pair (the same
+    pair generator the entry consumes) lands in ONE split — and singleton
+    documents keep the plain per-doc hash split, so the leakage-safe
+    variant only moves documents that are in a duplicate family."""
+    from tests.conftest import SF_DIR
+    from tts_data_pipeline_spark.plans.coverage import (
+        split_leakage_safe,
+        split_train_val_test,  # noqa: F401  (contract sibling)
+    )
+    from tts_data_pipeline_spark.plans.extensions import (
+        dedup_ngram_jaccard_bucketed,
+    )
+
+    asg = split_leakage_safe(spark, SF_DIR).collect()
+    split_of = {r.doc_id: r.split for r in asg}
+    rep_of = {r.doc_id: r.rep_id for r in asg}
+    pairs = dedup_ngram_jaccard_bucketed(spark, SF_DIR).collect()
+    assert pairs, "generator produced no pairs at the test sf"
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+        assert rep_of[p.id_a] == rep_of[p.id_b]
+    # singletons (docs in no pair) are their own representative
+    paired = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    for doc, rep in rep_of.items():
+        if doc not in paired:
+            assert rep == doc

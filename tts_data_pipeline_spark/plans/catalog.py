@@ -75,6 +75,9 @@ except ImportError:  # pragma: no cover
 # ANN, windows/sessionization, the heavy TPC-H joins/aggs) land in any
 # sample it takes (VERDICT r1, next-round #8).
 _PRIORITY = (
+    # entries ADDED this round lead, so a sampling driver always exercises
+    # the newest oracles in the round that introduces them (r10 ADVICE)
+    "split_leakage_safe",
     "dedup_exact_groups",
     "dedup_drop_duplicates",
     "dedup_minhash_lsh",

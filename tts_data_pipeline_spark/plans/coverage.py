@@ -1381,6 +1381,104 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
+                 AS DOUBLE)
+            / greatest(len(a.tokset) + len(b.tokset)
+                       - len(list_filter(a.tokset,
+                                         x -> list_contains(b.tokset, x))), 1)
+            >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    ), comps AS (
+      SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    ), asg AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, rep_id,
+             ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM asg
+    )
+    ORDER BY doc_id
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents NEVER
+    straddle a split boundary.  ``split_train_val_test`` hashes each
+    document independently — correct for i.i.d. corpora, but a near-dup
+    family split across train and test leaks training text into eval (the
+    standard contamination failure the reference's QC stage exists to
+    prevent at the audio level, ``alignment/post_process.py:125-376``).
+    Composition: the exact-Jaccard near-dup pairs
+    (``dedup_ngram_jaccard_bucketed``) → connected components (min-id
+    representative, the survivor convention) → every document inherits the
+    80/10/10 md5 bucket of its CLUSTER REPRESENTATIVE (singletons hash
+    their own id, so the i.i.d. path is unchanged for unduplicated docs).
+    Adding documents never reassigns existing clusters unless it bridges
+    them — the same backfill-stability argument as the per-doc split.
+    Scale shape: the pair build is the bucketed Jaccard join (banded,
+    data-scaled keys), CC is the star-contraction loop (parquet-persisted
+    rounds), the final assignment is one keyed left join — no new
+    quadratic surface.  Oracle replays the closure with a recursive CTE
+    and value-checks every (doc_id, rep_id, split) row."""
+    from tts_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from tts_data_pipeline_spark.plans.extensions import (
+        dedup_ngram_jaccard_bucketed,
+    )
+
+    pairs = dedup_ngram_jaccard_bucketed(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(
+        pairs, require_converged=True, pre_contract=True
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    asg = d.join(comps, d["doc_id"] == comps["id"], "left").select(
+        d["doc_id"],
+        F.coalesce(comps["component"], d["doc_id"])
+        .cast("long")
+        .alias("rep_id"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return asg.select(
+        "doc_id", "rep_id", split.alias("split")
+    ).orderBy("doc_id")
+
+
+@query(
     "dedup_semantic_clusters",
     oracle="""
     WITH RECURSIVE e AS (
