@@ -824,24 +824,31 @@ def test_cachereg_recaches_after_external_clearcache(spark):
     c2.unpersist()
 
 
-def test_split_leakage_safe_no_pair_straddles(spark):
-    """The property the entry exists for: every near-dup pair (the same
-    pair generator the entry consumes) lands in ONE split — and singleton
-    documents keep the plain per-doc hash split, so the leakage-safe
-    variant only moves documents that are in a duplicate family."""
-    from tests.conftest import SF_DIR
-    from tts_data_pipeline_spark.plans.coverage import (
-        split_leakage_safe,
-        split_train_val_test,  # noqa: F401  (contract sibling)
-    )
-    from tts_data_pipeline_spark.plans.extensions import (
-        dedup_ngram_jaccard_bucketed,
-    )
+import pytest as _pytest
 
-    asg = split_leakage_safe(spark, SF_DIR).collect()
+
+@_pytest.mark.parametrize(
+    "entry_name, generator_name",
+    [
+        ("split_leakage_safe", "dedup_ngram_jaccard_bucketed"),
+        ("split_leakage_safe_minhash", "dedup_minhash_lsh"),
+    ],
+)
+def test_split_leakage_safe_no_pair_straddles(spark, entry_name, generator_name):
+    """The property the twins exist for: every near-dup pair (from the
+    same pair generator each twin consumes) lands in ONE split — and
+    singleton documents keep the plain per-doc hash split, so the
+    leakage-safe variant only moves documents in a duplicate family."""
+    from tests.conftest import SF_DIR
+    from tts_data_pipeline_spark.plans import coverage, extensions
+
+    entry = getattr(coverage, entry_name)
+    generator = getattr(extensions, generator_name)
+
+    asg = entry(spark, SF_DIR).collect()
     split_of = {r.doc_id: r.split for r in asg}
     rep_of = {r.doc_id: r.rep_id for r in asg}
-    pairs = dedup_ngram_jaccard_bucketed(spark, SF_DIR).collect()
+    pairs = generator(spark, SF_DIR).collect()
     assert pairs, "generator produced no pairs at the test sf"
     for p in pairs:
         assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)

@@ -234,6 +234,7 @@ def _tile_keyed(name: str, k_copies: int, outdir: str, src: str = SRC) -> None:
 
 
 def _tile_embeddings(k_copies: int, outdir: str, src: str = SRC) -> None:
+    os.makedirs(outdir, exist_ok=True)
     t = pq.read_table(f"{src}/embeddings.parquet")
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.array(t.column("label").to_pylist(), dtype=np.int32)

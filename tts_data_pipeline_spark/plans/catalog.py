@@ -78,6 +78,7 @@ _PRIORITY = (
     # entries ADDED this round lead, so a sampling driver always exercises
     # the newest oracles in the round that introduces them (r10 ADVICE)
     "split_leakage_safe",
+    "split_leakage_safe_minhash",
     "dedup_exact_groups",
     "dedup_drop_duplicates",
     "dedup_minhash_lsh",

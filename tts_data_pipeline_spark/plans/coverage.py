@@ -1380,29 +1380,15 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "split_leakage_safe",
-    oracle="""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, lang,
-             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
-      FROM documents
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM base a JOIN base b
-        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-       AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
-                 AS DOUBLE)
-            / greatest(len(a.tokset) + len(b.tokset)
-                       - len(list_filter(a.tokset,
-                                         x -> list_contains(b.tokset, x))), 1)
-            >= 0.5
-    ), edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
+def _leakage_split_oracle(pair_ctes: str, pair_rel: str) -> str:
+    """Closure + representative-hash split over any pair CTE chain
+    exposing ``{pair_rel}(id_a, id_b)`` — shared by the two split twins
+    so their closure/bucketing tails can't drift."""
+    return f"""
+    WITH RECURSIVE {pair_ctes}, edges AS (
+      SELECT id_a AS u, id_b AS v FROM {pair_rel}
       UNION
-      SELECT id_b, id_a FROM pairs
+      SELECT id_b, id_a FROM {pair_rel}
     ), reach(id, comp) AS (
       SELECT u, u FROM edges
       UNION
@@ -1424,7 +1410,33 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM asg
     )
     ORDER BY doc_id
-    """,
+    """
+
+
+# the exact bucketed-Jaccard pair chain, mirroring
+# dedup_ngram_jaccard_bucketed's oracle; exposes jac_pairs(id_a, id_b)
+_JACCARD_PAIR_CTES = """base AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
+      FROM documents
+    ), jac_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
+                 AS DOUBLE)
+            / greatest(len(a.tokset) + len(b.tokset)
+                       - len(list_filter(a.tokset,
+                                         x -> list_contains(b.tokset, x))), 1)
+            >= 0.5
+    )"""
+
+
+@query(
+    "split_leakage_safe",
+    oracle=_leakage_split_oracle(_JACCARD_PAIR_CTES, "jac_pairs"),
 )
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents NEVER
@@ -1445,9 +1457,6 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds), the final assignment is one keyed left join — no new
     quadratic surface.  Oracle replays the closure with a recursive CTE
     and value-checks every (doc_id, rep_id, split) row."""
-    from tts_data_pipeline_spark.operators.components import (
-        connected_components,
-    )
     from tts_data_pipeline_spark.plans.extensions import (
         dedup_ngram_jaccard_bucketed,
     )
@@ -1455,6 +1464,20 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard_bucketed(spark, sf_dir, ordered=False).select(
         "id_a", "id_b"
     )
+    return _cluster_inherited_split(spark, sf_dir, pairs)
+
+
+def _cluster_inherited_split(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Shared tail of the leakage-safe split twins: near-dup (id_a, id_b)
+    pairs → connected components (min-id representative) → every document
+    inherits its representative's md5 80/10/10 bucket; singletons hash
+    their own id."""
+    from tts_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
     comps = connected_components(
         pairs, require_converged=True, pre_contract=True
     )
@@ -1476,6 +1499,36 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select(
         "doc_id", "rep_id", split.alias("split")
     ).orderBy("doc_id")
+
+
+from tts_data_pipeline_spark.plans.extensions import (  # noqa: E402
+    MINHASH_PAIR_CTES,
+)
+
+
+@query(
+    "split_leakage_safe_minhash",
+    oracle=_leakage_split_oracle(MINHASH_PAIR_CTES, "mh_pairs"),
+)
+def split_leakage_safe_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``split_leakage_safe``: identical
+    cluster-inherited split semantics, but the near-dup pairs come from
+    the MinHash-LSH generator (``dedup_minhash_lsh`` — shingle → 8-seed
+    md5 signature → 4-band bucket join → exact-Jaccard verify on the
+    CANDIDATES only) instead of the exhaustive bucketed Jaccard join.
+    On the Zipf scaling corpus the exact generator costs 5.9 s at sf0.1 /
+    28.5 s at sf1 while the banded one reads 0.8 / 1.7 s (O(n·bands)
+    candidate shuffle, PLANS.md scaling tables) — the same
+    exact-beside-banded twin convention as the cosine/IVF dedup pair.
+    Oracle composed from the SAME CTE parts as ``dedup_minhash_lsh``
+    (``MINHASH_PAIR_CTES``) plus the shared closure/split tail, so the
+    two twins can't drift."""
+    from tts_data_pipeline_spark.plans.extensions import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, ordered=False).select(
+        "id_a", "id_b"
+    )
+    return _cluster_inherited_split(spark, sf_dir, pairs)
 
 
 @query(

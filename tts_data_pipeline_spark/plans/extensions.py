@@ -204,10 +204,12 @@ _MH_SEEDS = 8
 _MH_BANDS = 4  # 2 rows per band
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH t AS (
+# MinHash-LSH pair pipeline as composable CTE parts (no leading WITH) so
+# consumers — dedup_minhash_lsh itself and the leakage-safe split twin in
+# plans/coverage.py — replay the IDENTICAL signature/banding/verify chain
+# (the _ivf_dedup_ctes composition convention from round 10).  Exposes
+# ``mh_pairs(id_a, id_b, jaccard)``.
+MINHASH_PAIR_CTES = f"""t AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -233,20 +235,28 @@ _MH_BANDS = 4  # 2 rows per band
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       FROM bands a JOIN bands c
         ON a.b = c.b AND a.v1 = c.v1 AND a.v2 = c.v2 AND a.doc_id < c.doc_id
-    )
-    SELECT cand.id_a, cand.id_b,
-           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
-                      AS DOUBLE)
-                 / greatest(len(ta.toks) + len(tb.toks)
-                   - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))),
-                   1), 4) AS jaccard
-    FROM cand JOIN sh ta ON ta.doc_id = cand.id_a
-              JOIN sh tb ON tb.doc_id = cand.id_b
-    WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
-               AS DOUBLE)
-          / greatest(len(ta.toks) + len(tb.toks)
-            - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))), 1)
-          >= 0.5
+    ), mh_pairs AS (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                        AS DOUBLE)
+                   / greatest(len(ta.toks) + len(tb.toks)
+                     - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))),
+                     1), 4) AS jaccard
+      FROM cand JOIN sh ta ON ta.doc_id = cand.id_a
+                JOIN sh tb ON tb.doc_id = cand.id_b
+      WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                 AS DOUBLE)
+            / greatest(len(ta.toks) + len(tb.toks)
+              - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))), 1)
+            >= 0.5
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {MINHASH_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
     -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
