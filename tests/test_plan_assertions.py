@@ -385,12 +385,13 @@ def test_jaccard_prefix_candidates_never_carry_token_sets(spark):
         d, bucket_cols=("lang", "size_bucket"), prefix_filter=True
     )
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    # the pair-generating explodes are over _pref; the _tokset explodes
-    # upstream are the per-token frequency builders (one token per row,
-    # array never rides a join).  The _pref explode outputs must not
-    # carry the token-set arrays.
+    # the pair-generating explodes are over _pref (posexplode since the
+    # round-11 PPJoin positional filter — the position rides as one int);
+    # the _tokset explodes upstream are the per-token frequency builders
+    # (one token per row, array never rides a join).  The _pref explode
+    # outputs must not carry the token-set arrays.
     pref_lines = [
-        ln for ln in opt.splitlines() if "Generate explode(_pref" in ln
+        ln for ln in opt.splitlines() if "Generate posexplode(_pref" in ln
     ]
     assert len(pref_lines) == 2, opt
     assert all("_tokset" not in ln for ln in pref_lines), pref_lines
