@@ -96,9 +96,12 @@ def test_ngram_jaccard_salted_matches_unsalted(spark):
     assert results[1] == results[3] == results[8]
     assert len(results[1]) > 0
     assert all(a < b for a, b, _ in results[1])
-    # the AllPairs prefix filter is a pure candidate bound: identical
-    # output to the exhaustive enumeration at any threshold
-    for t in (0.1, 0.5):
+    # the AllPairs prefix filter (+ the round-11 PPJoin positional
+    # filter riding inside it) is a pure candidate bound: identical
+    # output to the exhaustive enumeration at any threshold — 0.9
+    # exercises the α-bound boundary where near-identical sets must
+    # survive the positional prune
+    for t in (0.1, 0.5, 0.9):
         exhaustive = sorted(
             (r.id_a, r.id_b, r.jaccard)
             for r in D.ngram_jaccard_pairs(
