@@ -395,6 +395,14 @@ def test_jaccard_prefix_candidates_never_carry_token_sets(spark):
     ]
     assert len(pref_lines) == 2, opt
     assert all("_tokset" not in ln for ln in pref_lines), pref_lines
+    # the PPJoin positional filter is cost-only (the exact verify hides
+    # its absence from every value test), so pin it in the plan: the
+    # candidate join's condition (Catalyst folds the post-join filters
+    # into the Join node) must compare both prefix positions
+    assert any(
+        ("Join" in ln or "Filter" in ln) and "_pa#" in ln and "_pb#" in ln
+        for ln in opt.splitlines()
+    ), opt
 
 
 def test_unigram_lm_dp_is_jvm_expression_and_model_broadcasts(spark):
