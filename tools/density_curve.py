@@ -58,6 +58,9 @@ DENS = [
     # host, so this is where grid-vs-nogrid separates — the plain join
     # runs the hot bucket's Θ(n²) mass on ONE task.  k is nominal.
     ("4hot", "/tmp/scaledata/dens-4hot"),
+    # the PLANS.md control point: 12k users in ONE bucket (~72M pairs
+    # on a single join key) — grid vs plain at the worst tile
+    ("8hot", "/tmp/scaledata/dens-8hot"),
 ]
 
 

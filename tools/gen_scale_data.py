@@ -520,3 +520,9 @@ if __name__ == "__main__":
         _hotspot_events(
             os.path.join(base, "dens-4hot"), os.path.join(base, "dens-4")
         )
+        # the PLANS.md hot-bucket control is measured at k=8 (12k users
+        # in one (event_type, hour) — ~72M candidate pairs on one key);
+        # write that tile too so the claim reproduces from the harness
+        _hotspot_events(
+            os.path.join(base, "dens-8hot"), os.path.join(base, "dens-8")
+        )
