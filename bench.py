@@ -10,6 +10,14 @@ prints ONE JSON line::
 Each query is fully materialized through the ``noop`` sink (computes every
 column, no driver collect, no disk write) so the number measures the whole
 plan, not a count-star shortcut.
+
+Round 12 (r11 verdict #2): both JSON lines carry a ``baseline`` object —
+per-entry ratios vs the committed idle-host ``BENCH_BASELINE.json``
+(``ratio_median`` / ``ratio_p90`` / ``outliers``).  A uniform ratio shift
+(median moves, outliers empty) is host load/steal; a code regression shows
+as a per-entry outlier against a flat median.  Re-pin with
+``python bench.py --record-baseline`` ONLY on an idle host (loadavg < 1
+before, spread_median ~ 0.1; see PLANS.md for the reference point).
 """
 
 from __future__ import annotations
@@ -239,6 +247,27 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    if "--record-baseline" in sys.argv:
+        # pin this run as the per-entry reference (only do this on an
+        # idle host: loadavg < 1 and spread_median ≤ 0.1, see PLANS.md)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_BASELINE.json"),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "value": total,
+                    "sf": sf,
+                    "queries": timings,
+                    "host_load": host_load,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    baseline = _baseline_ratios(timings, sf)
     # Per-query detail first (large line; may be truncated by fixed-size
     # tail captures), then a compact machine-readable totals line LAST so
     # any tail window still gets a parseable summary (round-4 verdict #1:
@@ -252,6 +281,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_load": host_load,
+                "baseline": baseline,
             }
         )
     )
@@ -264,9 +294,54 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "host_load": host_load,
+                "baseline": baseline,
             }
         )
     )
+
+
+def _baseline_ratios(timings: dict[str, float], sf: float) -> dict | None:
+    """Per-entry ratios vs the committed idle-host baseline (r11 verdict
+    #2).  Separates the two failure modes a bare wall total conflates:
+    a UNIFORM ratio shift (median moves, spread doesn't) is host
+    baseline/steal; a genuine code regression shows as per-entry
+    OUTLIERS against a flat median.  Baseline provenance: BENCH_BASELINE
+    .json is recorded by ``--record-baseline`` on an idle host
+    (loadavg < 1, spread_median ≤ 0.1 — documented in PLANS.md) at the
+    same sf as the run being compared."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        base = json.load(f)
+    if base.get("sf") != sf:
+        return {"note": f"baseline sf {base.get('sf')} != run sf {sf}"}
+    ratios = {
+        name: round(t / base["queries"][name], 3)
+        for name, t in timings.items()
+        if base["queries"].get(name, 0) > 0
+    }
+    if not ratios:
+        return None
+    ranked = sorted(ratios.values())
+    median = ranked[len(ranked) // 2]
+    p90 = ranked[int(len(ranked) * 0.9)]
+    # Outlier = this entry moved well beyond the run's uniform shift AND
+    # by enough absolute time to matter (tiny entries jitter in ratio).
+    outliers = {
+        name: r
+        for name, r in ratios.items()
+        if r > max(1.5, 1.5 * median)
+        and timings[name] - base["queries"][name] > 0.5
+    }
+    return {
+        "baseline_total": base.get("value"),
+        "n_compared": len(ratios),
+        "ratio_median": round(median, 3),
+        "ratio_p90": round(p90, 3),
+        "outliers": dict(sorted(outliers.items(), key=lambda kv: -kv[1])),
+    }
 
 
 if __name__ == "__main__":

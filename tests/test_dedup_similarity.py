@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import random
 
+import pytest as _pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -650,9 +651,6 @@ def test_ivf_assign_hier_invariant_to_input_partitioning(spark):
     assert base == dist
 
 
-import pytest as _pytest
-
-
 @_pytest.mark.parametrize("grid_s", [None, 3, 13])
 @_pytest.mark.parametrize("skew_labels", [False, True])
 def test_grid_blocked_pairs_match_naive_all_pairs(spark, grid_s, skew_labels):
@@ -825,9 +823,6 @@ def test_cachereg_recaches_after_external_clearcache(spark):
     c2.count()
     assert c2.storageLevel != StorageLevel.NONE
     c2.unpersist()
-
-
-import pytest as _pytest
 
 
 @_pytest.mark.parametrize(

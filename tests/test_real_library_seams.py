@@ -24,6 +24,11 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# `pytest -m real tests/` selects exactly this module: skipped wholesale
+# in the base image (every test importorskips its library), a live
+# contract run in an env built from requirements-real.txt (r11 #5).
+pytestmark = pytest.mark.real
+
 
 def test_librosa_audio_decode_contract(spark):
     pytest.importorskip("librosa")

@@ -476,53 +476,86 @@ def generate(
     print(f"wrote {outdir} (K={k_copies}, docs={n_docs})")
 
 
+def _have(outdir: str, *tables: str) -> bool:
+    """True when every named parquet already exists in ``outdir`` —
+    lets ``--missing-only`` rebuild exactly the tiles an ephemeral
+    /tmp wipe took without regenerating the survivors (the per-round
+    'regenerate /tmp/scaledata first if wiped' step in one cheap
+    command)."""
+    return all(
+        os.path.exists(os.path.join(outdir, f"{t}.parquet")) for t in tables
+    )
+
+
 if __name__ == "__main__":
     _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     base = _pos[0] if _pos else "/tmp/scaledata"
+    missing_only = "--missing-only" in sys.argv
+
+    def _skip(outdir: str, *tables: str) -> bool:
+        if missing_only and _have(outdir, *tables):
+            print(f"have {outdir} — skipped")
+            return True
+        return False
+
+    _FULL = ("documents", "lineitem", "orders", "events", "embeddings")
     # full oracle-sweep replica at driver-sf0.01 size, Zipfian text
-    generate(
-        os.path.join(base, "sf0.01"), 1, 500, doc_seed=11,
-        src=f"{TESTDATA}/sf0.01",
-    )
+    if not _skip(os.path.join(base, "sf0.01"), *_FULL):
+        generate(
+            os.path.join(base, "sf0.01"), 1, 500, doc_seed=11,
+            src=f"{TESTDATA}/sf0.01",
+        )
     # scaling-curve points — shared vocabulary, n_docs ∝ sf
-    generate(os.path.join(base, "sf0.1"), 1, DOCS_PER_SF01, doc_seed=21)
-    generate(os.path.join(base, "sf0.3"), 3, 3 * DOCS_PER_SF01, doc_seed=23)
-    generate(os.path.join(base, "sf1"), 10, 10 * DOCS_PER_SF01, doc_seed=31)
+    if not _skip(os.path.join(base, "sf0.1"), *_FULL):
+        generate(os.path.join(base, "sf0.1"), 1, DOCS_PER_SF01, doc_seed=21)
+    if not _skip(os.path.join(base, "sf0.3"), *_FULL):
+        generate(os.path.join(base, "sf0.3"), 3, 3 * DOCS_PER_SF01, doc_seed=23)
+    if not _skip(os.path.join(base, "sf1"), *_FULL):
+        generate(os.path.join(base, "sf1"), 10, 10 * DOCS_PER_SF01, doc_seed=31)
     # one more decade for the e2e lineages (documents) and the
     # event-window extra-decade rows (events only; the full keyed set
     # would triple generation time for tables nothing at sf3 reads)
-    generate(
-        os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
-        documents_only=True, with_events=True, with_embeddings=True,
-    )
+    if not _skip(os.path.join(base, "sf3"), "documents", "events", "embeddings"):
+        generate(
+            os.path.join(base, "sf3"), 30, 30 * DOCS_PER_SF01, doc_seed=43,
+            documents_only=True, with_events=True, with_embeddings=True,
+        )
     # skewed-key replicas of the curve points (round-9): same rows, same
     # schemas, Zipfian key histograms for the keyed-shuffle operators
     for i, sf in enumerate(("sf0.1", "sf0.3", "sf1", "sf3")):
-        make_skewed(
-            os.path.join(base, f"skew-{sf[2:]}"),
-            os.path.join(base, sf),
-            seed=900 + 10 * i,
-        )
+        if not _skip(os.path.join(base, f"skew-{sf[2:]}"), "events"):
+            make_skewed(
+                os.path.join(base, f"skew-{sf[2:]}"),
+                os.path.join(base, sf),
+                seed=900 + 10 * i,
+            )
     # fourth-decade + density tiles, behind --extra (minutes, used only
     # by the decade measurements; the default path stays ~25 s):
     #   sf10e — embeddings-only ×100 (IVF round-growth decade, round-10)
     #   sf10d — documents-only 100× corpus (tokenizer-encode decade, r11)
     #   dens-{2,4,8} — events user-density tiles (LPA co-occurrence, r11)
     if "--extra" in sys.argv:
-        _tile_embeddings(100, os.path.join(base, "sf10e"), src=f"{TESTDATA}/sf0.1")
-        print(f"wrote {base}/sf10e (embeddings x100)")
-        generate(
-            os.path.join(base, "sf10d"), 100, 100 * DOCS_PER_SF01,
-            doc_seed=57, documents_only=True,
-        )
+        if not _skip(os.path.join(base, "sf10e"), "embeddings"):
+            _tile_embeddings(
+                100, os.path.join(base, "sf10e"), src=f"{TESTDATA}/sf0.1"
+            )
+            print(f"wrote {base}/sf10e (embeddings x100)")
+        if not _skip(os.path.join(base, "sf10d"), "documents"):
+            generate(
+                os.path.join(base, "sf10d"), 100, 100 * DOCS_PER_SF01,
+                doc_seed=57, documents_only=True,
+            )
         for k in (2, 4, 8):
-            _densify_events(k, os.path.join(base, f"dens-{k}"))
-        _hotspot_events(
-            os.path.join(base, "dens-4hot"), os.path.join(base, "dens-4")
-        )
+            if not _skip(os.path.join(base, f"dens-{k}"), "events"):
+                _densify_events(k, os.path.join(base, f"dens-{k}"))
+        if not _skip(os.path.join(base, "dens-4hot"), "events"):
+            _hotspot_events(
+                os.path.join(base, "dens-4hot"), os.path.join(base, "dens-4")
+            )
         # the PLANS.md hot-bucket control is measured at k=8 (12k users
         # in one (event_type, hour) — ~72M candidate pairs on one key);
         # write that tile too so the claim reproduces from the harness
-        _hotspot_events(
-            os.path.join(base, "dens-8hot"), os.path.join(base, "dens-8")
-        )
+        if not _skip(os.path.join(base, "dens-8hot"), "events"):
+            _hotspot_events(
+                os.path.join(base, "dens-8hot"), os.path.join(base, "dens-8")
+            )

@@ -68,8 +68,6 @@ def table_widths(spark, sf_dir: str) -> dict[str, int]:
     return w
 
 
-SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\][^\n]*?Location[^\n]*?/(\w+)\.parquet")
-
 _PREFIX_RE = re.compile(r"^[\s:+|-]*")
 
 
@@ -94,6 +92,36 @@ def live_scan_split(plan: str) -> tuple[list[str], list[str]]:
             tab = m.group(1) if m else "?"
             (cached if imr_stack else live).append(tab)
     return live, cached
+
+
+def _smj_over_bounded_dim(plan: str) -> bool:
+    """True only when a LIVE FileScan of a bounded dim sits INSIDE a
+    SortMergeJoin subtree — the actual 'SMJ over a broadcast-able dim'
+    smell.  Cached-subtree scans (materialized once, not per-join) and
+    bounded-dim scans feeding some other operator in the same plan do
+    not count (r11 ADVICE: the old plan-wide co-occurrence check flagged
+    false positives)."""
+    imr_stack: list[int] = []
+    smj_stack: list[int] = []
+    for ln in plan.splitlines():
+        if not ln.strip():
+            continue
+        indent = len(_PREFIX_RE.match(ln).group(0))
+        while imr_stack and indent <= imr_stack[-1]:
+            imr_stack.pop()
+        while smj_stack and indent <= smj_stack[-1]:
+            smj_stack.pop()
+        if "InMemoryRelation" in ln:
+            imr_stack.append(indent)
+            continue
+        if "SortMergeJoin" in ln:
+            smj_stack.append(indent)
+            continue
+        if "FileScan" in ln and smj_stack and not imr_stack:
+            m = re.search(r"/(\w+)\.parquet", ln)
+            if m and m.group(1) in BOUNDED_DIMS:
+                return True
+    return False
 
 
 def audit_plan(plan: str, widths: dict[str, int]) -> dict:
@@ -128,10 +156,8 @@ def audit_plan(plan: str, widths: dict[str, int]) -> dict:
             flags.append(f"rescan:{tab}x{n}")
     if rec["cartesian"]:
         flags.append("cartesian")
-    if rec["smj"]:
-        scanned = {t for t, _ in rec["scans"]}
-        if scanned & set(BOUNDED_DIMS):
-            flags.append("smj_bounded_dim")
+    if rec["smj"] and _smj_over_bounded_dim(plan):
+        flags.append("smj_bounded_dim")
     for tab, ncols in rec["scans"]:
         w = widths.get(tab)
         if w and ncols >= w and tab in FACTS:

@@ -133,6 +133,21 @@ PAIRGRID_S_MAX = ("spark.graft.pairgrid.s_max", 1024)
 # every task's enumeration+partial-agg footprint trivially bounded for
 # ANY bucket histogram — the property that matters at cluster scale —
 # at ≤13% local cost on the worst tile and ~0 on uniform ones.
+#
+# HYSTERESIS NOTE for deployers tuning this dial (r11 verdict #4): the
+# grid-vs-plain crossover on the dens-8hot control is SOFT — two runs
+# measured it on opposite sides (plain within 13% of grid on a loaded
+# host; grid 1.4× FASTER on a clean one, 66.6 vs 92.4 s, where the
+# plain path's single 72M-pair task threw JVM GC-locker warnings).
+# Local wall time near the boundary is load-sensitive noise; the grid's
+# bounded-task property is not.  Decision rule: keep the default unless
+# profiling shows grid replication itself dominating; only RAISE
+# target_rows (toward the plain join) when the worst bucket's
+# (n_b/target_rows)² per-cell pair mass times row width is still well
+# under per-task memory (rule of thumb: target_rows² pairs ≲ 1/8 of
+# spark.memory per task), and prefer a ≥4× step over chasing single-run
+# deltas inside the ±40% noise band.  Semantics never change — the pair
+# set is identical for any value (edge-count assert in the operator).
 PAIRGRID_TARGET_ROWS = ("spark.graft.pairgrid.target_rows", 256)
 CODEBOOK_BROADCAST_MAX_MB = ("spark.graft.codebook.broadcast_max_mb", 32)
 SEMDEDUP_KMAX = ("spark.graft.semdedup.kmax", 65536)

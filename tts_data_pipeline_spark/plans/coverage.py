@@ -1413,25 +1413,12 @@ def _leakage_split_oracle(pair_ctes: str, pair_rel: str) -> str:
     """
 
 
-# the exact bucketed-Jaccard pair chain, mirroring
-# dedup_ngram_jaccard_bucketed's oracle; exposes jac_pairs(id_a, id_b)
-_JACCARD_PAIR_CTES = """base AS (
-      SELECT doc_id, lang,
-             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
-      FROM documents
-    ), jac_pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM base a JOIN base b
-        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-       AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
-                 AS DOUBLE)
-            / greatest(len(a.tokset) + len(b.tokset)
-                       - len(list_filter(a.tokset,
-                                         x -> list_contains(b.tokset, x))), 1)
-            >= 0.5
-    )"""
+# the exact bucketed-Jaccard pair chain — the SAME CTE parts
+# dedup_ngram_jaccard_bucketed's oracle is composed from (r11 ADVICE:
+# share, don't mirror); exposes jac_pairs(id_a, id_b, jaccard)
+from tts_data_pipeline_spark.plans.extensions import (  # noqa: E402
+    JACCARD_PAIR_CTES as _JACCARD_PAIR_CTES,
+)
 
 
 @query(

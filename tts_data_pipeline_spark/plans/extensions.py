@@ -56,15 +56,18 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard_bucketed",
-    oracle="""
-    WITH base AS (
+# Exact bucketed-Jaccard pair chain as composable CTE parts (no leading
+# WITH), the same convention as MINHASH_PAIR_CTES below: consumers —
+# dedup_ngram_jaccard_bucketed itself and the leakage-safe split in
+# plans/coverage.py — replay the IDENTICAL bucket/verify chain instead of
+# duplicating it (r11 ADVICE: verbatim copies drift).  Exposes
+# ``jac_pairs(id_a, id_b, jaccard)`` with the >= 0.5 threshold applied.
+JACCARD_PAIR_CTES = """base AS (
       SELECT doc_id, lang,
              CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
              list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
       FROM documents
-    ), pairs AS (
+    ), jac_raw AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS inter,
              len(a.tokset) + len(b.tokset)
@@ -72,11 +75,19 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base a JOIN base b
         ON a.lang = b.lang AND a.size_bucket = b.size_bucket
        AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(inter AS DOUBLE) / greatest(uni, 1), 4) AS jaccard
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / greatest(uni, 1) >= 0.5
+    ), jac_pairs AS (
+      SELECT id_a, id_b, CAST(inter AS DOUBLE) / greatest(uni, 1) AS jaccard
+      FROM jac_raw
+      WHERE CAST(inter AS DOUBLE) / greatest(uni, 1) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_ngram_jaccard_bucketed",
+    oracle=f"""
+    WITH {JACCARD_PAIR_CTES}
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM jac_pairs
     -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
