@@ -173,6 +173,11 @@ HEADLINE = [
     # twin is the scale path.
     "split_leakage_safe",
     "split_leakage_safe_minhash",
+    # round-12 additions: the weighted-sampling family representative
+    # (A-ES one-pass top-k — TakeOrderedAndProject, the no-shuffle scale
+    # path) and its per-source stratified twin (one windowed shuffle)
+    "sample_weighted_reservoir",
+    "sample_weighted_reservoir_stratified",
 ]
 
 

@@ -72,3 +72,36 @@ def test_exact_median_odd_group_passes_value_through(spark):
     pdf = pd.DataFrame({"k": ["a"] * 3, "v": vals})
     got = _exact_median(spark.createDataFrame(pdf), "k", "v", "med").toPandas()
     assert got["med"][0] == sorted(vals)[1]
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    """A-ES inclusion must follow the weights: with two weight classes
+    1000:10 and k = half the rows, essentially every heavy row is
+    sampled and heavy rows dominate the sample far beyond their count
+    share.  Deterministic (md5-keyed draws), so exact counts are
+    stable."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tts_data_pipeline_spark.plans.curation import (
+        _RES_K,
+        _res_key_col,
+    )
+
+    rows = [(i, "heavy" if i % 4 == 0 else "light",
+             1000 if i % 4 == 0 else 10) for i in range(800)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    sampled = (
+        d.select("doc_id", "source", "n_chars", _res_key_col().alias("key"))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(_RES_K)
+    ).collect()
+    n_heavy = sum(1 for r in sampled if r.source == "heavy")
+    # 200 heavy rows of weight 1000 vs 600 light of weight 10: the top
+    # 200 keys should be nearly all heavy (P(light beats heavy) tiny)
+    assert n_heavy >= 180, n_heavy
+    # keys are strictly negative (log-domain) and sorted descending
+    keys = [r.key for r in sampled]
+    assert all(k < 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)

@@ -623,3 +623,12 @@ def test_ordered_opt_in_sorts_over_cache(spark):
         cols = entries[name]
         keyed = [tuple(r[c] for c in cols) for r in fn(spark, SF_DIR, ordered=True).select(*cols).collect()]
         assert keyed == sorted(keyed), name
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """A-ES global sampling must stay per-partition top-k (no shuffle,
+    k rows per partition to the driver merge) — TakeOrderedAndProject,
+    never a global Sort + Limit pair."""
+    plan = plan_of(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -1129,3 +1129,127 @@ def pipeline_e2e_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --- Weighted reservoir sampling (round 12) ---------------------------
+
+_RES_K = 200
+_RES_STRAT_K = 20
+# md5-derived uniform in (0, 1): 6 hex digits → 2^24 grid, +1 in the
+# numerator/denominator keeps u strictly positive so ln(u) is finite.
+# Same portable-uniform convention as mix_weighted_sources.
+_RES_U_SQL = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':res'), 1, 6))"
+    "::BIGINT + 1) / 16777217.0)"
+)
+
+
+def _res_u_col() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / 16777217.0
+
+
+def _res_key_col() -> F.Column:
+    # A-ES key in log domain: ln(u)/w — strictly negative, larger
+    # (closer to 0) = more likely sampled; heavier docs get larger keys.
+    # Rounded to 9 dp on BOTH sides before ranking: u and w are discrete
+    # but ln(u)/w is a continuous-valued irrational, so a last-ulp libm
+    # difference between the JVM and DuckDB cannot flip the rounded
+    # value (the repo's standing continuous-aggregate ROUND argument);
+    # doc_id breaks any exact key tie deterministically.
+    return F.round(F.log(_res_u_col()) / F.col("n_chars"), 9)
+
+
+_RES_KEY_SQL = f"ROUND(ln({_RES_U_SQL}) / n_chars, 9)"
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, {_RES_KEY_SQL} AS key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY key DESC, doc_id
+    LIMIT {_RES_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in ONE pass — Efraimidis &
+    Spirakis (2006) A-ES: each row draws key = u^(1/w) (here in the
+    equivalent log domain, ln(u)/w) and the sample is the global top-k
+    by key; inclusion follows the weighted-without-replacement
+    distribution exactly, and because u is the md5-derived uniform of
+    the stable doc_id the "draw" is a pure function of the row — the
+    same reproducible-sampling contract as ``mix_weighted_sources``
+    (adding documents never reassigns existing keys).
+
+    This is THE way to subsample a 100 TB corpus by weight (here
+    ``n_chars``, i.e. char-budget-proportional): the plan is
+    TakeOrderedAndProject — every partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge; no shuffle,
+    no sampling state, no second pass.  A rejection sampler
+    (``mix_weighted_sources``) needs a keep-probability known up front;
+    A-ES needs only relative weights and yields an exact-size sample.
+
+    Reference corpus-sampling behavior (random subset selection for QC
+    listening checks): ``tts_data_pipeline/alignment/post_process.py``
+    (sample-based WER gating); the weighted generalization is the
+    standard pretraining-mixture primitive.
+    """
+    d = spread(table(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    return (
+        d.select("doc_id", "source", "n_chars", _res_key_col().alias("key"))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(_RES_K)
+    )
+
+
+@query(
+    "sample_weighted_reservoir_stratified",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars, {_RES_KEY_SQL} AS key,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {_RES_KEY_SQL} DESC, doc_id
+             ) AS rn
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, key
+    FROM keyed
+    WHERE rn <= {_RES_STRAT_K}
+    ORDER BY source, key DESC, doc_id
+    """,
+)
+def sample_weighted_reservoir_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source A-ES: the same one-draw-per-row key, ranked WITHIN each
+    source — k docs per stratum in one shuffle (the window's
+    partitionBy), the stratified form a mixture pipeline actually wants
+    (sample each source's char budget independently, immune to one
+    giant source swallowing the global top-k).  Generalizes the
+    driver's per-group fractional sample (O4) to weighted exact-k."""
+    d = spread(table(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars", _res_key_col().alias("key")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("key"), "doc_id")
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .filter(F.col("rn") <= _RES_STRAT_K)
+        .select("source", "doc_id", "n_chars", "key")
+        .orderBy("source", F.desc("key"), "doc_id")
+    )
