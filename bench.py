@@ -178,6 +178,9 @@ HEADLINE = [
     # path) and its per-source stratified twin (one windowed shuffle)
     "sample_weighted_reservoir",
     "sample_weighted_reservoir_stratified",
+    # round-12: event-time-timeout sessionization (4-batch chronological
+    # replay + state retirement; ≥2 s by the streaming replay tax)
+    "stream_stateful_sessions_timeout",
 ]
 
 

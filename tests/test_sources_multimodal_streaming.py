@@ -445,3 +445,114 @@ def test_watermarked_dedup_absorbs_in_horizon_and_reemits_expired(
         # absent: o1 (late drop at 5m <= 70m), e2's probe (absorbed),
         # and the b1 spacer (absorbed while e1 was still in state)
     }
+
+
+def test_timeout_sessionize_retires_dormant_state(spark):
+    """EventTimeTimeout sessionization (round 12): the emitted set must be
+    the batch gap sessions MINUS only the tails whose ms-truncated
+    last_ts + gap is not strictly below the final watermark, and —
+    the knob's whole point — the state store must end holding exactly
+    those unemitted tails, not every user ever seen."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from tts_data_pipeline_spark.sources import table
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stateful_sessions_timeout_to_memory,
+    )
+
+    final_state = {"rows": None}
+
+    class Cap(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            ops = event.progress.stateOperators
+            if ops:
+                final_state["rows"] = sum(o.numRowsTotal for o in ops)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    cap = Cap()
+    spark.streams.addListener(cap)
+    try:
+        got = {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events,
+                r.total_value,
+            )
+            for r in run_stateful_sessions_timeout_to_memory(
+                spark, SF_DIR, "t_sessions_timeout"
+            ).collect()
+        }
+    finally:
+        import time as _time
+
+        deadline = _time.time() + 10
+        while _time.time() < deadline and final_state["rows"] is None:
+            _time.sleep(0.2)
+        spark.streams.removeListener(cap)
+
+    # batch expectation, replicated with the probe-measured ms rule
+    from pyspark.sql import Window as W
+
+    e = table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > 1800 * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    w_ms = (
+        e.agg(
+            (F.floor(F.max(F.unix_micros("ts")) / 1000) - 1800000).alias("w")
+        ).collect()[0].w
+    )
+    last = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    tails = sess.join(last, ["user_id"]).filter(
+        F.col("sess_id") == F.col("last_id")
+    )
+    fired_tails = tails.filter(
+        F.floor(F.unix_micros("session_end") / 1000) + 1800000 < F.lit(w_ms)
+    )
+    closed = sess.join(
+        last,
+        (sess.user_id == last.user_id) & (sess.sess_id == last.last_id),
+        "left_anti",
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in closed.unionByName(
+            fired_tails.select(closed.columns)
+        ).collect()
+    }
+    assert got == want
+    # bounded-state claim: keys remaining == tails still inside the horizon
+    n_users = e.select("user_id").distinct().count()
+    n_unfired = n_users - fired_tails.count()
+    assert final_state["rows"] == n_unfired, (
+        final_state["rows"],
+        n_unfired,
+        n_users,
+    )
+    assert n_unfired < n_users  # the knob actually retired someone

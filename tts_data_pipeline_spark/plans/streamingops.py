@@ -6,8 +6,10 @@ batch stand-in.
 ``stream_tumbling_counts`` carries the SAME DuckDB oracle as the batch
 ``w4_tumbling_window`` query: window()/watermark semantics are identical in
 batch and streaming by design, and this query proves it with a value-hash
-match.  The stateful sessionizer is rows-only (its state machine has no SQL
-equivalent; parity with the batch gap rule is pinned in tests)."""
+match.  The stateful sessionizers are oracle-backed too: the NoTimeout
+form equals batch-sessionize-minus-open-tails, and the EventTimeTimeout
+form (round 12) adds the probe-measured timeout rule to the closed form
+— see ``SESSIONS_TIMEOUT_ORACLE``."""
 
 from __future__ import annotations
 
@@ -75,6 +77,80 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is additionally pinned in tests/test_sources_multimodal_streaming.py.)"""
     ensure_utc(spark)
     out = run_stateful_sessions_to_memory(spark, sf_dir, "q_stream_sessions")
+    return out.orderBy("user_id", "session_start")
+
+
+SESSIONS_TIMEOUT_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), agg AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM sessions GROUP BY user_id, session_id
+), open_tail AS (
+  SELECT user_id, MAX(session_id) AS last_sid FROM agg GROUP BY user_id
+), wm AS (
+  -- final watermark, Spark's ms-truncated form: floor(max_us/1000) - delay_ms
+  SELECT (epoch_us(MAX(ts)) // 1000) - 1800000 AS w_ms FROM events
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+FROM agg a JOIN open_tail o ON a.user_id = o.user_id, wm
+WHERE a.session_id < o.last_sid
+   -- tail sessions: emitted iff the event-time timeout fired, i.e. the
+   -- registered ms timestamp lies STRICTLY below the final watermark
+   OR (epoch_us(a.session_end) // 1000) + 1800000 < wm.w_ms
+ORDER BY a.user_id, a.session_start
+"""
+
+
+@query("stream_stateful_sessions_timeout", oracle=SESSIONS_TIMEOUT_ORACLE)
+def stream_stateful_sessions_timeout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap sessionization with ``GroupStateTimeout.EventTimeTimeout`` —
+    the production state-retirement knob the plain stateful entry lacks
+    (its state holds every user ever seen; the r12 state-growth decade
+    measured removed=0).  Here a dormant user's parked session is
+    EMITTED and its key REMOVED once the watermark strictly passes
+    last_ts + gap, so the state store is bounded by the session-gap
+    horizon, not by key cardinality over the stream's lifetime.
+
+    ORACLE-BACKED with a closed form (probe-measured semantics in
+    ``streaming/events.py::stateful_sessionize_timeout``): emitted rows
+    = batch gap-sessionization MINUS only the per-user tail sessions
+    whose ms-truncated ``last_ts + gap`` is not strictly below the final
+    watermark ``floor(max_ts_ms) − delay``.  The replay is 4
+    chronological micro-batches, and the emitted SET is provably
+    slicing-independent (a timeout can never fire before a within-gap
+    successor is processed — see the operator docstring), so the oracle
+    replays policy, not batch accidents.
+
+    Reference behavior: the reference pipeline's per-book session
+    assembly is batch (`alignment/post_process.py`); this is its
+    incremental form with bounded state — what a continuously-ingesting
+    TTS corpus needs at 100 TB."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stateful_sessions_timeout_to_memory,
+    )
+
+    ensure_utc(spark)
+    out = run_stateful_sessions_timeout_to_memory(
+        spark, sf_dir, "q_stream_sessions_timeout"
+    )
     return out.orderBy("user_id", "session_start")
 
 

@@ -212,6 +212,186 @@ def run_stateful_sessions_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stateful_sessionize_timeout(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """:func:`stateful_sessionize` plus the PRODUCTION state-retirement
+    knob: ``GroupStateTimeout.EventTimeTimeout``.  Without a timeout an
+    open session lives in the state store forever (the r12 state-growth
+    decade measured removed=0 for the NoTimeout form — state equals ALL
+    users ever seen); with it, a dormant user's parked session is
+    emitted and the key REMOVED once the watermark passes
+    ``last_ts + gap`` — state holds only users active inside the
+    session-gap horizon.
+
+    Timeout semantics, probe-measured on this Spark build (same method
+    as the ``dropDuplicatesWithinWatermark`` policy replay at
+    :func:`run_stream_dedup_watermarked`):
+
+    * a timeout fires in the first batch whose watermark STRICTLY
+      exceeds the registered timestamp (equality does not fire —
+      probed with W == timeout exactly);
+    * watermarks are millisecond-truncated (EventTimeStats accumulates
+      event-time µs / 1000), so the firing rule in µs terms is
+      ``floor(last_us/1000) + gap_ms < floor(max_us/1000) − delay_ms``
+      with the final watermark ``floor(max_us/1000) − delay_ms``;
+    * trailing no-data micro-batches carry the final watermark and fire
+      the last timeouts (``noDataMicroBatches`` must stay ON, the
+      opposite of the dedup replay's setting);
+    * a timeout can never fire before a within-gap successor event is
+      processed: with chronological slices, the watermark of the batch
+      carrying successor t2 is < t2 − delay ≤ last + gap − delay,
+      strictly below the registered timeout for any delay > 0 — so the
+      EMITTED SESSION SET is independent of slicing and equals the
+      batch gap-sessionization minus only the tails still inside the
+      horizon (the oracle's closed-form).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ss, lt, n, tv = state.get
+        else:
+            ss = lt = None
+            n, tv = 0, 0.0
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # dormant key: emit the parked session, retire the state
+            closed.append((key[0], ss, lt, n, round(tv, 2)))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    t = int(ts.value // 1000)  # ns → us
+                    if lt is None:
+                        ss = lt = t
+                        n, tv = 1, float(v)
+                    elif t - lt > gap_seconds * 1_000_000:
+                        closed.append((key[0], ss, lt, n, round(tv, 2)))
+                        ss = lt = t
+                        n, tv = 1, float(v)
+                    else:
+                        lt = t
+                        n += 1
+                        tv += float(v)
+            if lt is not None:
+                state.update((int(ss), int(lt), int(n), float(tv)))
+                # ms epoch; fires when the watermark strictly passes it
+                state.setTimeoutTimestamp(
+                    lt // 1000 + gap_seconds * 1000
+                )
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
+                    "n_events": c,
+                    "total_value": t,
+                }
+                for (u, s, e, c, t) in closed
+            ],
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "total_value",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_stateful_sessions_timeout_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stateful_sessions_timeout",
+    gap_seconds: int = 1800,
+    delay_seconds: int = 1800,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Drive the timeout sessionizer over a CHRONOLOGICAL multi-batch
+    replay (events globally sorted by (ts, event_id), ntile'd into
+    ``n_slices`` micro-batch files) so the watermark advances through
+    the event-time range and event-time timeouts actually fire —
+    a single-file replay would emit nothing but the gap-closed
+    sessions.  Returns every emitted session: gap-closed + timeout-
+    closed tails; only tails still inside the horizon
+    (last_ts + gap ≥ final watermark) stay unemitted (and, unlike the
+    NoTimeout form, they are ALSO the only keys still in state)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+    from tts_data_pipeline_spark.sources.readers import table
+
+    staging = scratch_mkdtemp("sessions_timeout_stream_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    # trailing no-data batches carry the FINAL watermark that fires the
+    # last timeouts — keep them ON (the dedup replay's opposite)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        b = F.ntile(n_slices).over(Window.orderBy("ts", "event_id")) - 1
+        _stage_replay_partitions(
+            ev.withColumn("b", b), staging, "b", list(range(n_slices))
+        )
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "events_*.parquet")
+            .load(staging)
+        )
+        out = stateful_sessionize_timeout(
+            stream.withWatermark("ts", f"{delay_seconds} seconds"),
+            gap_seconds,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, query_name: str = "windowed_events"
 ) -> DataFrame:
