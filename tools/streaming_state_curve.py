@@ -24,11 +24,17 @@ bounded by horizon keys (dedup), users (sessions), or the cell cap
 (CMS) — NOT by cumulative stream length; and eviction
 (numRowsRemoved > 0) is observed for the watermarked shapes.
 
+Round 12 adds a fourth shape, ``sessions_timeout``
+(stream_stateful_sessions_timeout; EventTimeTimeout retires dormant
+keys) — the contrast row proving the NoTimeout form's
+state-equals-all-users line is a knob, not a limit.
+
 Scales: /tmp/scaledata sf0.1 -> sf0.3 -> sf1 (events x1/x3/x10) plus
 dens-8 (8x per-user density, the hot-key shape).  Run
 ``tools/gen_scale_data.py --extra --missing-only`` first.
 
 Usage: python tools/streaming_state_curve.py [--slices 8]
+                                             [--shapes a,b,...]
 """
 
 from __future__ import annotations
@@ -52,6 +58,7 @@ from tts_data_pipeline_spark.streaming.events import (  # noqa: E402
     _state_partitions,
     read_events_stream,
     stateful_sessionize,
+    stateful_sessionize_timeout,
 )
 
 SCALES = [
@@ -154,10 +161,18 @@ def _sliced_stream(spark, slice_dir: str):
     )
 
 
+ALL_SHAPES = ("sessions", "sessions_timeout", "dedup_wm", "cms")
+
+
 def main() -> None:
     n_slices = 8
     if "--slices" in sys.argv:
         n_slices = int(sys.argv[sys.argv.index("--slices") + 1])
+    shapes_wanted = set(ALL_SHAPES)
+    if "--shapes" in sys.argv:
+        shapes_wanted = set(
+            sys.argv[sys.argv.index("--shapes") + 1].split(",")
+        )
     spark = get_spark(
         "streaming_state_curve",
         cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
@@ -179,30 +194,59 @@ def main() -> None:
             shapes: dict[str, dict] = {}
 
             # 1. gap sessionization (applyInPandasWithState)
-            wall = _run(
-                spark,
-                stateful_sessionize(_sliced_stream(spark, slice_dir)),
-                "append",
-                cap,
-            )
-            shapes["sessions"] = _summarize(cap, wall)
+            if "sessions" in shapes_wanted:
+                wall = _run(
+                    spark,
+                    stateful_sessionize(_sliced_stream(spark, slice_dir)),
+                    "append",
+                    cap,
+                )
+                shapes["sessions"] = _summarize(cap, wall)
+
+            # 1b. the round-12 timeout form: dormant keys retire, so
+            # state should track the horizon, not distinct users —
+            # the contrast row for the NoTimeout shape above.  No-data
+            # micro-batches must be ON for this shape (they carry the
+            # final watermark that fires the last timeouts).
+            if "sessions_timeout" in shapes_wanted:
+                spark.conf.set(
+                    "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+                )
+                try:
+                    wall = _run(
+                        spark,
+                        stateful_sessionize_timeout(
+                            _sliced_stream(spark, slice_dir).withWatermark(
+                                "ts", "30 minutes"
+                            )
+                        ),
+                        "append",
+                        cap,
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.streaming.noDataMicroBatches.enabled",
+                        "false",
+                    )
+                shapes["sessions_timeout"] = _summarize(cap, wall)
 
             # 2. watermarked dedup — 30 min horizon over (user, type,
             # hour): cumulative keys grow with the stream, horizon keys
             # don't
-            ev = _sliced_stream(spark, slice_dir).withColumn(
-                "hr", F.date_trunc("hour", F.col("ts"))
-            )
-            wall = _run(
-                spark,
-                ev.withWatermark("ts", "30 minutes")
-                .dropDuplicatesWithinWatermark(
-                    ["user_id", "event_type", "hr"]
-                ),
-                "append",
-                cap,
-            )
-            shapes["dedup_wm"] = _summarize(cap, wall)
+            if "dedup_wm" in shapes_wanted:
+                ev = _sliced_stream(spark, slice_dir).withColumn(
+                    "hr", F.date_trunc("hour", F.col("ts"))
+                )
+                wall = _run(
+                    spark,
+                    ev.withWatermark("ts", "30 minutes")
+                    .dropDuplicatesWithinWatermark(
+                        ["user_id", "event_type", "hr"]
+                    ),
+                    "append",
+                    cap,
+                )
+                shapes["dedup_wm"] = _summarize(cap, wall)
 
             # 3. CMS cells per 1-hour tumbling window (update mode):
             # state capped at active_windows * d * w whatever the key
@@ -210,6 +254,10 @@ def main() -> None:
             from tts_data_pipeline_spark.plans.extensions import _md5_long
 
             d_rows, width = 4, 256
+            if "cms" not in shapes_wanted:
+                results[label] = shapes
+                print(json.dumps({"scale": label, **shapes}), flush=True)
+                continue
             rows = (
                 _sliced_stream(spark, slice_dir)
                 .select("ts", "user_id")
