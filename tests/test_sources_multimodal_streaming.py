@@ -556,3 +556,37 @@ def test_timeout_sessionize_retires_dormant_state(spark):
         n_users,
     )
     assert n_unfired < n_users  # the knob actually retired someone
+
+
+def test_stateful_ops_identical_under_rocksdb_state_store(spark):
+    """At 100 TB-scale state the HDFS-backed in-memory state store is the
+    wrong provider; RocksDB (bundled: rocksdbjni in this build) is the
+    production choice.  Providers must be a pure physical swap: the
+    timeout sessionizer's emitted set is byte-identical under both."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stateful_sessions_timeout_to_memory,
+    )
+
+    base = {
+        tuple(r)
+        for r in run_stateful_sessions_timeout_to_memory(
+            spark, SF_DIR, "t_sess_to_default"
+        ).collect()
+    }
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            tuple(r)
+            for r in run_stateful_sessions_timeout_to_memory(
+                spark, SF_DIR, "t_sess_to_rocksdb"
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert len(base) > 0
+    assert base == rocks

@@ -10,6 +10,15 @@ incremental state management.
 For local verification we drive a parquet-source stream to completion with
 ``processAllAvailable`` into a memory sink (no cluster, no Kafka — the
 source/sink are swappable by config at deploy time).
+
+Deployment note (state backend): every stateful operator here runs
+unchanged under ``spark.sql.streaming.stateStore.providerClass =
+...state.RocksDBStateStoreProvider`` — the production provider once
+per-shard state outgrows executor heap (the default HDFS-backed store
+keeps the working map in memory).  Output equivalence is pinned by
+``test_stateful_ops_identical_under_rocksdb_state_store``; the provider
+is checkpoint-bound, so pick it before first start, like the shard
+count (see :func:`_state_partitions`).
 """
 
 from __future__ import annotations
