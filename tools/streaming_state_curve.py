@@ -55,6 +55,7 @@ from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
 from tts_data_pipeline_spark.scratch import scratch_mkdtemp  # noqa: E402
 from tts_data_pipeline_spark.session import get_spark  # noqa: E402
 from tts_data_pipeline_spark.streaming.events import (  # noqa: E402
+    _python_state_partitions,
     _state_partitions,
     read_events_stream,
     stateful_sessionize,
@@ -193,7 +194,13 @@ def main() -> None:
         try:
             shapes: dict[str, dict] = {}
 
-            # 1. gap sessionization (applyInPandasWithState)
+            # 1. gap sessionization (applyInPandasWithState) — Python-
+            # side stateful op: shards = per-key parallelism, so the two
+            # sessions shapes run at the runner's wider shard count
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_python_state_partitions(spark)),
+            )
             if "sessions" in shapes_wanted:
                 wall = _run(
                     spark,
@@ -233,6 +240,11 @@ def main() -> None:
             # 2. watermarked dedup — 30 min horizon over (user, type,
             # hour): cumulative keys grow with the stream, horizon keys
             # don't
+            # JVM-side shapes go back to the commit-cost-optimal width
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_state_partitions(spark)),
+            )
             if "dedup_wm" in shapes_wanted:
                 ev = _sliced_stream(spark, slice_dir).withColumn(
                     "hr", F.date_trunc("hour", F.col("ts"))

@@ -59,8 +59,29 @@ def _state_partitions(spark: SparkSession) -> int:
     output hash identical throughout — results never depend on shard
     count, only cost does).  (On a real cluster this is the one knob
     frozen into the checkpoint at first start — pick it for the target
-    state size, then it cannot change without a state rebuild.)"""
+    state size, then it cannot change without a state rebuild.)
+
+    This sizing is for JVM-side stateful operators (windowed aggs,
+    dropDuplicatesWithinWatermark) where per-shard work is trivial and
+    the commit cost dominates.  PYTHON-side stateful operators
+    (applyInPandasWithState) invert the trade — see
+    :func:`_python_state_partitions`."""
     return min(2, spark.sparkContext.defaultParallelism)
+
+
+def _python_state_partitions(spark: SparkSession) -> int:
+    """Shard count for ``applyInPandasWithState`` replays.
+
+    For a Python-side stateful operator each micro-batch pays one
+    Arrow-batched Python invocation PER KEY, and shards are the only
+    parallelism those invocations get — so unlike the JVM-side replays
+    (where 2 shards minimize per-batch commit cost, see
+    :func:`_state_partitions`), the per-key Python wall dominates and
+    more shards win.  Measured on the timeout sessionizer's 5-batch
+    sf0.1 replay (1,500 keys/batch, output identical at every width):
+    2 shards 23-27 s, 4 → 15.6 s, 8 → 11.0 s, 16 → 10.2 s.  8 captures
+    ~all the win before per-shard commit overhead flattens the curve."""
+    return min(8, spark.sparkContext.defaultParallelism)
 
 
 def read_events_stream(
@@ -197,11 +218,12 @@ def run_stateful_sessions_to_memory(
     """Drive the stateful sessionizer over the file stream to completion.
     Returns CLOSED sessions (each user's open tail stays in state — with an
     unbounded stream it would close via timeout or a later gap)."""
-    # state store shards = shuffle partitions — sized to state volume via
-    # _state_partitions, restoring the caller's conf afterwards
+    # state store shards = shuffle partitions; Python-side stateful op →
+    # shards are also the per-key-invocation parallelism (see
+    # _python_state_partitions), restoring the caller's conf afterwards
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+        "spark.sql.shuffle.partitions", str(_python_state_partitions(spark))
     )
     try:
         stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
@@ -349,8 +371,10 @@ def run_stateful_sessions_timeout_to_memory(
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
+    # Python-side stateful op: shards = per-key-invocation parallelism
+    # (measured 2.2× on this replay — see _python_state_partitions)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+        "spark.sql.shuffle.partitions", str(_python_state_partitions(spark))
     )
     # trailing no-data batches carry the FINAL watermark that fires the
     # last timeouts — keep them ON (the dedup replay's opposite)
