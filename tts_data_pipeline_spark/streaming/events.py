@@ -663,8 +663,10 @@ def run_transform_with_state(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    # Python StatefulProcessor: shards = per-key-invocation parallelism
+    # (same trade as the sessionizers — see _python_state_partitions)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+        "spark.sql.shuffle.partitions", str(_python_state_partitions(spark))
     )
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
