@@ -94,3 +94,40 @@ def test_committed_history_is_fresh_and_window_is_unsampled():
     window = names[len(new_this_round):50]
     expect_unsampled = min(len(never), len(window))
     assert all(n in never for n in window[:expect_unsampled])
+
+
+def test_committed_history_covers_every_driver_artifact():
+    """Staleness gate (r12 verdict #1): a forgotten round-open
+    ``tools/update_sample_history.py`` run must FAIL the build, not
+    silently re-certify stale entries.
+
+    The committed history must (a) list every committed
+    ``CORRECTNESS_r*.json`` round in ``generated_from_rounds`` and
+    (b) record at least the round each artifact entry appeared in —
+    if a new driver artifact lands and the history isn't regenerated,
+    both checks break loudly with the regeneration command.
+    """
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        os.path.dirname(catalog.__file__), "sample_history.json"
+    )
+    with open(path) as f:
+        history = json.load(f)
+    seen_rounds = set(history.get("generated_from_rounds", []))
+    last = history.get("last_sampled", {})
+    msg = (
+        "sample_history.json is stale — run "
+        "`python tools/update_sample_history.py` and commit the JSON"
+    )
+    for artifact_path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(artifact_path).split("_r")[1].split(".")[0])
+        assert rnd in seen_rounds, f"{msg} (missing round {rnd})"
+        with open(artifact_path) as f:
+            artifact = json.load(f)
+        for name in artifact:
+            assert name in last and last[name] >= rnd, (
+                f"{msg} ({name} certified in r{rnd} but history says "
+                f"{last.get(name)})"
+            )
