@@ -243,6 +243,27 @@ def main() -> None:
             timings[name] = min(timings.get(name, float("inf")), dt)
             print(f"  {name}: {dt:.3f}s", file=sys.stderr)
     load_after = os.getloadavg()
+
+    # Self-adjudicating re-time (r12 verdict #2): the gate's first real
+    # flags (q1/q3 at 1.8x) were settling-host noise on a bench started
+    # seconds after a full sweep — the contention outlasted all three
+    # passes, so min-of-3 couldn't filter it, and a human had to re-run
+    # the entries by hand.  Do that re-run mechanically: any entry whose
+    # min-of-3 still reads as an outlier vs the pinned baseline gets two
+    # extra passes HERE, at the very end of the session (minutes after
+    # start, when transient load has decayed), and keeps its overall
+    # min.  A genuine code regression survives the re-time — five slow
+    # passes instead of three — so the gate keeps its teeth; only the
+    # predictable session-start failure mode is absorbed.
+    def _run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        _materialize(queries[name](spark, sf_dir))
+        return round(time.perf_counter() - t0, 3)
+
+    retimed = _retime(timings, all_passes, sf, _run_once)
+    for name in retimed:
+        print(f"  retimed {name}: min {timings[name]:.3f}s", file=sys.stderr)
+
     spreads = sorted(
         (ts[1] - ts[0]) / max(ts[0], 1e-3)
         for ts in (sorted(v) for v in all_passes.values())
@@ -253,6 +274,8 @@ def main() -> None:
         "spread_median": round(spreads[len(spreads) // 2], 4),
         "spread_p90": round(spreads[int(len(spreads) * 0.9)], 4),
     }
+    if retimed:
+        host_load["retimed"] = retimed
 
     total = round(sum(timings.values()), 3)
     if "--record-baseline" in sys.argv:
@@ -306,6 +329,29 @@ def main() -> None:
             }
         )
     )
+
+
+def _retime(
+    timings: dict[str, float],
+    all_passes: dict[str, list[float]],
+    sf: float,
+    run_once,
+) -> list[str]:
+    """Re-run outlier-flagged entries twice each, keeping the overall
+    min (r12 verdict #2).  ``run_once(name) -> seconds``.  Settling-host
+    noise on the first passes is absorbed (the late passes read ~1x, the
+    min drops, the flag clears); a genuine regression is slow in the
+    late passes too and keeps its flag."""
+    retimed: list[str] = []
+    pre = _baseline_ratios(timings, sf)
+    if pre and pre.get("outliers"):
+        for name in pre["outliers"]:
+            for _ in range(2):
+                dt = run_once(name)
+                all_passes[name].append(dt)
+                timings[name] = min(timings[name], dt)
+            retimed.append(name)
+    return retimed
 
 
 def _baseline_ratios(timings: dict[str, float], sf: float) -> dict | None:
