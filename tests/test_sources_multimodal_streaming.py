@@ -447,6 +447,46 @@ def test_watermarked_dedup_absorbs_in_horizon_and_reemits_expired(
     }
 
 
+def test_fold_session_chunks_sorts_across_arrow_chunks():
+    """r12 ADVICE: a key's micro-batch rows can span multiple Arrow
+    chunks; sorting per-chunk (the old code) would let an out-of-order
+    timestamp regress session_end / the registered timeout, or merge
+    gap-separated sessions.  The shared fold must sort ACROSS chunks."""
+    import pandas as pd
+    from tts_data_pipeline_spark.streaming.events import _fold_session_chunks
+
+    def mk(*ts_val):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t, unit="s") for t, _ in ts_val],
+                "value": [v for _, v in ts_val],
+            }
+        )
+
+    gap = 1800
+    # chunk A carries the LATER events, chunk B the earlier ones; the
+    # true timeline is 0s, 60s | (gap) | 4000s, 4060s -> one closed
+    # session (0..60) and an open tail ending 4060
+    chunk_a = mk((4000, 1.0), (60, 2.0))
+    chunk_b = mk((4060, 3.0), (0, 4.0))
+    closed, ss, lt, n, tv = _fold_session_chunks(
+        7, [chunk_a, chunk_b], None, None, 0, 0.0, gap
+    )
+    assert closed == [(7, 0, 60_000_000, 2, 6.0)]
+    assert (ss, lt, n, tv) == (4000_000_000, 4060_000_000, 2, 4.0)
+
+    # per-chunk sort of the same input would fold 4000, 60, 4060, 0 ->
+    # wrong boundaries; cross-chunk sort is what makes lt monotone.
+    # empty-chunk iterators (timeout-only invocations) fold to no-op:
+    assert _fold_session_chunks(7, [mk()], None, None, 0, 0.0, gap) == (
+        [],
+        None,
+        None,
+        0,
+        0.0,
+    )
+
+
 def test_timeout_sessionize_retires_dormant_state(spark):
     """EventTimeTimeout sessionization (round 12): the emitted set must be
     the batch gap sessions MINUS only the tails whose ms-truncated

@@ -140,6 +140,41 @@ SESSION_STATE_SCHEMA = (
 )
 
 
+def _fold_session_chunks(key_val, pdfs, ss, lt, n, tv, gap_seconds):
+    """Fold one key's micro-batch rows into the open-session scalars.
+
+    Rows can span multiple Arrow chunks, so sort ACROSS chunks, not
+    per-chunk — a per-chunk sort would let an out-of-order timestamp
+    regress session_end (and the registered timeout) or merge
+    gap-separated sessions.  Equal-ts ties can fold in any order: they
+    are always within-gap, so boundaries and sums agree.
+
+    Returns ``(closed, ss, lt, n, tv)`` where ``closed`` is the list of
+    gap-closed session tuples and the scalars are the still-open tail
+    (``lt is None`` when no rows arrived and no state existed).
+    """
+    import pandas as pd
+
+    closed: list[tuple] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, v in zip(batch["ts"], batch["value"]):
+            t = int(ts.value // 1000)  # ns → us
+            if lt is None:
+                ss = lt = t
+                n, tv = 1, float(v)
+            elif t - lt > gap_seconds * 1_000_000:
+                closed.append((key_val, ss, lt, n, round(tv, 2)))
+                ss = lt = t
+                n, tv = 1, float(v)
+            else:
+                lt = t
+                n += 1
+                tv += float(v)
+    return closed, ss, lt, n, tv
+
+
 def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` (the arbitrary-state API; same semantics as
@@ -161,22 +196,9 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         else:
             ss = lt = None
             n, tv = 0, 0.0
-        closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, v in zip(pdf["ts"], pdf["value"]):
-                t = int(ts.value // 1000)  # ns → us
-                if lt is None:
-                    ss = lt = t
-                    n, tv = 1, float(v)
-                elif t - lt > gap_seconds * 1_000_000:
-                    closed.append((key[0], ss, lt, n, round(tv, 2)))
-                    ss = lt = t
-                    n, tv = 1, float(v)
-                else:
-                    lt = t
-                    n += 1
-                    tv += float(v)
+        closed, ss, lt, n, tv = _fold_session_chunks(
+            key[0], pdfs, ss, lt, n, tv, gap_seconds
+        )
         if lt is not None:
             state.update((int(ss), int(lt), int(n), float(tv)))
         yield pd.DataFrame(
@@ -293,21 +315,10 @@ def stateful_sessionize_timeout(
             closed.append((key[0], ss, lt, n, round(tv, 2)))
             state.remove()
         else:
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
-                for ts, v in zip(pdf["ts"], pdf["value"]):
-                    t = int(ts.value // 1000)  # ns → us
-                    if lt is None:
-                        ss = lt = t
-                        n, tv = 1, float(v)
-                    elif t - lt > gap_seconds * 1_000_000:
-                        closed.append((key[0], ss, lt, n, round(tv, 2)))
-                        ss = lt = t
-                        n, tv = 1, float(v)
-                    else:
-                        lt = t
-                        n += 1
-                        tv += float(v)
+            folded, ss, lt, n, tv = _fold_session_chunks(
+                key[0], pdfs, ss, lt, n, tv, gap_seconds
+            )
+            closed.extend(folded)
             if lt is not None:
                 state.update((int(ss), int(lt), int(n), float(tv)))
                 # ms epoch; fires when the watermark strictly passes it
