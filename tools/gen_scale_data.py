@@ -498,7 +498,12 @@ if __name__ == "__main__":
             return True
         return False
 
-    _FULL = ("documents", "lineitem", "orders", "events", "embeddings")
+    # completeness sentinel = EVERY table a full generate() writes
+    # (derived from the same constants, r12 ADVICE: a hand-picked subset
+    # let a partially wiped tile that kept the five biggest tables be
+    # skipped with region/nation/customer/part/supplier missing —
+    # breaking bench.py's region warmup and every dim join)
+    _FULL = ("documents", "embeddings", *FIXED_DIMS, *KEYED)
     # full oracle-sweep replica at driver-sf0.01 size, Zipfian text
     if not _skip(os.path.join(base, "sf0.01"), *_FULL):
         generate(
