@@ -44,11 +44,59 @@ with corpus density while the event-type count stays fixed).
 
 from __future__ import annotations
 
+import math
+import warnings
 from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def warn_if_quadratic(
+    op_name: str,
+    sibling: str,
+    n_max: int,
+    mean_n: float,
+    s: int,
+    s_max: int,
+    cell_target: int,
+    target_rows: int | None = None,
+) -> bool:
+    """Self-enforcing route-away warning for the EXACT all-pairs twins
+    (r12 verdict #3).  The exact forms (``dedup_embedding_cosine``,
+    ``dedup_semantic_clusters``) are documented as oracle-checkable
+    contrast rows beside skew-immune IVF siblings — slope 1.0+ under a
+    hot bucket is their SEMANTICS, not a plan defect — but nothing in
+    the code used to tell a caller so at scale.  This fires (once) when
+    even the adaptive grid cannot hold the hot bucket's per-cell pair
+    mass at the pair-grid target: ``S_hot`` hits its clamp and
+    ``n_max / S_hot > cell_target`` rows per cell, i.e. each grid cell
+    still carries > cell_target²/2 candidate pairs.  Pure decision
+    function (no Spark) so the rule is unit-testable; returns whether
+    the warning fired.  No semantics change — the pair set is emitted
+    either way."""
+    if n_max <= 0:
+        return False
+    if target_rows is not None:  # absolute sizing mode (many-bucket)
+        s_raw = int(math.ceil(n_max / target_rows))
+    else:  # mean-relative sizing mode (few-bucket, the cosine form)
+        s_raw = int(math.ceil(s * n_max / max(mean_n, 1.0)))
+    s_hot = max(s, min(s_raw, s_max))
+    cell_rows = n_max / s_hot
+    if cell_rows <= cell_target:
+        return False
+    warnings.warn(
+        f"{op_name}: hot bucket has {n_max} rows -> ~{cell_rows:.0f} rows "
+        f"(~{cell_rows * cell_rows / 2:.2e} candidate pairs) per grid cell "
+        f"after adaptive S={s_hot}; exact within-bucket all-pairs is "
+        f"quadratic in the hot bucket by semantics. At this scale prefer "
+        f"the data-scaled sibling `{sibling}` (raise "
+        f"spark.graft.pairgrid.target_rows to silence).",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return True
 
 
 def adaptive_grid_pair_join(
@@ -59,6 +107,7 @@ def adaptive_grid_pair_join(
     s_max: int,
     target_rows: int | None = None,
     cache_name: str | None = None,
+    warn_quadratic: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Self-join ``df`` into every unordered within-bucket pair, grid-
     blocked (module docstring).  Returns the joined frame with sides
@@ -93,6 +142,26 @@ def adaptive_grid_pair_join(
 
     bucket_cols = list(bucket_cols)
     hist = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n_b"))
+    if warn_quadratic is not None:
+        # one narrow aggregate over the bucket columns (Catalyst prunes
+        # the payload), a rounding error beside the pair join it guards
+        from tts_data_pipeline_spark.conf import PAIRGRID_TARGET_ROWS, dial
+
+        stats = hist.agg(
+            F.max("n_b").alias("n_max"), F.avg("n_b").alias("mean_n")
+        ).first()
+        if stats is not None and stats["n_max"] is not None:
+            op_name, sibling = warn_quadratic
+            warn_if_quadratic(
+                op_name,
+                sibling,
+                int(stats["n_max"]),
+                float(stats["mean_n"]),
+                s,
+                s_max,
+                dial(df.sparkSession, PAIRGRID_TARGET_ROWS),
+                target_rows=target_rows,
+            )
     if target_rows is None:
         s_b = F.ceil(F.lit(s) * F.col("n_b") / F.col("mean_n"))
         hist = hist.join(

@@ -271,7 +271,14 @@ def c13_nfc_normalize(
 # fixed cell count — see the histogram block in _embedding_cosine_pairs.
 
 
-def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    warn_as: tuple[str, str] = (
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf",
+    ),
+) -> DataFrame:
     """UNSORTED embedding-cosine near-dup pairs (grid-blocked self-join).
 
     Factored from :func:`dedup_embedding_cosine` for consumers that feed
@@ -321,6 +328,10 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached: both pair-join sides reference the frame, and the
         # per-vector norm fold should run once, not once per side
         cache_name="dedup_embedding_cosine_base",
+        # r12 verdict #3: the exact form is quadratic in the hot bucket
+        # BY SEMANTICS (skew slope 1.54 measured); warn-and-route to the
+        # IVF sibling when even the adaptive grid can't hold cell mass
+        warn_quadratic=warn_as,
     )
     sim = F.round(
         dot(F.col("a.v"), F.col("b.v"))
@@ -1572,7 +1583,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_embedding_cosine_pairs``)."""
     from tts_data_pipeline_spark.operators.components import connected_components
 
-    pairs = _embedding_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = _embedding_cosine_pairs(
+        spark,
+        sf_dir,
+        warn_as=("dedup_semantic_clusters", "dedup_semantic_clusters_ivf"),
+    ).select("id_a", "id_b")
     return (
         connected_components(pairs, require_converged=True, pre_contract=True)
         .select("id", "component")
