@@ -1058,3 +1058,129 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- sorted-neighborhood dedup ----------------------------------------------
+
+_SNM_WINDOW = 8       # compare each row with the next w-1 in sort order
+_SNM_KEY_LEN = 32     # sort key = first chars of the normalized text
+_SNM_BUCKET_LEN = 4   # coarse ordered prefix for the two-level rank
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             substring(lower(trim(text)), 1, {_SNM_KEY_LEN}) AS snm_key,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, tokset,
+             row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
+      FROM base
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             b.rnk - a.rnk AS rank_dist,
+             CAST(len(list_filter(a.tokset,
+                                  x -> list_contains(b.tokset, x)))
+                  AS DOUBLE)
+             / greatest(len(a.tokset) + len(b.tokset)
+                 - len(list_filter(a.tokset,
+                                   x -> list_contains(b.tokset, x))), 1)
+               AS jaccard
+      FROM ranked a JOIN ranked b
+        ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW - 1}
+    )
+    SELECT id_a, id_b, rank_dist, ROUND(jaccard, 4) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    -- no ORDER BY: unordered catalog contract (see docstring)
+    """,
+)
+def dedup_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernandez & Stolfo,
+    SIGMOD'95 — the SORT-based blocking family, complementing the
+    hash-based LSH/grid entries): rank every document by a content sort
+    key, compare each row with only the next w-1 rows in rank order,
+    verify with exact token-set Jaccard >= 0.5.  Near-identical copies
+    share their normalized prefix, so they land adjacent in the sort and
+    meet inside the window at O(n*w) candidate pairs — no quadratic
+    bucket to grid away, which is the method's scale story (and its
+    recall trade: a near-dup whose FIRST {_SNM_KEY_LEN} chars mutated
+    sorts elsewhere and is missed; production runs multiple passes with
+    different keys).
+
+    100 TB shape: Spark's ``row_number()`` over an unpartitioned window
+    is a single-task bottleneck, so the global rank is TWO-LEVEL — rank
+    within each ordered key-prefix bucket (parallel across buckets) plus
+    the broadcast exclusive running total of bucket counts; ordering by
+    (bucket, key, id) equals ordering by (key, id) because the bucket IS
+    a prefix of the key, so the composed rank is exactly the oracle's
+    global ``row_number``.  The histogram cumsum runs single-partition
+    over |buckets| rows (same bounded-histogram adjudication as
+    ``operators/pairgrid``); the neighbor join shuffles on the
+    high-cardinality rank, not a 10-key bucket column.  UNORDERED pair
+    set by default (terminal-sort sampling-pass rule, the w11
+    precedent); ``ordered=True`` restores the total order."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.substring(norm, 1, _SNM_KEY_LEN).alias("snm_key"),
+        F.array_distinct(F.split(norm, " ")).alias("tokset"),
+    ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN))
+
+    hist = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    offsets = hist.select(
+        "bucket",
+        F.coalesce(
+            F.sum("n_b").over(
+                W.orderBy("bucket").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    ranked = (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "rnk",
+            (
+                F.col("off")
+                + F.row_number().over(
+                    W.partitionBy("bucket").orderBy("snm_key", "doc_id")
+                )
+            ).cast("long"),
+        )
+        .select("doc_id", "tokset", "rnk")
+    )
+
+    a = ranked.alias("a").withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_SNM_WINDOW - 1)))
+    )
+    b = ranked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    uni = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    out = (
+        a.join(b, F.col("b.rnk") == F.col("a.rnk") + F.col("d"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("d").cast("long").alias("rank_dist"),
+            (inter.cast("double") / F.greatest(uni, F.lit(1))).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .select(
+            "id_a", "id_b", "rank_dist", F.round("j", 4).alias("jaccard")
+        )
+    )
+    if ordered:
+        return sort_via_cache(
+            "dedup_sorted_neighborhood_ordered", out, "id_a", "id_b"
+        )
+    return out
