@@ -856,3 +856,41 @@ def test_split_leakage_safe_no_pair_straddles(spark, entry_name, generator_name)
     for doc, rep in rep_of.items():
         if doc not in paired:
             assert rep == doc
+
+
+def test_sorted_neighborhood_recovers_adjacent_dups(spark, tmp_path):
+    """SNM (round 13) recall floor on a controlled corpus: documents
+    sharing their sort key occupy CONSECUTIVE ranks, so every dup pair
+    in a same-key group of size <= w must be emitted (jaccard 1.0 for
+    exact copies), while a high-jaccard pair whose PREFIX mutated sorts
+    apart and is missed — the documented single-pass recall trade."""
+    from tts_data_pipeline_spark.plans.extensions import (
+        dedup_sorted_neighborhood,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = []
+    # 3 exact copies (one group), plus unrelated filler spread around
+    for i, txt in enumerate(
+        [base, base, base]
+        + [f"unrelated document number {j} with distinct words" for j in range(9)]
+        # prefix-mutated near-dup of base: same token set minus the first
+        # word -> high jaccard but sorts far away (starts with 'zzz')
+        + ["zzz " + base]
+    ):
+        rows.append((i, txt, "vi", len(txt)))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.id_a, r.id_b): (r.rank_dist, r.jaccard)
+        for r in dedup_sorted_neighborhood(spark, str(tmp_path)).collect()
+    }
+    # the exact-copy group is fully recovered at consecutive ranks
+    for pair in [(0, 1), (0, 2), (1, 2)]:
+        assert pair in got and got[pair][1] == 1.0, (pair, got)
+    assert {got[(0, 1)][0], got[(1, 2)][0]} == {1}
+    assert got[(0, 2)][0] == 2
+    # the prefix-mutated twin (doc 12) is NOT found by this single pass
+    assert not any(12 in p for p in got)

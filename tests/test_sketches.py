@@ -375,3 +375,32 @@ def test_conf_dials_validate_and_default(spark):
             dial(spark, COSINE_GRID_S)
     finally:
         spark.conf.unset("spark.graft.cosine.grid_s")
+
+
+def test_jl_projection_parity_and_concentration(spark, ddb):
+    """emb_random_projection (round 13): oracle parity plus the JL
+    property the entry exists for — sqrt(3/k)-scaled uniform planes make
+    E[||Rv||^2] = ||v||^2, so norm_ratio concentrates near 1."""
+    from tts_data_pipeline_spark.plans import corpus as C
+    from tts_data_pipeline_spark.plans.registry import ORACLES
+
+    run_parity(
+        spark,
+        ddb,
+        C.emb_random_projection,
+        ORACLES["emb_random_projection"],
+        "emb_random_projection",
+    )
+    ratios = [
+        r.norm_ratio
+        for r in C.emb_random_projection(spark, SF_DIR)
+        .select("norm_ratio")
+        .collect()
+    ]
+    import statistics
+
+    assert 0.9 <= statistics.median(ratios) <= 1.1
+    # k=16 is a coarse sketch: individual vectors wander, but the bulk
+    # must hold the (1 +/- eps) band
+    inside = sum(1 for x in ratios if 0.5 <= x <= 1.5)
+    assert inside / len(ratios) >= 0.95

@@ -2883,3 +2883,99 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         e, query_pred=F.col("vec_id") < 8, k=5, n_centroids=32, nprobe=2
     ).orderBy("query_id", "rank")
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+_JL_K = 16  # output dims (64 -> 16)
+
+
+def _jl_planes():
+    """16 deterministic literal projection rows (the `_lsh_planes`
+    uniform generator, own seed) pre-scaled by sqrt(3/k): Var[U(-1,1)]
+    = 1/3, so the scaling makes E[||Rv||^2] = ||v||^2 (Achlioptas 2003,
+    database-friendly random projections).  Literals are shared verbatim
+    by the Spark expression and the DuckDB oracle, so the sequential
+    dot-product folds agree bit-for-bit."""
+    from tts_data_pipeline_spark.plans.extensions import _lsh_planes
+
+    s = (3.0 / _JL_K) ** 0.5
+    return [
+        [x * s for x in row]
+        for row in _lsh_planes(n_planes=_JL_K, dim=64, seed=29)
+    ]
+
+
+_JL_PLANES = _jl_planes()
+
+
+def _jl_oracle() -> str:
+    cols = ",\n           ".join(
+        "ROUND(list_dot_product(v, [{}]), 6) AS p{:02d}".format(
+            ", ".join(repr(x) for x in row), j
+        )
+        for j, row in enumerate(_JL_PLANES)
+    )
+    ssq = " + ".join(f"p{j:02d} * p{j:02d}" for j in range(_JL_K))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+      SELECT vec_id,
+           {cols},
+           sqrt(list_dot_product(v, v)) AS nrm_v
+      FROM e
+    )
+    SELECT * EXCLUDE (nrm_v),
+           ROUND(sqrt({ssq}) / greatest(nrm_v, 1e-12), 4) AS norm_ratio
+    FROM proj ORDER BY vec_id
+    """
+
+
+@query("emb_random_projection", oracle=_jl_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with fixed
+    literal planes — the standard front-end that makes the downstream
+    ANN family (LSH buckets, IVF cells, brute-force rerank) 4x cheaper
+    per distance at a bounded distortion: for k = O(log n / eps^2) the
+    pairwise distances survive within (1 +/- eps), and the emitted
+    ``norm_ratio`` column is that guarantee made visible per vector
+    (distribution concentrates near 1.0; pinned in tests).
+
+    100 TB shape: pure per-row projection — 16 JVM-side sequential
+    dot-product folds against broadcast-free literal arrays, no shuffle,
+    no UDF, whole-stage codegen end to end; composes in front of any
+    sim_* entry.  Rounded to 6dp on both engines so the driver hash is
+    stable (same rule as the cosine family)."""
+    from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = e.select(
+        "vec_id",
+        *[
+            F.round(
+                dot(F.col("v"), F.array(*[F.lit(x) for x in row])), 6
+            ).alias(f"p{j:02d}")
+            for j, row in enumerate(_JL_PLANES)
+        ],
+        l2_norm(F.col("v")).alias("nrm_v"),
+    )
+    from functools import reduce
+
+    ssq = reduce(
+        lambda acc, j: acc + F.col(f"p{j:02d}") * F.col(f"p{j:02d}"),
+        range(1, _JL_K),
+        F.col("p00") * F.col("p00"),
+    )
+    return (
+        proj.select(
+            "vec_id",
+            *[f"p{j:02d}" for j in range(_JL_K)],
+            F.round(
+                F.sqrt(ssq) / F.greatest(F.col("nrm_v"), F.lit(1e-12)), 4
+            ).alias("norm_ratio"),
+        )
+        .orderBy("vec_id")
+    )
