@@ -181,6 +181,10 @@ HEADLINE = [
     # round-12: event-time-timeout sessionization (4-batch chronological
     # replay + state retirement; ≥2 s by the streaming replay tax)
     "stream_stateful_sessions_timeout",
+    # round-13 additions (both ≥ 2 s at sf0.1 per the contract): the
+    # sort-based blocking dedup family and the JL projection front-end
+    "dedup_sorted_neighborhood",
+    "emb_random_projection",
 ]
 
 

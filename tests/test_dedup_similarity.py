@@ -894,3 +894,18 @@ def test_sorted_neighborhood_recovers_adjacent_dups(spark, tmp_path):
     assert got[(0, 2)][0] == 2
     # the prefix-mutated twin (doc 12) is NOT found by this single pass
     assert not any(12 in p for p in got)
+
+    # ... but the multipass form (reversed-tail second key) recovers it:
+    # doc 12 shares its TAIL with the three base copies
+    from tts_data_pipeline_spark.plans.extensions import dedup_snm_multipass
+
+    multi = {
+        (r.id_a, r.id_b): (r.jaccard, r.n_passes)
+        for r in dedup_snm_multipass(spark, str(tmp_path)).collect()
+    }
+    for pair in [(0, 12), (1, 12), (2, 12)]:
+        assert pair in multi and multi[pair][1] == 1, (pair, multi)
+    # the exact-copy group is found by BOTH passes and collapses to one
+    # row each with n_passes = 2
+    for pair in [(0, 1), (0, 2), (1, 2)]:
+        assert multi[pair] == (1.0, 2)

@@ -1066,20 +1066,31 @@ _SNM_WINDOW = 8       # compare each row with the next w-1 in sort order
 _SNM_KEY_LEN = 32     # sort key = first chars of the normalized text
 _SNM_BUCKET_LEN = 4   # coarse ordered prefix for the two-level rank
 
+# the two pass keys, as DuckDB SQL over the normalized text n —
+# pass 1 sorts by the document HEAD, pass 2 by its reversed TAIL, so a
+# near-dup that mutated one end still collides on the other
+_SNM_KEY_SQL = {
+    "p1": f"substring({{n}}, 1, {_SNM_KEY_LEN})",
+    "p2": f"substring(reverse({{n}}), 1, {_SNM_KEY_LEN})",
+}
 
-@query(
-    "dedup_sorted_neighborhood",
-    oracle=f"""
-    WITH base AS (
+
+def _snm_cte_sql(tag: str) -> str:
+    """One SNM pass (base -> ranked -> pairs) as composable CTE parts
+    with ``{tag}``-suffixed names; consumers apply the >= 0.5 threshold.
+    Shared by the single-pass oracle and the multipass union (same
+    verbatim-CTE convention as JACCARD_PAIR_CTES above)."""
+    key = _SNM_KEY_SQL[tag].format(n="lower(trim(text))")
+    return f"""base_{tag} AS (
       SELECT doc_id,
-             substring(lower(trim(text)), 1, {_SNM_KEY_LEN}) AS snm_key,
+             {key} AS snm_key,
              list_distinct(string_split(lower(trim(text)), ' ')) AS tokset
       FROM documents
-    ), ranked AS (
+    ), ranked_{tag} AS (
       SELECT doc_id, tokset,
              row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
-      FROM base
-    ), pairs AS (
+      FROM base_{tag}
+    ), pairs_{tag} AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              b.rnk - a.rnk AS rank_dist,
              CAST(len(list_filter(a.tokset,
@@ -1089,11 +1100,82 @@ _SNM_BUCKET_LEN = 4   # coarse ordered prefix for the two-level rank
                  - len(list_filter(a.tokset,
                                    x -> list_contains(b.tokset, x))), 1)
                AS jaccard
-      FROM ranked a JOIN ranked b
+      FROM ranked_{tag} a JOIN ranked_{tag} b
         ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW - 1}
+    )"""
+
+
+def _snm_pass(d: DataFrame, key):
+    """One sorted-neighborhood pass over ``d`` (documents): rank by the
+    ``key`` column expression via the TWO-LEVEL rank (per-prefix-bucket
+    row_number + broadcast exclusive bucket offsets — no unpartitioned
+    window), join each row to its next w-1 neighbors, return the
+    UNROUNDED verified pairs (id_a, id_b, rank_dist, j >= 0.5)."""
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.trim(F.col("text")))
+    base = d.select(
+        "doc_id",
+        key.alias("snm_key"),
+        F.array_distinct(F.split(norm, " ")).alias("tokset"),
+    ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN))
+
+    hist = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    offsets = hist.select(
+        "bucket",
+        F.coalesce(
+            F.sum("n_b").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
     )
+    ranked = (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "rnk",
+            (
+                F.col("off")
+                + F.row_number().over(
+                    W.partitionBy("bucket").orderBy("snm_key", "doc_id")
+                )
+            ).cast("long"),
+        )
+        .select("doc_id", "tokset", "rnk")
+    )
+
+    a = ranked.alias("a").withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_SNM_WINDOW - 1)))
+    )
+    b = ranked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    uni = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    return (
+        a.join(b, F.col("b.rnk") == F.col("a.rnk") + F.col("d"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("d").cast("long").alias("rank_dist"),
+            (inter.cast("double") / F.greatest(uni, F.lit(1))).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+
+
+def _snm_key_col(tag: str):
+    """The Spark twin of ``_SNM_KEY_SQL[tag]``."""
+    norm = F.lower(F.trim(F.col("text")))
+    if tag == "p1":
+        return F.substring(norm, 1, _SNM_KEY_LEN)
+    return F.substring(F.reverse(norm), 1, _SNM_KEY_LEN)
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {_snm_cte_sql("p1")}
     SELECT id_a, id_b, rank_dist, ROUND(jaccard, 4) AS jaccard
-    FROM pairs WHERE jaccard >= 0.5
+    FROM pairs_p1 WHERE jaccard >= 0.5
     -- no ORDER BY: unordered catalog contract (see docstring)
     """,
 )
@@ -1124,63 +1206,59 @@ def dedup_sorted_neighborhood(
     high-cardinality rank, not a 10-key bucket column.  UNORDERED pair
     set by default (terminal-sort sampling-pass rule, the w11
     precedent); ``ordered=True`` restores the total order."""
-    from pyspark.sql import Window as W
-
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
-    base = d.select(
-        "doc_id",
-        F.substring(norm, 1, _SNM_KEY_LEN).alias("snm_key"),
-        F.array_distinct(F.split(norm, " ")).alias("tokset"),
-    ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN))
-
-    hist = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    offsets = hist.select(
-        "bucket",
-        F.coalesce(
-            F.sum("n_b").over(
-                W.orderBy("bucket").rowsBetween(
-                    W.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("off"),
-    )
-    ranked = (
-        base.join(F.broadcast(offsets), "bucket")
-        .withColumn(
-            "rnk",
-            (
-                F.col("off")
-                + F.row_number().over(
-                    W.partitionBy("bucket").orderBy("snm_key", "doc_id")
-                )
-            ).cast("long"),
-        )
-        .select("doc_id", "tokset", "rnk")
-    )
-
-    a = ranked.alias("a").withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_SNM_WINDOW - 1)))
-    )
-    b = ranked.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
-    uni = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
-    out = (
-        a.join(b, F.col("b.rnk") == F.col("a.rnk") + F.col("d"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("d").cast("long").alias("rank_dist"),
-            (inter.cast("double") / F.greatest(uni, F.lit(1))).alias("j"),
-        )
-        .filter(F.col("j") >= 0.5)
-        .select(
-            "id_a", "id_b", "rank_dist", F.round("j", 4).alias("jaccard")
-        )
+    out = _snm_pass(d, _snm_key_col("p1")).select(
+        "id_a", "id_b", "rank_dist", F.round("j", 4).alias("jaccard")
     )
     if ordered:
         return sort_via_cache(
             "dedup_sorted_neighborhood_ordered", out, "id_a", "id_b"
+        )
+    return out
+
+
+@query(
+    "dedup_snm_multipass",
+    oracle=f"""
+    WITH {_snm_cte_sql("p1")}, {_snm_cte_sql("p2")},
+    allp AS (
+      SELECT id_a, id_b, jaccard FROM pairs_p1 WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT id_a, id_b, jaccard FROM pairs_p2 WHERE jaccard >= 0.5
+    )
+    SELECT id_a, id_b, ROUND(MAX(jaccard), 4) AS jaccard,
+           COUNT(*) AS n_passes
+    FROM allp GROUP BY id_a, id_b
+    -- no ORDER BY: unordered catalog contract (see docstring)
+    """,
+)
+def dedup_snm_multipass(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup — the classic fix for the
+    single-pass recall trade (Hernandez & Stolfo run several passes with
+    independent sort keys and union the matches): pass 1 sorts by the
+    normalized document HEAD, pass 2 by its reversed TAIL, so a near-dup
+    that mutated one end of the text still collides on the other (the
+    controlled-corpus test pins exactly the pair the single pass
+    misses).  Pairs found by both passes collapse to one row with
+    ``n_passes = 2``; the Jaccard is identical across passes (same token
+    sets), so MAX is a no-op spelled defensively.
+
+    100 TB shape: two independent O(n log n) sort-rank passes + O(n*w)
+    windows — still no quadratic bucket anywhere; the union's dedup is
+    one shuffle on the pair key.  Same two-level rank as the single-pass
+    entry (shared ``_snm_pass``)."""
+    d = table(spark, sf_dir, "documents")
+    allp = _snm_pass(d, _snm_key_col("p1")).unionByName(
+        _snm_pass(d, _snm_key_col("p2"))
+    )
+    out = allp.groupBy("id_a", "id_b").agg(
+        F.round(F.max("j"), 4).alias("jaccard"),
+        F.count(F.lit(1)).alias("n_passes"),
+    )
+    if ordered:
+        return sort_via_cache(
+            "dedup_snm_multipass_ordered", out, "id_a", "id_b"
         )
     return out
