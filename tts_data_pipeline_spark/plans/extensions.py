@@ -1105,20 +1105,30 @@ def _snm_cte_sql(tag: str) -> str:
     )"""
 
 
-def _snm_pass(d: DataFrame, key):
+def _snm_pass(d: DataFrame, key, tag: str):
     """One sorted-neighborhood pass over ``d`` (documents): rank by the
     ``key`` column expression via the TWO-LEVEL rank (per-prefix-bucket
     row_number + broadcast exclusive bucket offsets — no unpartitioned
     window), join each row to its next w-1 neighbors, return the
-    UNROUNDED verified pairs (id_a, id_b, rank_dist, j >= 0.5)."""
+    UNROUNDED verified pairs (id_a, id_b, rank_dist, j >= 0.5).
+
+    ``base`` and ``ranked`` are cached (replace-on-reinvoke registry,
+    keyed by ``tag``): base feeds both the bucket histogram and the rank
+    join, ranked feeds both neighbor-join sides — uncached, the plan
+    re-scanned and re-tokenized documents 4x per pass (plan_audit
+    rescan flag); cached it is ONE scan per pass."""
     from pyspark.sql import Window as W
+    from tts_data_pipeline_spark.cachereg import cache_replacing
 
     norm = F.lower(F.trim(F.col("text")))
-    base = d.select(
-        "doc_id",
-        key.alias("snm_key"),
-        F.array_distinct(F.split(norm, " ")).alias("tokset"),
-    ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN))
+    base = cache_replacing(
+        f"snm_base_{tag}",
+        d.select(
+            "doc_id",
+            key.alias("snm_key"),
+            F.array_distinct(F.split(norm, " ")).alias("tokset"),
+        ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN)),
+    )
 
     hist = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
     offsets = hist.select(
@@ -1130,7 +1140,8 @@ def _snm_pass(d: DataFrame, key):
             F.lit(0),
         ).alias("off"),
     )
-    ranked = (
+    ranked = cache_replacing(
+        f"snm_ranked_{tag}",
         base.join(F.broadcast(offsets), "bucket")
         .withColumn(
             "rnk",
@@ -1141,7 +1152,7 @@ def _snm_pass(d: DataFrame, key):
                 )
             ).cast("long"),
         )
-        .select("doc_id", "tokset", "rnk")
+        .select("doc_id", "tokset", "rnk"),
     )
 
     a = ranked.alias("a").withColumn(
@@ -1207,7 +1218,7 @@ def dedup_sorted_neighborhood(
     set by default (terminal-sort sampling-pass rule, the w11
     precedent); ``ordered=True`` restores the total order."""
     d = table(spark, sf_dir, "documents")
-    out = _snm_pass(d, _snm_key_col("p1")).select(
+    out = _snm_pass(d, _snm_key_col("p1"), "p1").select(
         "id_a", "id_b", "rank_dist", F.round("j", 4).alias("jaccard")
     )
     if ordered:
@@ -1250,8 +1261,8 @@ def dedup_snm_multipass(
     one shuffle on the pair key.  Same two-level rank as the single-pass
     entry (shared ``_snm_pass``)."""
     d = table(spark, sf_dir, "documents")
-    allp = _snm_pass(d, _snm_key_col("p1")).unionByName(
-        _snm_pass(d, _snm_key_col("p2"))
+    allp = _snm_pass(d, _snm_key_col("p1"), "p1").unionByName(
+        _snm_pass(d, _snm_key_col("p2"), "p2")
     )
     out = allp.groupBy("id_a", "id_b").agg(
         F.round(F.max("j"), 4).alias("jaccard"),
