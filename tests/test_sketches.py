@@ -404,3 +404,27 @@ def test_jl_projection_parity_and_concentration(spark, ddb):
     # must hold the (1 +/- eps) band
     inside = sum(1 for x in ratios if 0.5 <= x <= 1.5)
     assert inside / len(ratios) >= 0.95
+
+
+def test_jl_rerank_recall_vs_bruteforce(spark):
+    """sim_jl_rerank_topk must recover most of the exact top-5: coarse
+    top-32 in 16-dim JL space then exact rerank.  JL preserves pairwise
+    geometry within (1 +/- eps), so recall is high but not guaranteed
+    1.0 — pin a conservative floor and record the measured value."""
+    from tts_data_pipeline_spark.plans import corpus as C
+    from tts_data_pipeline_spark.plans.extensions import (
+        sim_bruteforce_cosine_topk,
+    )
+
+    exact = {}
+    for r in sim_bruteforce_cosine_topk(spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in C.sim_jl_rerank_topk(spark, SF_DIR).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    recalls = [
+        len(exact[q] & got[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, recalls
