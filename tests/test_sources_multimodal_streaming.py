@@ -630,3 +630,72 @@ def test_stateful_ops_identical_under_rocksdb_state_store(spark):
         spark.conf.unset(key)
     assert len(base) > 0
     assert base == rocks
+
+
+def test_outer_join_boundary_is_strict_and_ms_truncated(spark, tmp_path):
+    """stream_stream_join_outer (round 13): pin the probe-measured
+    eviction boundary the oracle encodes.  W_final = min-of-sides
+    floor_ms(max ts) - 30min delay; an unmatched view emits its null
+    row iff view_ts_us <= (W_final_ms - 30min window - 1ms) * 1000 —
+    RAW microseconds against the ms state watermark, which carries
+    Spark's safety -1 (StreamingJoinHelper.getStateValueWatermark).
+    Views on the line, +0.5ms above, and even -0.1ms below stay parked
+    (sub-ms precision does NOT rescue them); the -1ms view emits."""
+    import datetime as dt
+
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_stream_join_outer,
+    )
+
+    def t(h, m, s, us):
+        return dt.datetime(2024, 3, 1, h, m, s, us)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        # u1: unmatched view, floor_ms+30min == W exactly -> withheld
+        (1, t(10, 0, 0, 500), 1, "view", 1.0, "{}"),
+        # u2: matched pair -> emitted as a matched row
+        (2, t(10, 5, 0, 0), 2, "view", 1.0, "{}"),
+        (3, t(10, 10, 0, 0), 2, "purchase", 5.0, "{}"),
+        # u3: -0.1ms below the line - still NOT emitted (the -1ms
+        # safety swallows sub-ms margins)
+        (4, t(9, 59, 59, 999900), 3, "view", 1.0, "{}"),
+        # u5: exactly -1ms -> the first offset that emits
+        (7, t(9, 59, 59, 999000), 5, "view", 1.0, "{}"),
+        # u4: max-setters on BOTH sides (equal ts -> they match each
+        # other): W_final = floor_ms(11:00:00.000999) - 30min = 10:30:00
+        (5, t(11, 0, 0, 999), 4, "view", 1.0, "{}"),
+        (6, t(11, 0, 0, 999), 4, "purchase", 9.0, "{}"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a single FILE named events.parquet (the stream reader's
+    # pathGlobFilter matches file names, not directory trees)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in run_stream_stream_join_outer(
+            spark, str(tmp_path), "t_ss_outer_probe"
+        ).collect()
+    }
+    assert got == {
+        (2, 3),      # u2 matched
+        (7, None),   # u5 at -1ms: the eviction line, inclusive
+        (5, 6),      # u4 matched (inner emission, watermark-independent)
+        # ABSENT: (1, None) on-line view, (4, None) -0.1ms view — both
+        # stay parked in join state at stream end
+    }

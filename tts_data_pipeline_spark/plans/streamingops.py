@@ -263,6 +263,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("view_id", "purchase_id")
 
 
+@query(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT epoch_ms(max(ts)) FROM events
+                 WHERE event_type = 'view'),
+               (SELECT epoch_ms(max(ts)) FROM events
+                 WHERE event_type = 'purchase')
+             ) - 30 * 60 * 1000 AS w_final_ms
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    LEFT JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTES
+    WHERE v.event_type = 'view'
+      AND (p.event_id IS NOT NULL
+           OR epoch_us(v.ts)
+              <= ((SELECT w_final_ms FROM wm) - 30 * 60 * 1000 - 1) * 1000)
+    ORDER BY view_id, purchase_id
+    """,
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the production question the inner
+    form can't answer: which views never converted?  Outer emission is
+    watermark-DRIVEN (a view's null row emits only at state eviction),
+    so the oracle is the batch left join minus unmatched views still
+    inside the final-watermark horizon; the exact ms-truncated,
+    min-of-both-sides closed form is documented on the runner
+    (``streaming/events.py::run_stream_stream_join_outer``)."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stream_stream_join_outer,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_stream_join_outer(spark, sf_dir, "q_stream_ss_outer")
+    return out.orderBy("view_id", "purchase_id")
+
+
 def _has_protobuf() -> bool:
     """transformWithStateInPandas speaks a protobuf state protocol; the
     python `protobuf` package isn't in this image, so the catalog entry

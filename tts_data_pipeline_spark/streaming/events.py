@@ -786,6 +786,98 @@ def run_stream_stream_join(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_stream_join_outer(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_joined_outer"
+) -> DataFrame:
+    """STREAM-STREAM **left outer** join — :func:`run_stream_stream_join`
+    plus the production question the inner form can't answer: which
+    views never converted?
+
+    Outer emission is watermark-DRIVEN, unlike inner: a view's
+    null-extended row is emitted only when the global watermark proves
+    no future purchase can match (state eviction), so the result depends
+    on the final watermark.  With this finite replay the closed form is
+    (probe-measured, same method as the timeout sessionizer's rule):
+
+    * global watermark = min over BOTH sides (multipleWatermarkPolicy
+      default) of ``floor_ms(max side ts) - 30 min delay``;
+    * an unmatched view emits its null row iff
+      ``view_ts_us <= (W_final_ms - 30 min window - 1 ms) * 1000`` —
+      RAW microseconds against the ms state-value watermark, which
+      carries Spark's safety ``- 1`` (StreamingJoinHelper's
+      getStateValueWatermark); probed at ±0.1/±1 ms offsets: on-line
+      and -0.1 ms views stay parked, -1 ms emits;
+    * matched views emit their matched rows exactly as the inner join
+      (chronological arrival means a match always lands before its
+      view's eviction), never a null row;
+    * unmatched views inside the final horizon stay parked in state and
+      emit nothing — the oracle's closed form subtracts exactly those.
+
+    ``noDataMicroBatches`` must stay ON: the trailing empty batch
+    carries the final watermark that flushes the last evictions."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndm = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark))
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        base = read_events_stream(spark, sf_dir)
+        views = (
+            base.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "30 minutes")
+        )
+        purchases = (
+            base.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                """
+                v_user = p_user
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + INTERVAL 30 MINUTES
+                """
+            ),
+            "leftOuter",
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndm
+        )
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def _stage_replay_file(part: DataFrame, staging: str, i: int) -> None:
     """Write one replay micro-batch as a single parquet file whose mtime
     fixes its position in the ``latestFirst=false`` replay order."""
