@@ -181,10 +181,14 @@ HEADLINE = [
     # round-12: event-time-timeout sessionization (4-batch chronological
     # replay + state retirement; ≥2 s by the streaming replay tax)
     "stream_stateful_sessions_timeout",
-    # round-13 additions (both ≥ 2 s at sf0.1 per the contract): the
-    # sort-based blocking dedup family and the JL projection front-end
+    # round-13 additions (all ≥ 2 s at sf0.1 per the contract): the
+    # sort-based blocking dedup family, the JL projection front-end and
+    # its rerank composition, and the outer stream-stream join
+    # (dedup_snm_multipass reads ~1.5 s warm — covered by its sibling)
     "dedup_sorted_neighborhood",
     "emb_random_projection",
+    "sim_jl_rerank_topk",
+    "stream_stream_join_outer",
 ]
 
 
