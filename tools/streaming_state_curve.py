@@ -170,7 +170,7 @@ def _sliced_stream(spark, slice_dir: str):
     )
 
 
-ALL_SHAPES = ("sessions", "sessions_timeout", "dedup_wm", "cms")
+ALL_SHAPES = ("sessions", "sessions_timeout", "dedup_wm", "cms", "ssjoin_outer")
 
 
 def main() -> None:
@@ -287,6 +287,53 @@ def main() -> None:
                     cap,
                 )
                 shapes["dedup_wm"] = _summarize(cap, wall)
+
+            # 4. stream-stream LEFT OUTER join (round 13) — the fourth
+            # state-operator class (symmetric hash join): both sides'
+            # rows park in join state until the watermark proves no
+            # future match; state must track the 30-min window, not
+            # stream length, and removed Σ > 0 shows eviction working.
+            # noDataMicroBatches ON so the final watermark flushes the
+            # last null-row emissions (same as the timeout sessionizer).
+            if "ssjoin_outer" in shapes_wanted:
+                ev = _sliced_stream(spark, slice_dir)
+                views = (
+                    ev.filter(F.col("event_type") == "view")
+                    .select(
+                        F.col("user_id").alias("v_user"),
+                        F.col("event_id").alias("view_id"),
+                        F.col("ts").alias("view_ts"),
+                    )
+                    .withWatermark("view_ts", "30 minutes")
+                )
+                purchases = (
+                    ev.filter(F.col("event_type") == "purchase")
+                    .select(
+                        F.col("user_id").alias("p_user"),
+                        F.col("event_id").alias("purchase_id"),
+                        F.col("ts").alias("purchase_ts"),
+                    )
+                    .withWatermark("purchase_ts", "30 minutes")
+                )
+                joined = views.join(
+                    purchases,
+                    F.expr(
+                        "v_user = p_user AND purchase_ts >= view_ts "
+                        "AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+                    ),
+                    "leftOuter",
+                )
+                spark.conf.set(
+                    "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+                )
+                try:
+                    wall = _run(spark, joined, "append", cap)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.streaming.noDataMicroBatches.enabled",
+                        "false",
+                    )
+                shapes["ssjoin_outer"] = _summarize(cap, wall)
 
             # 3. CMS cells per 1-hour tumbling window (update mode):
             # state capped at active_windows * d * w whatever the key
