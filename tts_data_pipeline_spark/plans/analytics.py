@@ -1518,3 +1518,90 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_incremental_maintain",
+    oracle="""
+    -- the IVM correctness statement itself: recomputing from scratch
+    -- over (base minus deletes) union inserts must equal the
+    -- incremental combine the Spark side performs
+    WITH surviving AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      WHERE (o_orderdate < DATE '1997-01-01' AND o_orderkey % 13 <> 0)
+         OR o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM surviving
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (classic IVM — the
+    lakehouse pattern for keeping a 100 TB rollup fresh without
+    rescanning history): a per-customer (count, sum) view built from
+    pre-cutoff orders is combined with a weighted CDC delta log —
+    inserts (+1) for post-cutoff orders, deletes (−1) for the base rows
+    the log tombstones (``o_orderkey % 13 = 0``) — via partial-merge:
+    union the view partials with the delta partials and re-aggregate.
+    COUNT and SUM are self-maintainable under insert/delete, so the
+    combine is one shuffle over |keys| + |delta keys| rows and NEVER
+    touches the base fact rows; groups whose count reaches zero drop
+    out (full deletion).  Money is exact integer cents
+    (``floor(x*100 + 0.5)``), so the incremental path and the oracle's
+    from-scratch recompute agree bit-for-bit — the IVM equivalence IS
+    the oracle.
+
+    At 100 TB the view and the delta log are the stored inputs; here
+    both derive from the orders scan (the plan reads orders twice —
+    once as 'the view', once as 'the log' — standing in for two
+    independent sources)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    # the "materialized view": per-customer partials over the base
+    view = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    # the CDC delta log: +1 inserts, -1 deletes, each with its measure —
+    # ONE scan with a CASE weight, not an insert-scan ∪ delete-scan
+    is_insert = F.col("o_orderdate") >= cutoff
+    is_delete = (F.col("o_orderdate") < cutoff) & (
+        F.col("o_orderkey") % 13 == 0
+    )
+    delta = (
+        o.filter(is_insert | is_delete)
+        .select(
+            "o_custkey",
+            F.when(is_insert, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+            cents.alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("w").cast("long").alias("n_orders"),
+            F.sum(F.col("w") * F.col("cents")).alias("total_cents"),
+        )
+    )
+    # incremental combine: partial-merge of view + delta, no base rescan
+    return (
+        view.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_custkey")
+    )
