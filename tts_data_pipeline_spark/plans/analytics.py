@@ -1605,3 +1605,116 @@ def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.05
+                      THEN 1 ELSE 0 END) AS bad_disc,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship
+      FROM lineitem
+    ), os AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), rows_out AS (
+      SELECT 'fk_orders_custkey' AS expectation,
+             (SELECT n FROM fk) AS n_checked,
+             (SELECT orphans FROM fk) AS n_violations
+      UNION ALL
+      SELECT 'not_null_l_shipdate', (SELECT n FROM li),
+             (SELECT null_ship FROM li)
+      UNION ALL
+      SELECT 'range_l_discount_0_0.05', (SELECT n FROM li),
+             (SELECT bad_disc FROM li)
+      UNION ALL
+      SELECT 'set_o_orderstatus', (SELECT n FROM os),
+             (SELECT bad_status FROM os)
+      UNION ALL
+      SELECT 'unique_lineitem_pk', (SELECT n FROM li),
+             (SELECT dup_pk FROM li)
+    )
+    SELECT expectation,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_violations = 0 AS BIGINT) AS passed
+    FROM rows_out ORDER BY expectation
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality gate (the Great-Expectations /
+    dbt-test pattern a pipeline runs before promoting a 100 TB drop) —
+    one row per CONSTRAINT CLASS, complementing ``dq_profile``'s column
+    stats: primary-key uniqueness, referential integrity (orders ->
+    customer, checked as a left-join orphan count — broadcast at test
+    scale, shuffle-join at 100 TB, either way one pass), accepted-value
+    set, numeric range (bounds set tight enough that the driver data
+    genuinely violates them — a gate whose every rule passes is
+    untested), and not-null.  All lineitem rules fold into ONE
+    aggregate scan; the orders rules share one scan + one FK join."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    li_stats = cache_replacing(
+        "dq_exp_li",
+        li.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct("l_orderkey", "l_linenumber")
+            ).alias("dup_pk"),
+            F.sum(
+                (
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.05)
+                ).cast("long")
+            ).alias("bad_disc"),
+            F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+                "null_ship"
+            ),
+        ),
+    )
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+    )
+    fk_stats = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("orphans"),
+        )
+    )
+
+    def row(frame, name, n_col, v_col):
+        return frame.select(
+            F.lit(name).alias("expectation"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+        )
+
+    out = (
+        row(fk_stats, "fk_orders_custkey", "n", "orphans")
+        .unionByName(row(li_stats, "not_null_l_shipdate", "n", "null_ship"))
+        .unionByName(
+            row(li_stats, "range_l_discount_0_0.05", "n", "bad_disc")
+        )
+        .unionByName(row(o_stats, "set_o_orderstatus", "n", "bad_status"))
+        .unionByName(row(li_stats, "unique_lineitem_pk", "n", "dup_pk"))
+    )
+    return out.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("long")
+    ).orderBy("expectation")
