@@ -189,6 +189,10 @@ HEADLINE = [
     "emb_random_projection",
     "sim_jl_rerank_topk",
     "stream_stream_join_outer",
+    # k8 writes + re-reads the clustered layout each pass (~2 s warm);
+    # agg_incremental_maintain (~1 s) and dq_expectations (~0.6 s) sit
+    # under the bar
+    "k8_zorder_layout_roundtrip",
 ]
 
 

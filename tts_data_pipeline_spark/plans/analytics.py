@@ -1718,3 +1718,77 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "passed", (F.col("n_violations") == 0).cast("long")
     ).orderBy("expectation")
+
+
+@query(
+    "agg_sample_estimate",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000 < 100
+               AS in_sample
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_exact,
+           CAST(10 * SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_est,
+           CAST(SUM(qty) AS BIGINT) AS qty_exact,
+           CAST(10 * SUM(CASE WHEN in_sample THEN qty ELSE 0 END)
+                AS BIGINT) AS qty_est,
+           CAST(
+             (10 * SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) - COUNT(*))
+             * (10 * SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) - COUNT(*))
+             <= 225 * COUNT(*) AS BIGINT) AS within_5sigma
+    FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based approximate aggregation (the AQP pattern for 100 TB
+    interactive slicing): a DETERMINISTIC 10% Bernoulli sample — Knuth
+    multiplicative hash of the row key, exact BIGINT math, replayable by
+    the oracle — scaled by 1/p estimates per-group count and sum beside
+    their exact twins, with the error-bound contract the sketch entries
+    established (HLL / percentile pattern): the within-bound flag is the
+    Horvitz-Thompson 5-sigma test spelled in EXACT INTEGERS,
+    ``(est - exact)^2 <= 225 * exact`` (sigma^2 of the scaled count
+    estimator is n*(1-p)/p = 9n at p = 0.1, so 5 sigma = 15 sqrt(n) and
+    both sides square exactly) — no float crosses the hash.  One scan,
+    one shuffle on the group key; the sample predicate pushes into the
+    same aggregate (no second pass over the table)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    in_sample = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        * F.lit(2654435761)
+    ) % 1000 < 100
+    t = li.select(
+        "l_returnflag",
+        qty.alias("qty"),
+        in_sample.alias("in_sample"),
+    )
+    n_est = (F.lit(10) * F.sum(F.col("in_sample").cast("long"))).cast("long")
+    diff = n_est - F.count(F.lit(1))
+    return (
+        t.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            n_est.alias("n_est"),
+            F.sum("qty").alias("qty_exact"),
+            (
+                F.lit(10)
+                * F.sum(
+                    F.when(F.col("in_sample"), F.col("qty")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            )
+            .cast("long")
+            .alias("qty_est"),
+            (diff * diff <= F.lit(225) * F.count(F.lit(1)))
+            .cast("long")
+            .alias("within_5sigma"),
+        )
+        .orderBy("l_returnflag")
+    )
