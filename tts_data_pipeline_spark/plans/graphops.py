@@ -808,3 +808,100 @@ def graph_label_propagation_converged(
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
+
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE = 0
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), walk(node, d) AS (
+      SELECT {_BFS_SOURCE}, 0
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < {_BFS_ROUNDS}
+    ), dist AS (
+      SELECT node, MIN(d) AS d FROM walk GROUP BY node
+    )
+    SELECT n.n_name, CAST(dist.d AS BIGINT) AS hops
+    FROM nation n LEFT JOIN dist ON dist.node = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS / single-source shortest hops over the directed nation trade
+    graph — the Pregel frontier-relaxation primitive the graph family
+    lacked (PageRank is fixed-point value flow, LPA is label voting, CC
+    is star contraction; this is monotone distance relaxation):
+    ``dist_{{k+1}}(v) = min(dist_k(v), 1 + min over in-edges of
+    dist_k(u))``, {_BFS_ROUNDS} rounds from nation {_BFS_SOURCE},
+    unreached nodes NULL.  Pure integer distances — no float crosses
+    the hash — and the oracle replays the same frontier as a bounded
+    recursive CTE.
+
+    100 TB shape: the edge build is the fact-fact equi-join (AQE
+    decides) aggregated to DISTINCT edges once and cached; each round
+    is one join frontier⋈edges + a min-combine — the standard Pregel
+    round as two narrow shuffles, broadcast here because the nation
+    node set is bounded.  Rounds are data-independent (fixed horizon),
+    so the plan depth is bounded like the other iterate-on-cache
+    families."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    edges = cache_replacing(
+        "graph_bfs_edges",
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct(),
+    )
+    dist = nation.select(
+        "node",
+        F.when(F.col("node") == _BFS_SOURCE, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        relax = (
+            edges.join(
+                F.broadcast(dist.filter(F.col("d").isNotNull())),
+                F.col("src") == F.col("node"),
+            )
+            .select("dst", (F.col("d") + 1).alias("nd"))
+            .groupBy("dst")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(F.broadcast(relax), dist.node == relax.dst, "left")
+            .select(
+                "node",
+                # least() skips NULLs in Spark, matching the oracle's MIN
+                F.least(F.col("d"), F.col("nd")).alias("d"),
+            )
+        )
+    return (
+        nation.join(dist, "node")
+        .select("n_name", F.col("d").alias("hops"))
+        .orderBy("n_name")
+    )
