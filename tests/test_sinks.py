@@ -536,96 +536,3 @@ def test_merge_auto_compacts_journal_past_threshold(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert rows == {1: ("v3", "n1"), 2: ("v1", "n2"), 3: ("v2", "n1")}
-
-
-def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
-    """K8's reason to exist: after z-ordering on (partkey, suppkey), the
-    parquet footer min/max ranges must prune files for probes on EITHER
-    key, where a single-key sort only prunes its own key.  Measured as
-    the fraction of files a mid-domain range probe overlaps."""
-    import pyarrow.parquet as pq
-    from tests.conftest import SF_DIR
-    from tts_data_pipeline_spark.plans.scansinks import _zorder_col
-    from tts_data_pipeline_spark.sources import table
-
-    from tts_data_pipeline_spark.plans.scansinks import _Z_NORM_SQL
-
-    li = table(spark, SF_DIR, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey"
-    )
-    stats = li.agg(
-        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
-        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
-    )
-    li = li.join(F.broadcast(stats))
-    z = _zorder_col(
-        F.expr(_Z_NORM_SQL.format(k="l_partkey", kmin="pmin", kmax="pmax")
-               .replace("//", "div")),
-        F.expr(_Z_NORM_SQL.format(k="l_suppkey", kmin="smin", kmax="smax")
-               .replace("//", "div")),
-    )
-    n_files = 16
-
-    def write(df, sort_col, d):
-        (
-            df.repartitionByRange(n_files, sort_col)
-            .sortWithinPartitions(sort_col)
-            .write.mode("overwrite")
-            .parquet(str(d))
-        )
-        return [
-            str(f) for f in d.iterdir() if f.name.endswith(".parquet")
-        ]
-
-    def files_touched(files, col, lo, hi):
-        n = 0
-        for f in files:
-            md = pq.read_metadata(f)
-            fmin = min(
-                md.row_group(i).column(
-                    next(
-                        j
-                        for j in range(md.num_columns)
-                        if md.row_group(i).column(j).path_in_schema == col
-                    )
-                ).statistics.min
-                for i in range(md.num_row_groups)
-            )
-            fmax = max(
-                md.row_group(i).column(
-                    next(
-                        j
-                        for j in range(md.num_columns)
-                        if md.row_group(i).column(j).path_in_schema == col
-                    )
-                ).statistics.max
-                for i in range(md.num_row_groups)
-            )
-            if fmin <= hi and fmax >= lo:
-                n += 1
-        return n
-
-    zdf = li.withColumn("z_value", z)
-    z_files = write(zdf, "z_value", tmp_path / "zorder")
-    naive_files = write(zdf, "l_orderkey", tmp_path / "naive")
-
-    # mid-domain range probes on both clustered keys
-    pmax = li.agg(F.max("l_partkey")).first()[0]
-    smax = li.agg(F.max("l_suppkey")).first()[0]
-    p_probe = (pmax // 2, pmax // 2 + max(pmax // 20, 1))
-    s_probe = (smax // 2, smax // 2 + max(smax // 20, 1))
-
-    zp = files_touched(z_files, "l_partkey", *p_probe)
-    zs = files_touched(z_files, "l_suppkey", *s_probe)
-    np_ = files_touched(naive_files, "l_partkey", *p_probe)
-    ns = files_touched(naive_files, "l_suppkey", *s_probe)
-
-    # the orderkey layout is uncorrelated with both keys: every file
-    # overlaps the probes; the z layout must prune BOTH dimensions
-    assert np_ == len(naive_files) and ns == len(naive_files)
-    assert zp < np_ and zs < ns, (zp, zs, np_, ns)
-    # partkey (200 values at sf0.001) prunes strongly; suppkey has only
-    # 10 distinct values stretched over the 16-bit budget, so its 5%
-    # probe still overlaps most z-ranges — prune, but weakly
-    assert zp <= len(z_files) // 2, (zp, zs)
-    assert zs <= 3 * len(z_files) // 4, (zp, zs)

@@ -753,111 +753,96 @@ def j14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- K8: z-order clustered layout --------------------------------------------
 
-_Z_BITS = 16  # per-key bit budget AFTER domain normalization
+_Z_BITS = 8  # per-dimension bit budget of sinks.zorder_value
 
 
-def _zorder_sql(p: str, s: str) -> str:
-    """Bit-interleaved z-value as portable SQL: ((p>>i)&1)<<(2i+1) |
-    ((s>>i)&1)<<(2i) summed over the normalized 16-bit domains — pure
-    integer math, identical in Spark and DuckDB."""
+def _zorder_oracle_sql() -> str:
+    """DuckDB replay of ``sinks.zorder_value(cols, mins, maxes, bits=8)``
+    (the shared Morton-key helper the layout writer uses): linear-bin
+    each key to 8 bits between its min/max (same IEEE double ops in the
+    same order as the Spark expression), then interleave bit-planes —
+    dim j at position i*2+j."""
+    def bin_sql(k, lo, hi):
+        span = f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END)"
+        return (
+            f"LEAST(255, GREATEST(0, CAST(floor("
+            f"(CAST({k} AS DOUBLE) - {lo}) / {span} * 255) AS BIGINT)))"
+        )
+
+    bp = bin_sql("l_partkey", "pmin", "pmax")
+    bs = bin_sql("l_suppkey", "smin", "smax")
     terms = []
     for i in range(_Z_BITS):
-        terms.append(f"(({p} >> {i}) & 1) * {1 << (2 * i + 1)}")
-        terms.append(f"(({s} >> {i}) & 1) * {1 << (2 * i)}")
-    return "(" + "\n       + ".join(terms) + ")"
-
-
-def _zorder_col(p, s):
-    z = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        z = z + F.shiftright(p, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
-            1 << (2 * i + 1)
-        )
-        z = z + F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
-            1 << (2 * i)
-        )
-    return z
-
-
-_Z_NORM_SQL = (
-    "(({k} - {kmin}) * 65535) // (CASE WHEN {kmax} > {kmin} "
-    "THEN {kmax} - {kmin} ELSE 1 END)"
-)
-
-
-@query(
-    "k8_zorder_layout_roundtrip",
-    oracle=f"""
+        terms.append(f"(((bp >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bs >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
     WITH stats AS (
-      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS pmin,
+             CAST(MAX(l_partkey) AS DOUBLE) AS pmax,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS smin,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS smax
       FROM lineitem
+    ), binned AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {bp} AS bp, {bs} AS bs
+      FROM lineitem, stats
     ), z AS (
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             {_zorder_sql(
-                 _Z_NORM_SQL.format(k="l_partkey", kmin="pmin", kmax="pmax"),
-                 _Z_NORM_SQL.format(k="l_suppkey", kmin="smin", kmax="smax"),
-             )}
-               AS z_value
-      FROM lineitem, stats
+             {z} AS z_value
+      FROM binned
     )
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, z_value
     FROM z WHERE l_orderkey % 97 = 0
     ORDER BY l_orderkey, l_linenumber
-    """,
-)
+    """
+
+
+@query("k8_zorder_layout_roundtrip", oracle=_zorder_oracle_sql())
 def k8_zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8 — z-order clustered layout (the Delta/Iceberg ``OPTIMIZE
-    ZORDER BY`` pattern): interleave the bits of the two probe keys
-    (part, supplier) into one z-value, range-partition + sort the fact
-    table by it, and write parquet.  Files then carry TIGHT min/max
-    footer ranges on BOTH keys simultaneously, so a predicate on either
-    key prunes most files at scan time — the single technique that makes
-    multi-dimensional point/range probes viable on a 100 TB fact table
-    without duplicating it per sort key
-    (``tests/test_sinks.py::test_zorder_layout_prunes_both_dimensions``
-    measures the footer-range pruning against single-key layouts).
+    ZORDER BY`` pattern) as a catalog-verified round trip: the fact
+    table goes through ``sinks.write_zorder_layout`` (min/max-normalized
+    8-bit Morton key, range partition + sort, parquet), comes back
+    through the scan, and the entry emits a deterministic key sample
+    with the SAME ``sinks.zorder_value`` key recomputed on the read-back
+    rows — so the value hash covers both the sink+scan round trip and
+    the Morton math (the oracle replays the binning/interleave in SQL,
+    same IEEE double ops in the same order).  File boundaries, which
+    depend on the range sampler, never touch the output.
 
-    The z math normalizes each key to the full 16-bit budget from its
-    own min/max (UNNORMALIZED interleaving lets the wider-domain key
-    monopolize the high bits — measured: partkey probes pruned 2/16
-    files while suppkey probes touched all 16) and is then pure integer
-    bit-interleaving — exact `div`/`//` arithmetic, identical in both
-    engines, SF-agnostic — and the
-    value hash covers the full sink+scan round trip of the clustered
-    layout: the entry reads the written files back and emits a
-    deterministic key sample with its z-values (file boundaries, which
-    depend on the range sampler, never touch the output)."""
+    The pruning payoff — footer min/max ranges tight in EVERY clustered
+    dimension at once, so a probe on either key skips most files — is
+    measured in ``tests/test_sinks.py::test_zorder_beats_1d_sort_on_
+    second_column_predicate``.  Normalization is what makes it work:
+    un-normalized interleaving lets the wider-domain key monopolize the
+    high bits and the narrow key stops pruning."""
+    from tts_data_pipeline_spark import sinks
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    stats = li.agg(
-        F.min("l_partkey").alias("pmin"),
-        F.max("l_partkey").alias("pmax"),
-        F.min("l_suppkey").alias("smin"),
-        F.max("l_suppkey").alias("smax"),
-    )
-    li = li.join(F.broadcast(stats))
-    norm_p = F.expr(
-        _Z_NORM_SQL.format(k="l_partkey", kmin="pmin", kmax="pmax")
-        .replace("//", "div")
-    )
-    norm_s = F.expr(
-        _Z_NORM_SQL.format(k="l_suppkey", kmin="smin", kmax="smax")
-        .replace("//", "div")
-    )
-    z = _zorder_col(norm_p, norm_s)
     out_dir = _tmpdir("k8_zorder")
-    (
-        li.withColumn("z_value", z)
-        .repartitionByRange(8, "z_value")
-        .sortWithinPartitions("z_value")
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    sinks.write_zorder_layout(
+        li, out_dir, cols=("l_partkey", "l_suppkey"), bits=_Z_BITS,
+        n_files=8,
     )
     back = spark.read.parquet(out_dir)
+    stats = back.agg(
+        F.min(F.col("l_partkey").cast("double")),
+        F.max(F.col("l_partkey").cast("double")),
+        F.min(F.col("l_suppkey").cast("double")),
+        F.max(F.col("l_suppkey").cast("double")),
+    ).head()
+    z = sinks.zorder_value(
+        ("l_partkey", "l_suppkey"),
+        (stats[0], stats[2]),
+        (stats[1], stats[3]),
+        bits=_Z_BITS,
+    )
     return (
         back.filter(F.col("l_orderkey") % 97 == 0)
+        .withColumn("z_value", z)
         .select(
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "z_value"
         )
