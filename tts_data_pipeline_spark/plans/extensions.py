@@ -1064,7 +1064,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNM_WINDOW = 8       # compare each row with the next w-1 in sort order
 _SNM_KEY_LEN = 32     # sort key = first chars of the normalized text
-_SNM_BUCKET_LEN = 4   # coarse ordered prefix for the two-level rank
 
 # the two pass keys, as DuckDB SQL over the normalized text n —
 # pass 1 sorts by the document HEAD, pass 2 by its reversed TAIL, so a
@@ -1107,48 +1106,65 @@ def _snm_cte_sql(tag: str) -> str:
 
 def _snm_pass(d: DataFrame, key, tag: str):
     """One sorted-neighborhood pass over ``d`` (documents): rank by the
-    ``key`` column expression via the TWO-LEVEL rank (per-prefix-bucket
-    row_number + broadcast exclusive bucket offsets — no unpartitioned
-    window), join each row to its next w-1 neighbors, return the
-    UNROUNDED verified pairs (id_a, id_b, rank_dist, j >= 0.5).
+    ``key`` column expression via the RANGE-PARTITIONED global rank,
+    join each row to its next w-1 neighbors, return the UNROUNDED
+    verified pairs (id_a, id_b, rank_dist, j >= 0.5).
+
+    Global rank without an unpartitioned window AND without a hot-key
+    ceiling: ``repartitionByRange(snm_key, doc_id)`` gives ordered
+    partitions (the composite sort key lets the range sampler SPLIT a
+    hot snm_key across partitions — the round-13 first cut bucketed by
+    a key PREFIX, so a duplicate family sharing its prefix serialized
+    through one window task; ~3x at 200k rows under a 30%-hot prefix
+    and unbounded at scale, PLANS.md), then rank = broadcast exclusive per-partition row counts
+    + within-partition row_number.  Partition boundaries come from the
+    range sampler and vary run to run, but the composed rank is the
+    position in the total (snm_key, doc_id) order — identical for ANY
+    boundaries, so the oracle's global ``row_number`` is reproduced
+    exactly.
 
     ``base`` and ``ranked`` are cached (replace-on-reinvoke registry,
-    keyed by ``tag``): base feeds both the bucket histogram and the rank
-    join, ranked feeds both neighbor-join sides — uncached, the plan
-    re-scanned and re-tokenized documents 4x per pass (plan_audit
-    rescan flag); cached it is ONE scan per pass."""
+    keyed by ``tag``): base feeds the range exchange, ranked feeds both
+    the per-partition histogram and the two neighbor-join sides —
+    uncached, the plan re-scanned and re-tokenized documents 4x per
+    pass (plan_audit rescan flag); cached it is ONE scan per pass."""
     from pyspark.sql import Window as W
     from tts_data_pipeline_spark.cachereg import cache_replacing
+    from tts_data_pipeline_spark.sources.readers import spread
 
     norm = F.lower(F.trim(F.col("text")))
     base = cache_replacing(
         f"snm_base_{tag}",
-        d.select(
-            "doc_id",
-            key.alias("snm_key"),
-            F.array_distinct(F.split(norm, " ")).alias("tokset"),
-        ).withColumn("bucket", F.substring("snm_key", 1, _SNM_BUCKET_LEN)),
+        spread(
+            d.select(
+                "doc_id",
+                key.alias("snm_key"),
+                F.array_distinct(F.split(norm, " ")).alias("tokset"),
+            )
+        )
+        .repartitionByRange("snm_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id()),
     )
 
-    hist = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    offsets = hist.select(
-        "bucket",
+    counts = base.groupBy("pid").agg(F.count(F.lit(1)).alias("n_p"))
+    offsets = counts.select(
+        "pid",
         F.coalesce(
-            F.sum("n_b").over(
-                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            F.sum("n_p").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("off"),
     )
     ranked = cache_replacing(
         f"snm_ranked_{tag}",
-        base.join(F.broadcast(offsets), "bucket")
+        base.join(F.broadcast(offsets), "pid")
         .withColumn(
             "rnk",
             (
                 F.col("off")
                 + F.row_number().over(
-                    W.partitionBy("bucket").orderBy("snm_key", "doc_id")
+                    W.partitionBy("pid").orderBy("snm_key", "doc_id")
                 )
             ).cast("long"),
         )
