@@ -909,3 +909,20 @@ def test_sorted_neighborhood_recovers_adjacent_dups(spark, tmp_path):
     # row each with n_passes = 2
     for pair in [(0, 1), (0, 2), (1, 2)]:
         assert multi[pair] == (1.0, 2)
+
+    # boundary independence (the property the range rank's correctness
+    # rests on): the composed rank is the position in the total
+    # (snm_key, doc_id) order for ANY range-sampler boundaries, so the
+    # pair set cannot move with the partition count
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = {
+            (r.id_a, r.id_b)
+            for r in dedup_sorted_neighborhood(
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == set(got)
