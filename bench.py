@@ -279,9 +279,15 @@ def main() -> None:
         _materialize(queries[name](spark, sf_dir))
         return round(time.perf_counter() - t0, 3)
 
-    retimed = _retime(timings, all_passes, sf, _run_once)
+    retimed, retime_suspects = _retime(timings, all_passes, sf, _run_once)
     for name in retimed:
         print(f"  retimed {name}: min {timings[name]:.3f}s", file=sys.stderr)
+    for name, ratios in retime_suspects.items():
+        print(
+            f"  RETIME-SUSPECT {name}: retime pass ratios {ratios} still "
+            "above the outlier threshold (possible bimodal regression)",
+            file=sys.stderr,
+        )
 
     spreads = sorted(
         (ts[1] - ts[0]) / max(ts[0], 1e-3)
@@ -295,6 +301,8 @@ def main() -> None:
     }
     if retimed:
         host_load["retimed"] = retimed
+    if retime_suspects:
+        host_load["retime_suspect"] = retime_suspects
 
     total = round(sum(timings.values()), 3)
     if "--record-baseline" in sys.argv:
@@ -360,17 +368,48 @@ def _retime(
     min (r12 verdict #2).  ``run_once(name) -> seconds``.  Settling-host
     noise on the first passes is absorbed (the late passes read ~1x, the
     min drops, the flag clears); a genuine regression is slow in the
-    late passes too and keeps its flag."""
+    late passes too and keeps its flag.
+
+    r13 advice: the overall min can absorb a BIMODAL regression (one
+    that occasionally runs at baseline speed) exactly like noise, so the
+    retime passes are ALSO gated individually: any retime pass that
+    still exceeds the outlier ratio marks the entry ``retime_suspect``
+    (reported in host_load beside ``retimed``) — visible to the tail
+    audit even when the min clears the primary flag."""
     retimed: list[str] = []
+    suspects: dict[str, list[float]] = {}
     pre = _baseline_ratios(timings, sf)
+    base = _load_baseline(sf)
+    base_q = base.get("queries", {}) if base else {}
+    threshold = max(1.5, 1.5 * (pre or {}).get("ratio_median", 1.0))
     if pre and pre.get("outliers"):
         for name in pre["outliers"]:
+            passes: list[float] = []
             for _ in range(2):
                 dt = run_once(name)
                 all_passes[name].append(dt)
+                passes.append(dt)
                 timings[name] = min(timings[name], dt)
             retimed.append(name)
-    return retimed
+            b = base_q.get(name, 0)
+            hot = [
+                round(dt / b, 3)
+                for dt in passes
+                if b > 0 and dt / b > threshold and dt - b > 0.5
+            ]
+            if hot:
+                suspects[name] = hot
+    return retimed, suspects
+
+
+def _load_baseline(sf: float) -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        base = json.load(f)
+    return base if base.get("sf") == sf else None
 
 
 def _baseline_ratios(timings: dict[str, float], sf: float) -> dict | None:

@@ -105,3 +105,54 @@ def test_weighted_reservoir_prefers_heavy_rows(spark):
     keys = [r.key for r in sampled]
     assert all(k < 0 for k in keys)
     assert keys == sorted(keys, reverse=True)
+
+
+def test_sample_hash_parity_beyond_int32_orderkeys(spark):
+    """r13 advice: the Bernoulli sampling hash used by agg_sample_estimate
+    multiplied the raw row key by the Knuth constant — past l_orderkey
+    ~4.3e8 the product leaves int64, Spark wraps silently (negative
+    remainders -> in_sample false) while DuckDB raises on BIGINT overflow.
+    The fixed form bounds the key mod 2^31 first, so the product provably
+    fits on BOTH engines.  Probe with orderkeys far beyond the overflow
+    point (up to ~9.2e17, the 100 TB regime) and require bit-identical
+    in_sample decisions from Spark and DuckDB."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(1, 9_200_000_000_000_000_00), rng.randrange(1, 8))
+        for _ in range(500)
+    ]
+    # include the exact old overflow frontier and int32/int64-edge keys
+    rows += [(429_496_729, 6), (2_147_483_647, 7), (1_152_921_504_606_846_975, 1)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber"])
+
+    sdf = spark.createDataFrame(pdf)
+    expr = (
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % 1000 < 100
+    got = (
+        sdf.select("l_orderkey", "l_linenumber", expr.alias("in_sample"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               (((l_orderkey * 8 + l_linenumber) % 2147483648)
+                * 2654435761) % 1000 < 100 AS in_sample
+        FROM t ORDER BY l_orderkey, l_linenumber
+        """
+    ).df()
+    con.close()
+
+    assert list(got["in_sample"]) == list(want["in_sample"])
+    # the sample must not be degenerate (the wrap bug zeroed it out)
+    frac = sum(got["in_sample"]) / len(got)
+    assert 0.05 < frac < 0.2, frac

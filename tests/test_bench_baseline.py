@@ -87,7 +87,7 @@ def test_retime_absorbs_settling_noise_but_keeps_regressions():
             return round(base["queries"][name] * 4.0, 3)
         return base["queries"][name]
 
-    retimed = bench._retime(timings, all_passes, 0.1, run_once)
+    retimed, suspects = bench._retime(timings, all_passes, 0.1, run_once)
     assert set(retimed) == {noisy, regressed}
     assert len(all_passes[noisy]) == 5  # two extra passes recorded
 
@@ -95,3 +95,38 @@ def test_retime_absorbs_settling_noise_but_keeps_regressions():
     assert noisy not in s["outliers"], s["outliers"]
     assert list(s["outliers"]) == [regressed]
     assert s["ratio_median"] <= 1.05
+    # the retime passes themselves are gated (r13 advice): the steady
+    # regression is suspect on both passes, the settled noise on neither
+    assert regressed in suspects and noisy not in suspects
+
+
+def test_retime_flags_bimodal_regression_even_when_min_clears():
+    """r13 advice: a BIMODAL regression (occasionally runs at baseline
+    speed) can drop its overall min to ~1x and clear the primary outlier
+    flag — exactly like settling noise.  The retime passes are gated
+    individually so the slow pass is still surfaced as retime_suspect."""
+    bench = _load_bench()
+    with open(os.path.join(REPO, "BENCH_BASELINE.json")) as f:
+        base = json.load(f)
+    names = sorted(base["queries"], key=lambda n: -base["queries"][n])[:40]
+    bimodal = names[0]
+
+    timings = {n: base["queries"][n] for n in names}
+    timings[bimodal] = round(base["queries"][bimodal] * 4.0, 3)
+    all_passes = {n: [timings[n]] * 3 for n in names}
+
+    calls = {"n": 0}
+
+    def run_once(name):
+        # first retime pass slow (the regression), second hits the fast
+        # mode — the min clears the primary flag
+        calls["n"] += 1
+        factor = 4.0 if calls["n"] == 1 else 1.0
+        return round(base["queries"][name] * factor, 3)
+
+    retimed, suspects = bench._retime(timings, all_passes, 0.1, run_once)
+    assert retimed == [bimodal]
+    s = bench._baseline_ratios(timings, 0.1)
+    assert bimodal not in (s["outliers"] or {})  # min absorbed it...
+    assert bimodal in suspects  # ...but the per-pass gate still flags it
+    assert len(suspects[bimodal]) == 1  # exactly the one slow pass

@@ -458,6 +458,7 @@ def test_fold_session_chunks_sorts_across_arrow_chunks():
     def mk(*ts_val):
         return pd.DataFrame(
             {
+                "event_id": list(range(len(ts_val))),
                 "ts": [pd.Timestamp(t, unit="s") for t, _ in ts_val],
                 "value": [v for _, v in ts_val],
             }
@@ -485,6 +486,25 @@ def test_fold_session_chunks_sorts_across_arrow_chunks():
         0,
         0.0,
     )
+
+    # r13 verdict #2: equal-ts ties fold in event_id order — float sums
+    # are order-dependent, so the pinned order makes the fold (hence the
+    # oracle hash) independent of Arrow chunking / pandas sort internals.
+    def mk_ids(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [i for i, _, _ in rows],
+                "ts": [pd.Timestamp(t, unit="s") for _, t, _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        )
+
+    # same three equal-ts rows, presented in two different chunk orders
+    a = mk_ids([(2, 10, 0.1), (0, 10, 0.2), (1, 10, 0.3)])
+    b = mk_ids([(1, 10, 0.3), (2, 10, 0.1), (0, 10, 0.2)])
+    fold_a = _fold_session_chunks(7, [a], None, None, 0, 0.0, gap)
+    fold_b = _fold_session_chunks(7, [b], None, None, 0, 0.0, gap)
+    assert fold_a == fold_b
 
 
 def test_timeout_sessionize_retires_dormant_state(spark):

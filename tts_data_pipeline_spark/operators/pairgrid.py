@@ -137,14 +137,24 @@ def adaptive_grid_pair_join(
     replace-on-reinvoke registry — both explode sides reference it, so
     without the cache the upstream subtree (often a distinct/shuffle)
     runs twice (the subtree-recompute class).
+
+    CONTRACT NOTE (r13 advice): with ``warn_quadratic`` set, building
+    the plan runs ONE EAGER narrow aggregate over the bucket histogram
+    (``.first()`` below) — plan construction is not fully lazy.  The
+    histogram is registered in the cache registry (``<cache_name>__hist``)
+    so the eager pass fills a cache that the join's broadcast side and
+    every repeat build (bench min-of-N, driver re-runs) then read — the
+    upstream subtree scans once per distinct plan, not once per build.
     """
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
     bucket_cols = list(bucket_cols)
     hist = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n_b"))
+    if cache_name is not None:
+        hist = cache_replacing(f"{cache_name}__hist", hist)
     if warn_quadratic is not None:
-        # one narrow aggregate over the bucket columns (Catalyst prunes
-        # the payload), a rounding error beside the pair join it guards
+        # one narrow aggregate over the (cached) bucket histogram —
+        # Catalyst prunes the payload; repeat builds hit the cache
         from tts_data_pipeline_spark.conf import PAIRGRID_TARGET_ROWS, dial
 
         stats = hist.agg(

@@ -1726,7 +1726,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT l_returnflag,
              CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
-             ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000 < 100
+             (((l_orderkey * 8 + l_linenumber) % 2147483648)
+              * 2654435761) % 1000 < 100
                AS in_sample
       FROM lineitem
     )
@@ -1759,8 +1760,11 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate (no second pass over the table)."""
     li = table(spark, sf_dir, "lineitem")
     qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    # Bound the key to 2^31 before the Knuth multiply: (2^31-1)*2654435761
+    # ~= 5.7e18 < int64 max, so the product provably fits on BOTH engines
+    # (Spark would wrap silently past ~4.3e8 orderkeys; DuckDB would raise).
     in_sample = (
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % F.lit(2147483648))
         * F.lit(2654435761)
     ) % 1000 < 100
     t = li.select(

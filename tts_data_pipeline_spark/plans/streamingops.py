@@ -266,13 +266,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stream_join_outer",
     oracle="""
-    WITH wm AS (
-      SELECT least(
-               (SELECT epoch_ms(max(ts)) FROM events
-                 WHERE event_type = 'view'),
-               (SELECT epoch_ms(max(ts)) FROM events
-                 WHERE event_type = 'purchase')
-             ) - 30 * 60 * 1000 AS w_final_ms
+    WITH mx AS (
+      SELECT (SELECT epoch_ms(max(ts)) FROM events
+               WHERE event_type = 'view') AS v_ms,
+             (SELECT epoch_ms(max(ts)) FROM events
+               WHERE event_type = 'purchase') AS p_ms
+    ), wm AS (
+      -- Spark's global watermark is the MIN over both sides; an EMPTY side
+      -- pins it at zero (no null rows ever emit).  least() would skip the
+      -- NULL max and use the surviving side — guard to NULL instead so the
+      -- null-extension predicate below is false, matching Spark.
+      SELECT CASE WHEN v_ms IS NULL OR p_ms IS NULL THEN NULL
+                  ELSE least(v_ms, p_ms) - 30 * 60 * 1000 END AS w_final_ms
+      FROM mx
     )
     SELECT v.user_id,
            v.event_id AS view_id,

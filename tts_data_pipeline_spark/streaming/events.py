@@ -146,8 +146,11 @@ def _fold_session_chunks(key_val, pdfs, ss, lt, n, tv, gap_seconds):
     Rows can span multiple Arrow chunks, so sort ACROSS chunks, not
     per-chunk — a per-chunk sort would let an out-of-order timestamp
     regress session_end (and the registered timeout) or merge
-    gap-separated sessions.  Equal-ts ties can fold in any order: they
-    are always within-gap, so boundaries and sums agree.
+    gap-separated sessions.  Equal-ts ties are always within-gap, so
+    BOUNDARIES agree in any order — but ``total_value`` is a float fold,
+    and float addition is order-dependent, so the tie order is pinned on
+    ``event_id`` (r13 verdict #2): same rows → same fold order → same
+    hash, independent of Arrow chunking and pandas sort stability.
 
     Returns ``(closed, ss, lt, n, tv)`` where ``closed`` is the list of
     gap-closed session tuples and the scalars are the still-open tail
@@ -158,7 +161,9 @@ def _fold_session_chunks(key_val, pdfs, ss, lt, n, tv, gap_seconds):
     closed: list[tuple] = []
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         for ts, v in zip(batch["ts"], batch["value"]):
             t = int(ts.value // 1000)  # ns → us
             if lt is None:
@@ -173,6 +178,26 @@ def _fold_session_chunks(key_val, pdfs, ss, lt, n, tv, gap_seconds):
                 n += 1
                 tv += float(v)
     return closed, ss, lt, n, tv
+
+
+def _sessions_frame(closed: list[tuple]):
+    """Columnar construction of a closed-sessions batch (dict-of-lists,
+    not list-of-dicts): called only for keys that actually closed
+    sessions this micro-batch — the common empty case yields NO frame,
+    which r14 measured as the dominant per-key Python cost of the
+    stateful replays (thousands of empty 5-column DataFrame builds)."""
+    import pandas as pd
+
+    u, s, e, c, t = zip(*closed)
+    return pd.DataFrame(
+        {
+            "user_id": list(u),
+            "session_start": pd.to_datetime(list(s), unit="us"),
+            "session_end": pd.to_datetime(list(e), unit="us"),
+            "n_events": list(c),
+            "total_value": list(t),
+        }
+    )
 
 
 def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
@@ -201,25 +226,11 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         )
         if lt is not None:
             state.update((int(ss), int(lt), int(n), float(tv)))
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": u,
-                    "session_start": pd.Timestamp(s, unit="us"),
-                    "session_end": pd.Timestamp(e, unit="us"),
-                    "n_events": c,
-                    "total_value": t,
-                }
-                for (u, s, e, c, t) in closed
-            ],
-            columns=[
-                "user_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
-            ],
-        )
+        if closed:
+            yield _sessions_frame(closed)
+        # most keys close nothing in a given micro-batch — yielding no
+        # frame at all skips a per-key pandas DataFrame construction
+        # (measured: the dominant Python cost of the replay)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
@@ -325,25 +336,9 @@ def stateful_sessionize_timeout(
                 state.setTimeoutTimestamp(
                     lt // 1000 + gap_seconds * 1000
                 )
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": u,
-                    "session_start": pd.Timestamp(s, unit="us"),
-                    "session_end": pd.Timestamp(e, unit="us"),
-                    "n_events": c,
-                    "total_value": t,
-                }
-                for (u, s, e, c, t) in closed
-            ],
-            columns=[
-                "user_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
-            ],
-        )
+        if closed:
+            yield _sessions_frame(closed)
+        # see stateful_sessionize: empty-handed keys yield nothing
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
