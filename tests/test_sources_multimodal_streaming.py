@@ -719,3 +719,28 @@ def test_outer_join_boundary_is_strict_and_ms_truncated(spark, tmp_path):
         # ABSENT: (1, None) on-line view, (4, None) -0.1ms view — both
         # stay parked in join state at stream end
     }
+
+
+def test_timeout_sessionize_output_is_slicing_independent(spark):
+    """r14: n_slices is a PHYSICAL replay knob — the emitted session set
+    (gap-closed + timeout-closed) must be identical however the
+    chronological replay is sliced, because a session's emission depends
+    only on event times vs the FINAL watermark (the closed-form on the
+    runner).  This is what justified dropping the default from 4 slices
+    to 2 (sf0.1: 8.5 s -> 4.8 s warm, identical 95,345 rows at 2/3/4)."""
+    from tts_data_pipeline_spark.streaming.events import (
+        run_stateful_sessions_timeout_to_memory,
+    )
+
+    def run(n_slices, qn):
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 2))
+            for r in run_stateful_sessions_timeout_to_memory(
+                spark, SF_DIR, qn, n_slices=n_slices
+            ).collect()
+        }
+
+    by_slices = {n: run(n, f"t_slices_{n}") for n in (2, 3, 4)}
+    assert by_slices[2], "replay emitted nothing — fixture too small"
+    assert by_slices[2] == by_slices[3] == by_slices[4]
