@@ -263,7 +263,15 @@ def ta_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join — row-identical to the plain equi-join (the oracle IS the
     plain join); only the physical key distribution changes.  Hot keys are
-    split across 8 salt buckets; the right side replicates 8×."""
+    split across 8 salt buckets; the right side replicates 8×.
+
+    When to reach for it (r14 30%-hot-key probe, tools/skew_probe.py +
+    PLANS.md): salting beats AQE-at-defaults (~13% on the probe) because
+    default AQE never splits a hot partition under its 256 MB byte floor —
+    but AQE with TUNED thresholds beats blanket salting ~2× (it splits
+    only the hot partition; salt taxes every row with the replication).
+    Salt is the in-plan fix for skew under AQE's radar or where per-query
+    conf control is unavailable."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(
