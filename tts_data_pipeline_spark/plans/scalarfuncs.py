@@ -406,14 +406,28 @@ def _ddb_cardinal(n_sql: str) -> str:
 def c15b_cardinal_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15b — full Vietnamese cardinal (num2words mode of the reference,
     ``alignment/post_process.py:110-120``, ``push_to_hf.py:37-47``) over a
-    0..999,999 spread derived from orders; pure expression, no UDF."""
+    0..999,999 spread derived from orders; pure expression, no UDF.
+
+    Plan shape (r14, 2.2 s → 0.7 s warm at sf0.1): the num spread is
+    ~|orders| distinct, so C17b's codebook trick doesn't apply — instead
+    the fact side is ``repartitionByRange(32, key)`` FIRST, then the big
+    (interpreted — it exceeds the codegen splitting threshold) cardinal
+    tree projects over 32 range partitions in parallel, and the terminal
+    ``orderBy`` on the same key is satisfied by the existing range
+    partitioning (sort-within-partitions only, no second exchange, and
+    the range sampler never sees the expensive projection).  The
+    explicit partition count bypasses AQE's small-output coalescing,
+    which otherwise folds the tiny sf0.1 frame to ONE partition and
+    serializes the interpreted eval."""
     o = table(spark, sf_dir, "orders")
     num = (F.col("o_orderkey") * 37) % 1000000
     return (
-        o.select(
+        o.select("o_orderkey", num.alias("num"))
+        .repartitionByRange(32, "o_orderkey")
+        .select(
             "o_orderkey",
-            num.alias("num"),
-            V.vi_cardinal(num).alias("cardinal"),
+            "num",
+            V.vi_cardinal(F.col("num")).alias("cardinal"),
         )
         .orderBy("o_orderkey")
     )
