@@ -368,3 +368,39 @@ def test_lpa_conv_oracle_margin(spark):
         edges.unpersist()
     assert stats["converged"] is True
     assert stats["rounds_run"] <= graphops._CONV_ORACLE_ROUNDS - 5, stats
+
+
+def test_pre_contract_round_count_robust_to_adverse_partitioning(spark):
+    """r14: one contraction pass's quality depends on how much of each
+    component lands in a single partition — a widely-partitioned pair set
+    (e.g. a cached frame whose output partitioning AQE can no longer
+    coalesce) left duplicate families split and the star loop ran 6
+    rounds instead of 2 at sf0.1.  The ITERATED contraction (coalesce to
+    cores, contract, repartition by node, contract) must keep the round
+    count low for ANY input partitioning, with identical components."""
+    from tts_data_pipeline_spark.operators import components as C
+
+    # clique-heavy graph: 30 families of 12 copies each -> 66 edges/family
+    fams = [
+        (f * 100 + a, f * 100 + b)
+        for f in range(30)
+        for a in range(12)
+        for b in range(a + 1, 12)
+    ]
+    df = spark.createDataFrame(fams, ["id_a", "id_b"])
+    base = {
+        r.id: r.component
+        for r in connected_components(df.coalesce(1), pre_contract=True).collect()
+    }
+    rounds_best = C.LAST_RUN_STATS["rounds"]
+    # adverse: scatter every family across 64 partitions by row hash
+    scattered = df.repartition(64)
+    got = {
+        r.id: r.component
+        for r in connected_components(scattered, pre_contract=True).collect()
+    }
+    rounds_adverse = C.LAST_RUN_STATS["rounds"]
+    assert got == base
+    # identical-round-count is the robustness contract the iterated
+    # contraction buys (pre-fix: adverse ran 3x the rounds)
+    assert rounds_adverse <= rounds_best + 1, (rounds_adverse, rounds_best)

@@ -153,8 +153,29 @@ def connected_components(
     if pre_contract:
         # collapse per-partition clique mass to forest edges before the
         # iterative loop (see contract_pairs_locally) — components are
-        # provably identical, the loop's input drops from O(m) to O(n)
-        pairs = contract_pairs_locally(pairs, src, dst)
+        # provably identical, the loop's input drops from O(m) to O(n).
+        # ITERATED (r14): one pass's quality depends on how much of a
+        # component lands in one partition — a cached/widely-partitioned
+        # pair set (AQE cannot re-coalesce an InMemoryRelation's output)
+        # left families split across 32 partitions and the star loop ran
+        # 6 rounds instead of 2.  A second contraction over the forest
+        # repartitioned BY NODE re-merges stars that share a member
+        # (forest mass is ≤ O(n), so the extra shuffle is cheap at any
+        # scale) — this is the standard iterate-the-filtering step of
+        # Lattanzi et al., and it makes round count robust to input
+        # partitioning instead of reliant on small-scale AQE luck.
+        # width = cores, NOT the input's partition count: each partition
+        # is one Arrow-batched Python invocation, and a cached pair frame
+        # under a plain session arrives at 200 shuffle partitions — 200
+        # tiny Python tasks AND a family split 200 ways (weak
+        # contraction).  coalesce is NARROW (no shuffle of the full pair
+        # mass, which is the whole point of contracting before the loop)
+        # and merging partitions only IMPROVES contraction quality.
+        width = spark.sparkContext.defaultParallelism
+        pairs = contract_pairs_locally(pairs.coalesce(width), src, dst)
+        pairs = contract_pairs_locally(
+            pairs.repartition(width, F.col(src)), src, dst
+        )
     from tts_data_pipeline_spark.scratch import scratch_mkdtemp
 
     workdir = scratch_mkdtemp("cc_state_")
