@@ -395,6 +395,13 @@ def _staged_replay_cached(
         if len(staged) == n_files:
             return cached
     staging = scratch_mkdtemp(f"{kind}_")
+    # dirs live for the process (reuse is the point) but not past it —
+    # the pre-cache code deleted per invocation; without this a long
+    # session of driver/bench/test processes would each orphan a dir
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     build(staging)
     _REPLAY_STAGING[key] = staging
     return staging
