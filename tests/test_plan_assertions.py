@@ -632,3 +632,26 @@ def test_weighted_reservoir_is_take_ordered(spark):
     plan = plan_of(spark, "sample_weighted_reservoir")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_c15b_single_exchange_parallel_projection(spark):
+    """r14: the interpreted Vietnamese-cardinal tree must project over
+    the 32 explicit range partitions, ONCE — exactly one exchange (the
+    repartitionByRange), with the terminal sort satisfied by it (no
+    second exchange, so the range sampler never re-evaluates the
+    expensive projection), and the projection must not collapse below
+    the exchange (where it would both serialize on the single-file scan
+    partition and run again in the sampler)."""
+    df = catalog.queries()["c15b_cardinal_words"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # the cardinal projection sits ABOVE the exchange: in the physical
+    # string, the Project containing the cardinal words appears before
+    # (shallower than) the Exchange node
+    proj_at = plan.find("tram")  # "trăm" ascii-fragment from the words
+    if proj_at == -1:
+        proj_at = plan.find("cardinal#")
+    exch_at = plan.find("Exchange")
+    assert proj_at != -1 and exch_at != -1
+    assert proj_at < exch_at, plan[:2000]
