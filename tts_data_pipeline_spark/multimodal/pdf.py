@@ -24,8 +24,10 @@ import zlib
 # <<dict>> stream ... endstream — non-greedy, DOTALL; the dict tells us
 # the filter chain.
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
-# BT ... ET text blocks inside a content stream
-_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
+# BT/ET operators OR a literal string — scanning with one alternation
+# means an "ET" shown *inside* a string (e.g. ``(ET) Tj``) is consumed as
+# string content and can never terminate the block (PDF 32000-1 §7.8.2)
+_BTET_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|\b(BT|ET)\b", re.S)
 # (literal string) tokens inside a TJ array
 _LIT_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 
@@ -85,6 +87,21 @@ def _content_streams(data: bytes):
         yield body
 
 
+def _text_blocks(stream: bytes):
+    """Yield the bodies of BT..ET text blocks, tokenizing literal strings
+    so operator lookalikes inside shown text don't split blocks."""
+    start = None
+    for m in _BTET_RE.finditer(stream):
+        tok = m.group(1)
+        if tok is None:
+            continue  # literal string — opaque to block structure
+        if tok == b"BT" and start is None:
+            start = m.end()
+        elif tok == b"ET" and start is not None:
+            yield stream[start : m.start()]
+            start = None
+
+
 def pdf_text(payload: bytes) -> str:
     """Extract shown text from a simple PDF's content streams.
 
@@ -99,9 +116,8 @@ def pdf_text(payload: bytes) -> str:
 
     lines: list[str] = []
     for stream in _content_streams(payload):
-        for block in _BLOCK_RE.finditer(stream):
+        for chunk in _text_blocks(stream):
             frags: list[bytes] = []
-            chunk = block.group(1)
             # single ordered scan so Tj/'/TJ fragments interleave in show
             # order; T* and the ' operator both advance to the next line
             for m in re.finditer(
