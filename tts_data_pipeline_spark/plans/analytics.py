@@ -1804,3 +1804,65 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_brand, p_partkey, price_cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    ORDER BY p_brand, price_cents, p_partkey
+    """,
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise skyline (Pareto frontier): per brand, the parts no other
+    part of that brand dominates (cheaper-or-equal AND bigger-or-equal with
+    one strict).  The oracle spells the NOT EXISTS dominance test; the
+    Spark plan replaces the quadratic self-join with two VALUE-RANGE
+    prefix-max windows over integer cents — a part is dominated iff the max
+    size among strictly-cheaper rows reaches its size, or the max among
+    cheaper-or-equal rows exceeds it.  All codegen, one shuffle on the
+    group key; ties (equal price AND size) are mutually non-dominating and
+    both frames get that right without a row-order tiebreak.  At 100 TB the
+    parallelism unit is the group; a single monster group would take the
+    SNM range-partition + broadcast-prefix treatment
+    (plans/extensions.py::dedup_sorted_neighborhood)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    w_strict = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_incl = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    dominated = F.coalesce(
+        F.max("p_size").over(w_strict) >= F.col("p_size"), F.lit(False)
+    ) | (F.max("p_size").over(w_incl) > F.col("p_size"))
+    return (
+        p.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )

@@ -1289,3 +1289,157 @@ def dedup_snm_multipass(
             "dedup_snm_multipass_ordered", out, "id_a", "id_b"
         )
     return out
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 8
+    ), e AS (
+      SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             CAST(embedding AS DOUBLE[]) AS nvec
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, q.anchor_label, e.neighbor_id, e.neighbor_label,
+             ROUND(
+               list_dot_product(q.qvec, e.nvec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.nvec, e.nvec))), 6) AS cosine_sim
+      FROM e, q
+      WHERE e.neighbor_label <> q.anchor_label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+           cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 8), the top-5 most-similar vectors with a DIFFERENT label —
+    the near-misses a triplet/InfoNCE loss learns most from.  Same
+    broadcast-anchors × scan shape as ``sim_bruteforce_cosine_topk`` (the
+    label test rides the same codegen'd pair filter, so no extra pass);
+    the 100 TB path swaps the scan side for the IVF-bucketed candidates
+    exactly as ``sim_ivf_topk`` does for plain top-k."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qvec"),
+        S.l2_norm(F.col("embedding")).alias("qnrm"),
+    )
+    e = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("nvec"),
+        S.l2_norm(F.col("embedding")).alias("nnrm"),
+    )
+    sim = F.round(
+        S.dot(F.col("qvec"), F.col("nvec")) / (F.col("qnrm") * F.col("nnrm")),
+        6,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "sample_contrastive_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < 16
+    ), pairs AS (
+      SELECT q.query_id, q.anchor_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             (((q.query_id % 2147483648) * 1000003
+                + e.vec_id % 2147483648) % 2147483648)
+               * 2654435761 % 1000000007 AS prand
+      FROM embeddings e, q
+      WHERE e.label <> q.anchor_label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY prand ASC, neighbor_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, anchor_label, neighbor_id, neighbor_label, prand, rank
+    FROM ranked WHERE rank <= 4
+    ORDER BY query_id, rank
+    """,
+)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UNIFORM negative sampling (the random half of a
+    contrastive batch, beside the hard negatives above): for each anchor
+    (vec_id < 16), 4 different-label vectors chosen by a replayable
+    Knuth-hash rank over the (anchor, candidate) pair — both engines
+    compute the identical BIGINT, so the "random" draw is the oracle's own
+    arithmetic, not a seed contract.  The pair key is bounded mod 2^31
+    before the multiply (the agg_sample_estimate int64-overflow rule).
+    Broadcast anchors × scan, one window per anchor key; at 100 TB the
+    rank prunes with a per-anchor ``prand`` threshold pre-filter before
+    the window (top-4 of a uniform hash needs only the smallest sliver)."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    e = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    # bound EACH id before its multiply, not just the sum: ids are bigint,
+    # and id * 1000003 overflows int64 past ~9.2e12 (ANSI Spark raises,
+    # DuckDB errors) — (2^31-1)*1000003 + 2^31 ≈ 2.1e15 provably fits
+    prand = (
+        (
+            (
+                (F.col("query_id") % F.lit(2147483648)) * 1000003
+                + F.col("neighbor_id") % F.lit(2147483648)
+            )
+            % F.lit(2147483648)
+        )
+        * F.lit(2654435761)
+    ) % F.lit(1000000007)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.asc("prand"), F.asc("neighbor_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("prand", prand)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 4)
+        .select(
+            "query_id", "anchor_label", "neighbor_id", "neighbor_label",
+            "prand", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1278,3 +1278,59 @@ def pipeline_e2e_preprocess(
         opt_in_sorted("pipeline_e2e_preprocess_ordered", ordered, "doc_id")
     )
     )
+
+
+@query(
+    "ta_word_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      )
+      WHERE word <> ''
+      GROUP BY doc_id, word
+    ), h AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS distinct_words,
+             ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, distinct_words, entropy,
+           CAST(entropy < 4.0 AS BIGINT) AS low_entropy
+    FROM h ORDER BY doc_id
+    """,
+)
+def ta_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (word) Shannon entropy per document — the standard
+    repetitive-/gibberish-text signal for pretraining curation (a doc that
+    keeps repeating the same few words scores low even when it is long,
+    which length- and stopword-based gates miss).  Computed from integer
+    counts via ``H = log2(n) - Σ c·log2(c) / n`` so both engines take logs
+    of the SAME small integers (no per-row p=c/n division noise before the
+    fold).  Two keyed shuffles — (doc_id, word) then doc_id — both
+    hash-partitioned and skew-free at 100 TB because doc_id is the key, not
+    the word."""
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    c = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    entropy = F.round(
+        F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_words"),
+            F.count("*").alias("distinct_words"),
+            entropy.alias("entropy"),
+        )
+        .withColumn("low_entropy", (F.col("entropy") < 4.0).cast("long"))
+        .orderBy("doc_id")
+    )
