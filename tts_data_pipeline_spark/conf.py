@@ -157,6 +157,16 @@ SEMDEDUP_NPROBE_SUPER = ("spark.graft.semdedup.nprobe_super", 3)
 IVF_NPROBE = ("spark.graft.ivf.nprobe", 2)
 LPA_MAX_ROUNDS = ("spark.graft.lpa.max_rounds", 40)
 LPA_MIN_COOCCUR = ("spark.graft.lpa.min_cooccur", 4)
+# physical-only: shuffle width for the converged-LPA entry's EAGER
+# build+loop (scoped set/restore of spark.sql.shuffle.partitions, the
+# streaming entries' guard pattern).  0 = auto (defaultParallelism —
+# cores-wide on any cluster).  The driver's plain session leaves shuffle
+# partitions at 200, and this entry executes ~10 build stages plus one
+# stage per LPA round at that width; 200-task scheduling overhead on a
+# node-sized graph dominated its sf0.01 wall (measured 31 → 7 s at
+# width 8 in a plain local[8] session).  At 100 TB raise it toward the
+# deployment's tuned shuffle width — identical labelling for any value.
+LPA_BUILD_WIDTH = ("spark.graft.lpa.build_width", 0)
 
 
 def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:

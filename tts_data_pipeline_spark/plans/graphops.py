@@ -329,12 +329,22 @@ SELECT node, label AS community FROM l{rounds} ORDER BY node"""
 # fixpoint is round 2 (sf0.001: 4 nodes / 2 communities) and round 20
 # (sf0.01: 145 nodes / 5 communities).
 from tts_data_pipeline_spark.conf import (  # noqa: E402
+    LPA_BUILD_WIDTH,
     LPA_MAX_ROUNDS,
     LPA_MIN_COOCCUR,
     PAIRGRID_S_MAX,
     PAIRGRID_TARGET_ROWS,
     dial,
 )
+
+
+def _lpa_build_width(spark: SparkSession) -> int:
+    """Resolve the converged-LPA build width: the dial if set (≥ 1),
+    else cores (``defaultParallelism``) — the dial's 0 default means
+    auto, which ``conf.dial``'s ≥ 1 contract can't express."""
+    key, default = LPA_BUILD_WIDTH
+    raw = int(spark.conf.get(key, str(default)))
+    return raw if raw >= 1 else spark.sparkContext.defaultParallelism
 
 # SEMANTIC dial default (spark.graft.lpa.min_cooccur): the shipped
 # oracle pins this value; the Spark side reads the dial at plan build
@@ -449,7 +459,15 @@ def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     mode-with-tiebreak is ONE struct-max aggregate — (c DESC, label ASC)
     becomes max(struct(c, -label, label)), saving the per-node sort
     shuffle a ROW_NUMBER window would add every round (the oracle's
-    ROW_NUMBER computes the same winner)."""
+    ROW_NUMBER computes the same winner).
+
+    Deliberately NO explicit repartition here: the two agg shuffles
+    carry map-side partially-combined (key, c) rows, and replacing them
+    with one repartition on ``src`` was MEASURED WORSE at sf0.1
+    (18 vs 10 s warm — the repartition ships the raw join output and
+    demotes both aggregations to complete mode).  Round width in the
+    driver's plain 200-partition session is instead handled by the
+    converged entry's scoped shuffle-width guard."""
     cnt = (
         edges.join(labels, edges.dst == labels.node)
         .groupBy(F.col("src").alias("n2"), "label")
@@ -470,18 +488,36 @@ def lpa_propagate_converged(
     edges: DataFrame,
     max_rounds: int = 25,
     require_convergence: bool = True,
+    rounds_per_job: int = 3,
 ) -> tuple[DataFrame, dict]:
     """Label propagation iterated UNTIL THE LABELLING REPEATS — the
     convergence-required mode the fixed-round catalog entry lacks
     (round-8 verdict #3): a caller who needs a fixpoint no longer polls
     ``lpa_run_stats`` and re-runs manually.  Mirrors
-    ``operators.components.connected_components``'s loop discipline
-    exactly: per-round labels persist to a per-call scratch parquet dir
-    (lineage truncation — without it the plan doubles per round), the
+    ``operators.components.connected_components``'s loop discipline:
+    labels persist to a per-call scratch parquet dir (lineage
+    truncation — without it the plan doubles per round), the
     ``(n, hash-sum)`` set signature rides the write action via
-    ``observe`` (no extra job per round), round i-1's files are deleted
-    as soon as round i lands, and the final labels dir is removed at
-    interpreter exit.
+    ``observe`` (no extra job per round), the previous batch's files are
+    deleted as soon as the next lands, and the final labels dir is
+    removed at interpreter exit.
+
+    Rounds are BATCHED ``rounds_per_job`` per persisted job (r14): each
+    job composes B rounds lazily — the per-round CollectMetrics nodes
+    all collect during the ONE write action, so the per-round
+    convergence signal is intact — and only the batch end hits scratch
+    disk.  Per-job fixed cost (scheduling + parquet round-trip + Py4J
+    turnaround) was a real slice of the loop wall on node-sized state
+    (the sf0.01 co-occurrence graph converges in 20 rounds); batching
+    amortizes it, but the rounds inside a job still execute
+    SEQUENTIALLY (each round's join broadcasts the previous round's agg
+    output), so deep batches only add planning weight — measured b=3
+    8.2 s vs b=1 10.5 s vs b=5 12.2 s on the 20-round sf0.01 graph,
+    hence the default.  A fixpoint reached MID-batch is safe by
+    idempotence: every round after the fixpoint reproduces the same
+    labelling, so the batch-end frame IS the fixpoint labelling, and
+    ``rounds_run`` reports the round where consecutive signatures first
+    tied.
 
     Termination: synchronous LPA is NOT guaranteed to converge — a
     bipartite pair swaps labels forever — so the loop also stops when a
@@ -494,16 +530,20 @@ def lpa_propagate_converged(
     hash-sum)`` set signature, which two DIFFERENT labellings can
     collide on (~2⁻³¹ per round).  Because this mode PROMISES a
     fixpoint, ``require_convergence=True`` confirms a signature match
-    with one exact ``exceptAll`` job against the previous round (counts
-    already equal ⇒ one direction suffices for multiset equality) and
-    keeps iterating on a collision, so ``converged=True`` is exact, not
-    probabilistic.  The oscillation signal stays signature-only: its
-    failure direction is a spurious RAISE, never a wrong labelling
-    (same convention as the components loop).
+    exactly: one more round is computed from the persisted batch end and
+    an empty one-way ``exceptAll`` against it proves the batch end is a
+    true fixpoint (round(L) = L; counts are equal by construction, so
+    one direction suffices for multiset equality).  A collision keeps
+    iterating, so ``converged=True`` is exact, not probabilistic.  The
+    oscillation signal stays signature-only: its failure direction is a
+    spurious RAISE, never a wrong labelling (same convention as the
+    components loop).
 
     Returns ``(labels, stats)``: labels is the (node, label) frame of the
-    LAST EXECUTED round (already materialized on scratch disk), stats has
-    ``rounds_run`` / ``converged`` / ``oscillating``.
+    LAST EXECUTED round (already materialized on scratch disk — for a
+    detected period-2 oscillation under ``require_convergence=False``
+    that is the batch-end state, one of the two alternating labellings),
+    stats has ``rounds_run`` / ``converged`` / ``oscillating``.
     """
     import atexit
     import os
@@ -515,64 +555,83 @@ def lpa_propagate_converged(
     workdir = scratch_mkdtemp("lpa_state_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
-    def _persist(df: DataFrame, name: str, obs: Observation) -> DataFrame:
-        path = os.path.join(workdir, name)
-        df.observe(
+    def _observe(df: DataFrame, obs: Observation) -> DataFrame:
+        return df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.pmod(F.xxhash64("node", "label"), F.lit(2_147_483_647))
             ).alias("h"),
-        ).write.mode("overwrite").parquet(path)
+        )
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
     obs0 = Observation("lpa_cv_sig_0")
     labels = _persist(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label")),
+        _observe(
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label")),
+            obs0,
+        ),
         "labels_0",
-        obs0,
     )
+    prev_name = "labels_0"
     # seed signature in the history: a graph whose round-1 labelling
     # equals the seed (all-singleton components) converges at round 1
     sigs: list[tuple] = [(obs0.get["n"], obs0.get["h"])]
     converged = False
     oscillating = False
     rounds_run = 0
-    for i in range(1, max_rounds + 1):
-        prev = labels
-        obs = Observation(f"lpa_cv_sig_{i}")
-        labels = _persist(_lpa_round(edges, labels), f"labels_{i}", obs)
-        got = obs.get
-        sig = (got["n"], got["h"])
-        rounds_run = i
-        if sigs and sig == sigs[-1]:
-            # exact confirmation (see docstring): counts are equal by
-            # the signature, so an empty one-way exceptAll proves
-            # multiset equality; a collision keeps iterating.  Both
-            # frames are materialized scratch parquet — this is one
-            # cheap extra job on the terminal round only.
-            if (
-                not require_convergence
-                or labels.exceptAll(prev).limit(1).count() == 0
-            ):
-                converged = True
-                shutil.rmtree(
-                    os.path.join(workdir, f"labels_{i - 1}"),
-                    ignore_errors=True,
-                )
+    executed = 0
+    while executed < max_rounds and not (converged or oscillating):
+        b = min(rounds_per_job, max_rounds - executed)
+        frame = labels
+        batch_obs: list[Observation] = []
+        for j in range(1, b + 1):
+            obs = Observation(f"lpa_cv_sig_{executed + j}")
+            frame = _observe(_lpa_round(edges, frame), obs)
+            batch_obs.append(obs)
+        # ONE job executes all b composed rounds; every round's
+        # CollectMetrics collects during it
+        name = f"labels_{executed + b}"
+        labels = _persist(frame, name)
+        shutil.rmtree(os.path.join(workdir, prev_name), ignore_errors=True)
+        prev_name = name
+        for j, obs in enumerate(batch_obs, start=1):
+            got = obs.get
+            sig = (got["n"], got["h"])
+            i = executed + j
+            if sig == sigs[-1]:
+                rounds_run = i
+                # exact confirmation (see docstring): round(L) == L on
+                # the persisted batch end — idempotence makes the batch
+                # end the fixpoint labelling whenever the in-batch
+                # signature tie was real; one extra lazy round feeds the
+                # one-way exceptAll, a single cheap terminal job.
+                if (
+                    not require_convergence
+                    or _lpa_round(edges, labels)
+                    .exceptAll(labels)
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    converged = True
+                    break
+                sigs.append(sig)  # collision: record it and keep going
+                continue
+            elif len(sigs) >= 2 and sig == sigs[-2]:
+                rounds_run = i
+                oscillating = True
                 break
-        elif len(sigs) >= 2 and sig == sigs[-2]:
-            oscillating = True
-            shutil.rmtree(
-                os.path.join(workdir, f"labels_{i - 1}"), ignore_errors=True
-            )
-            break
-        shutil.rmtree(
-            os.path.join(workdir, f"labels_{i - 1}"), ignore_errors=True
-        )
-        sigs.append(sig)
+            sigs.append(sig)
+        executed += b
+        if not (converged or oscillating):
+            rounds_run = executed
     stats = {
         "rounds_run": rounds_run,
         "converged": converged,
@@ -795,16 +854,28 @@ def graph_label_propagation_converged(
     hard raise rather than a silent non-fixpoint return."""
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
-    edges = conv_cooccur_edges(spark, sf_dir)
-    edges = cache_replacing(
-        "graph_lpa_conv_edges",
-        edges.repartition(
-            spark.sparkContext.defaultParallelism, F.col("dst")
-        ),
-    )
-    labels, _stats = lpa_propagate_converged(
-        edges, max_rounds=dial(spark, LPA_MAX_ROUNDS)
-    )
+    # This entry EXECUTES at build time (eager per-round jobs), so the
+    # streaming entries' scoped shuffle-width guard applies cleanly: the
+    # ~10 build stages + one stage per round otherwise run at the
+    # session's shuffle width — 200 in the driver's plain session, where
+    # task-scheduling overhead on this node-sized graph dominated the
+    # sf0.01 wall (31 s; 7 s under the guard).  Width dial:
+    # spark.graft.lpa.build_width, 0 = auto (cores).  Labelling is
+    # identical for any width — pure partitioning.
+    width = _lpa_build_width(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        edges = conv_cooccur_edges(spark, sf_dir)
+        edges = cache_replacing(
+            "graph_lpa_conv_edges",
+            edges.repartition(width, F.col("dst")),
+        )
+        labels, _stats = lpa_propagate_converged(
+            edges, max_rounds=dial(spark, LPA_MAX_ROUNDS)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
