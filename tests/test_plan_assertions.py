@@ -655,3 +655,37 @@ def test_c15b_single_exchange_parallel_projection(spark):
     exch_at = plan.find("Exchange")
     assert proj_at != -1 and exch_at != -1
     assert proj_at < exch_at, plan[:2000]
+
+
+def test_skyline_has_no_quadratic_join(spark):
+    """agg_skyline_pareto replaces the oracle's NOT EXISTS self-join
+    with two range-frame prefix-max windows: the plan must contain NO
+    join of any kind (the quadratic form would appear as
+    BroadcastNestedLoopJoin or CartesianProduct) and exactly one
+    brand-keyed hash exchange feeding the window plus the terminal
+    range sort."""
+    plan = plan_of(spark, "agg_skyline_pareto")
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin",
+                "BroadcastHashJoin"):
+        assert bad not in plan, (bad, plan)
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" in plan, plan
+
+
+def test_hard_negatives_broadcast_anchor_side(spark):
+    """sim_hard_negative_mining must broadcast the 8-anchor side into
+    the scan (never shuffle the embedding table against it) and keep
+    the label filter in the same join stage, not a separate pass."""
+    plan = plan_of(spark, "sim_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_word_entropy_aggregates_partially(spark):
+    """ta_word_entropy's (doc_id, word) count must partial-aggregate
+    map-side before its exchange — the explode multiplies rows, and
+    shipping raw exploded words would move the whole corpus through the
+    shuffle."""
+    plan = plan_of(spark, "ta_word_entropy")
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 aggs
+    assert "Generate explode" in plan or "Generate posexplode" in plan or "Expand" in plan or "explode" in plan.lower(), plan
