@@ -161,3 +161,52 @@ def test_hard_negatives_label_contract(spark):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
         sims = g.sort_values("rank")["cosine_sim"].to_numpy()
         assert (sims[:-1] >= sims[1:]).all()
+
+
+def test_skyline_ranged_equivalence_under_scattered_partitioning(spark):
+    """The ranged twin must produce the identical frontier for ANY range
+    sampler boundaries: run it at several shuffle-partition widths (the
+    range exchange inherits the session width, so each run samples
+    different boundaries — including widths far above the row count,
+    forcing near-empty partitions) and compare exact row sets against
+    the windowed form and the naive filter — also covering the boundary
+    rule that equal (brand, cents) pairs never straddle."""
+    import random
+    import tempfile
+
+    from tts_data_pipeline_spark.plans.analytics import (
+        agg_skyline_pareto,
+        agg_skyline_pareto_ranged,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    pk = 0
+    # one monster brand (the twin's reason to exist) + two normal ones,
+    # with heavy exact (price, size) ties inside the monster brand
+    for brand, n in (("HOT", 600), ("A", 60), ("B", 60)):
+        for _ in range(n):
+            rows.append(
+                (brand, pk, rng.randrange(1, 25) * 100, rng.randrange(1, 12))
+            )
+            pk += 1
+    pdf = pd.DataFrame(
+        rows, columns=["p_brand", "p_partkey", "price_cents", "p_size"]
+    )
+    part = pdf.assign(
+        p_retailprice=pdf["price_cents"] / 100.0, p_name="x", p_type="y"
+    )[["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]]
+
+    key = lambda df: set(zip(df["p_brand"], df["p_partkey"]))
+    with tempfile.TemporaryDirectory() as td:
+        part.to_parquet(f"{td}/part.parquet")
+        want = key(agg_skyline_pareto(spark, td).toPandas())
+        assert want == _naive_skyline(pdf)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for width in ("2", "7", "64", "2000"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                got = key(agg_skyline_pareto_ranged(spark, td).toPandas())
+                assert got == want, f"width {width}"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1806,9 +1806,7 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_skyline_pareto",
-    oracle="""
+_SKYLINE_ORACLE = """
     WITH p AS (
       SELECT p_brand, p_partkey,
              CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
@@ -1824,8 +1822,21 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
     )
     ORDER BY p_brand, price_cents, p_partkey
-    """,
-)
+    """
+
+
+def _skyline_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+@query("agg_skyline_pareto", oracle=_SKYLINE_ORACLE)
 def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise skyline (Pareto frontier): per brand, the parts no other
     part of that brand dominates (cheaper-or-equal AND bigger-or-equal with
@@ -1836,17 +1847,10 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper-or-equal rows exceeds it.  All codegen, one shuffle on the
     group key; ties (equal price AND size) are mutually non-dominating and
     both frames get that right without a row-order tiebreak.  At 100 TB the
-    parallelism unit is the group; a single monster group would take the
-    SNM range-partition + broadcast-prefix treatment
-    (plans/extensions.py::dedup_sorted_neighborhood)."""
-    p = table(spark, sf_dir, "part").select(
-        "p_brand",
-        "p_partkey",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("price_cents"),
-        F.col("p_size").cast("long").alias("p_size"),
-    )
+    parallelism unit is the group; ``agg_skyline_pareto_ranged`` below is
+    the monster-group scale twin (SNM range-partition + broadcast-prefix
+    treatment, identical output)."""
+    p = _skyline_input(spark, sf_dir)
     w_strict = (
         W.partitionBy("p_brand")
         .orderBy("price_cents")
@@ -1862,6 +1866,73 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (F.max("p_size").over(w_incl) > F.col("p_size"))
     return (
         p.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )
+
+
+@query("agg_skyline_pareto_ranged", oracle=_SKYLINE_ORACLE)
+def agg_skyline_pareto_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monster-group scale twin of ``agg_skyline_pareto`` (identical
+    output, shared oracle): the windowed form's parallelism unit is the
+    GROUP, so one dominant brand serializes its whole frontier scan
+    through a single window task — the same failure mode the SNM rank
+    fixed in round 13, treated the same way.
+
+    ``repartitionByRange(p_brand, price_cents)`` gives ordered
+    partitions where a hot brand SPLITS across partitions but equal
+    (brand, cents) pairs never straddle (range boundaries are key
+    values), so for any row every same-brand row in an EARLIER
+    partition is strictly cheaper.  The cross-partition prefix is then
+    one broadcast of per-(pid, brand) max sizes folded into an
+    exclusive running max — strictly-cheaper semantics, so a single
+    ``off >= size`` test — and the two VALUE-RANGE frames run
+    per-partition.  Boundaries come from the range sampler and vary run
+    to run; the dominance verdict is boundary-independent (pinned by
+    the equivalence test on scattered partitionings).  Residual: a hot
+    EXACT (brand, cents) tie still lands in one partition, but its
+    range-frame pass is O(n) accumulation, not a pairwise blow-up."""
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    base = cache_replacing(
+        "skyline_ranged_base",
+        _skyline_input(spark, sf_dir)
+        .repartitionByRange("p_brand", "price_cents")
+        .withColumn("pid", F.spark_partition_id()),
+    )
+    gmax = base.groupBy("pid", "p_brand").agg(F.max("p_size").alias("mx"))
+    offsets = gmax.select(
+        "pid",
+        "p_brand",
+        F.max("mx")
+        .over(
+            W.partitionBy("p_brand")
+            .orderBy("pid")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("off"),
+    )
+    w_strict = (
+        W.partitionBy("pid", "p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_incl = (
+        W.partitionBy("pid", "p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    dominated = (
+        F.coalesce(
+            F.max("p_size").over(w_strict) >= F.col("p_size"), F.lit(False)
+        )
+        | (F.max("p_size").over(w_incl) > F.col("p_size"))
+        | F.coalesce(F.col("off") >= F.col("p_size"), F.lit(False))
+    )
+    return (
+        base.join(F.broadcast(offsets), ["pid", "p_brand"])
+        .withColumn("_dom", dominated)
         .filter(~F.col("_dom"))
         .select("p_brand", "p_partkey", "price_cents", "p_size")
         .orderBy("p_brand", "price_cents", "p_partkey")
