@@ -200,6 +200,12 @@ HEADLINE = [
     # session-start noise (all <=1.95 s warm)
     "graph_bfs_hops",
     "dedup_minhash_ml",
+    # round-14 session 2: the k-core peel's wall IS the co-occurrence
+    # pair build (~4.8 s at sf0.1; rounds converge immediately on the
+    # scale corpus) — in HEADLINE per the >=2 s contract; the other
+    # five r14 additions (skyline pair, word entropy, hard/uniform
+    # negatives) all sit well under the bar
+    "graph_kcore_decompose",
 ]
 
 

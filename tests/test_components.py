@@ -404,3 +404,40 @@ def test_pre_contract_round_count_robust_to_adverse_partitioning(spark):
     # identical-round-count is the robustness contract the iterated
     # contraction buys (pre-fix: adverse ran 3x the rounds)
     assert rounds_adverse <= rounds_best + 1, (rounds_adverse, rounds_best)
+
+
+def test_kcore_oracle_margin_and_peel_semantics(spark):
+    """The k-core oracle replays a static unroll (idempotent past the
+    fixpoint), valid only while the peel converges within it: assert
+    measured rounds ≤ unroll − 5 at the oracle gate's scale, so a corpus
+    regeneration that eats the margin fails here, loudly.  Also pin the
+    peel semantics on a crafted graph: a triangle with a pendant tail —
+    the 2-core drops the tail nodes one per round (the chain is the
+    worst case: rounds grow with tail length) and keeps the triangle."""
+    from tts_data_pipeline_spark.plans import graphops
+
+    graphops.graph_kcore_decompose(spark, "/root/testdata/sf0.01").collect()
+    rounds = graphops.KCORE_LAST_RUN["rounds_run"]
+    assert 1 <= rounds <= graphops._KCORE_ORACLE_ROUNDS - 5, rounds
+
+    # crafted check against the naive peel: triangle 1-2-3 + tail 3-4-5-6
+    import pandas as pd
+
+    pairs = pd.DataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)], columns=["u", "v"]
+    )
+
+    def naive_kcore(df, k):
+        e = list(map(tuple, df.values))
+        while True:
+            deg = {}
+            for u, v in e:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {x for x, d in deg.items() if d >= k}
+            ne = [(u, v) for u, v in e if u in keep and v in keep]
+            if len(ne) == len(e):
+                return sorted(deg.items())
+            e = ne
+
+    assert naive_kcore(pairs, 2) == [(1, 2), (2, 2), (3, 2)]

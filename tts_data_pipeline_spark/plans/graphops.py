@@ -754,13 +754,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The converged-LPA entry's co-occurrence edge build, factored so
-    the density harness (``tools/density_curve.py``) can time the pair
-    stage in isolation from the LPA rounds.  Returns the directed edge
-    list (both directions + one self-loop per node) — see
-    :func:`graph_label_propagation_converged` for semantics and the
-    grid-block rationale."""
+def cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNDIRECTED co-occurrence pair set (u < v, ≥ min_cooccur shared
+    (event_type, hour) buckets) shared by the converged-LPA edge build
+    and the k-core peel — grid-blocked through
+    ``operators.pairgrid.adaptive_grid_pair_join`` (see
+    :func:`graph_label_propagation_converged` for the rationale)."""
     from tts_data_pipeline_spark.operators.pairgrid import (
         adaptive_grid_pair_join,
     )
@@ -786,7 +785,7 @@ def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # events scan + DISTINCT shuffle runs twice (subtree-recompute)
         cache_name="graph_lpa_conv_occ",
     )
-    pairs = (
+    return (
         # cross-cell grid pairs meet in hash order — normalize to
         # (min, max) so the per-pair co-occurrence count groups exactly
         # as the oracle's a.user_id < b.user_id form
@@ -799,6 +798,16 @@ def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= dial(spark, LPA_MIN_COOCCUR))
         .select("u", "v")
     )
+
+
+def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged-LPA entry's co-occurrence edge build, factored so
+    the density harness (``tools/density_curve.py``) can time the pair
+    stage in isolation from the LPA rounds.  Returns the directed edge
+    list (both directions + one self-loop per node) — see
+    :func:`graph_label_propagation_converged` for semantics and the
+    grid-block rationale."""
+    pairs = cooccur_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -976,3 +985,152 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.col("d").alias("hops"))
         .orderBy("n_name")
     )
+
+
+_KCORE_K = 4
+_KCORE_ORACLE_ROUNDS = 15
+
+# convergence telemetry for the margin test (the entry is eager, so the
+# value is final when the query function returns)
+KCORE_LAST_RUN: dict = {"rounds_run": 0}
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled replay of the k-core peel: iterative removal is not
+    recursive-CTE-expressible (each round's filter depends on the whole
+    previous round), but the peel is IDEMPOTENT once converged — every
+    unrolled round past the fixpoint reproduces the same edge set, so a
+    static unroll of measured-max + margin rounds replays the converged
+    core exactly (the ``_lpa_conv_oracle`` trick)."""
+    parts = [
+        f"""WITH occ AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type AS et, date_trunc('hour', ts) AS h
+  FROM events
+), e0 AS MATERIALIZED (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM occ a JOIN occ b ON a.et = b.et AND a.h = b.h
+                       AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CONV_MIN_COOCCUR}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", deg{r} AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY x
+), keep{r} AS MATERIALIZED (SELECT x FROM deg{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u IN (SELECT x FROM keep{r}) AND v IN (SELECT x FROM keep{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT x AS user_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY x ORDER BY user_id"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_kcore_decompose",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS),
+)
+def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the user co-occurrence graph — iterative peel: drop
+    every node with degree < {k}, recompute degrees on the surviving
+    subgraph, repeat to the fixpoint.  The standard graph-curation
+    primitive the family lacked (LPA votes, CC contracts, BFS relaxes;
+    this one PRUNES — the dense-core extraction used to focus dedup or
+    community work on well-connected entities).
+
+    Convergence is EXACT and hash-free: every node in an edge list has
+    degree ≥ 1, so removing any node removes at least one edge — the
+    round-over-round edge COUNT is stable iff the peel is at its
+    fixpoint (no probabilistic signature, no confirm job; the count
+    rides the persist action's ``observe``).  Like the converged-LPA
+    entry this loop EXECUTES at build time under the same scoped
+    shuffle-width guard (``spark.graft.lpa.build_width``), with
+    per-round scratch-parquet persists for lineage truncation.  The
+    oracle replays a static {rounds}-round unroll — valid because the
+    peel is idempotent past convergence; the margin over the measured
+    round count is pinned by a test.
+
+    100 TB shape: the pair build rides the adaptive grid
+    (``cooccur_pairs``); each round is one symmetric-degree aggregate
+    (map-side combinable) plus two node-keyed semi-joins — all keyed
+    shuffles on node ids, state is the shrinking edge set itself,
+    persisted per round."""
+    import atexit
+    import os
+    import shutil
+
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+    from tts_data_pipeline_spark.scratch import scratch_mkdtemp
+
+    width = _lpa_build_width(spark)
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        workdir = scratch_mkdtemp("kcore_state_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+
+        def _persist(df: DataFrame, name: str, obs: Observation) -> DataFrame:
+            path = os.path.join(workdir, name)
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            return spark.read.parquet(path)
+
+        obs0 = Observation("kcore_n_0")
+        e = _persist(cooccur_pairs(spark, sf_dir), "e_0", obs0)
+        prev_n = obs0.get["n"]
+        prev_name = "e_0"
+        for r in range(1, _KCORE_ORACLE_ROUNDS + 1):
+            deg = (
+                e.select(F.col("u").alias("x"))
+                .unionAll(e.select(F.col("v").alias("x")))
+                .groupBy("x")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= _KCORE_K).select("x")
+            obs = Observation(f"kcore_n_{r}")
+            nxt = (
+                e.join(keep.withColumnRenamed("x", "u"), "u", "semi")
+                .join(keep.withColumnRenamed("x", "v"), "v", "semi")
+                .select("u", "v")
+            )
+            name = f"e_{r}"
+            e = _persist(nxt, name, obs)
+            shutil.rmtree(os.path.join(workdir, prev_name), ignore_errors=True)
+            prev_name = name
+            n = obs.get["n"]
+            KCORE_LAST_RUN["rounds_run"] = r
+            if n == prev_n:
+                break
+            prev_n = n
+        else:
+            raise RuntimeError(
+                f"graph_kcore_decompose: peel not converged in "
+                f"{_KCORE_ORACLE_ROUNDS} rounds — raise "
+                f"_KCORE_ORACLE_ROUNDS (oracle margin test should have "
+                f"caught this first)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    return (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("x").alias("user_id"), "core_degree")
+        .orderBy("user_id")
+    )
+
+
+graph_kcore_decompose.__doc__ = graph_kcore_decompose.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_ORACLE_ROUNDS
+)
