@@ -1937,3 +1937,76 @@ def agg_skyline_pareto_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price_cents", "p_size")
         .orderBy("p_brand", "price_cents", "p_partkey")
     )
+
+
+@query(
+    "agg_hll_union_mergeable",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+      FROM lineitem GROUP BY l_returnflag
+    ), allr AS (
+      SELECT 'ALL' AS grp, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+        AS n_exact
+      FROM lineitem
+    )
+    SELECT grp, n_exact, CAST(1 AS BIGINT) AS within_bound
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+    ORDER BY grp
+    """,
+)
+def agg_hll_union_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY contract (Apache DataSketches HLL via
+    ``hll_sketch_agg``/``hll_union_agg``): per-group sketches estimate
+    each group's distinct parts, and the union row is estimated by
+    MERGING the already-built group sketches — never rescanning the
+    data — against the exact distinct over the union.  Error-bound
+    oracle in the ``agg_distinct_approx`` pattern: registers are
+    engine-native and can't hash-match, but |est − exact| ≤ 5%·exact is
+    the checkable contract, and the merged sketch must satisfy it too
+    (a broken merge path inflates or collapses the union estimate and
+    flips the flag).
+
+    This mergeability IS the 100 TB story: partial sketches combine
+    across partitions, groups, days, or clusters with fixed-size state
+    and no re-aggregation of raw data — the property that lets a
+    distinct-count roll up a 100 TB table through kilobyte-sized
+    state.  One scan builds the group sketches; the union is a
+    4-row driver-side merge."""
+    li = table(spark, sf_dir, "lineitem")
+    sk = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+    )
+    from tts_data_pipeline_spark.cachereg import cache_replacing
+
+    sk = cache_replacing("agg_hll_union_sk", sk)
+    per = sk.select(
+        "grp",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
+    exact_all = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
+    )
+    union_row = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("grp"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("u") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            )
+            .cast("long")
+            .alias("within_bound"),
+        )
+    )
+    return per.unionByName(union_row).orderBy("grp")
