@@ -2010,3 +2010,88 @@ def agg_hll_union_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(union_row).orderBy("grp")
+
+
+@query(
+    "ev_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), att AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+             MAX(struct_pack(ts := c.ts, eid := c.event_id)) AS lc
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           a.lc.eid AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(a.lc.ts) AS BIGINT) AS lag_us,
+           CAST(a.purchase_id IS NOT NULL AS BIGINT) AS attributed
+    FROM p LEFT JOIN att a ON a.purchase_id = p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent click STRICTLY before it (total order (ts, event_id), so
+    equal-timestamp races resolve deterministically on both engines);
+    purchases with no prior click stay unattributed with NULL credit.
+    The point-in-time credit-assignment shape (marketing attribution,
+    label provenance) the event family lacked — ``j10_asof_join`` is
+    the orders-side as-of; this is the per-event form.
+
+    100 TB shape: clicks ⋈ purchases is a keyed shuffle join on
+    user_id with the time predicate evaluated inside the join stage,
+    then one max-struct aggregate per purchase — per-user pair mass is
+    (clicks/user)·(purchases/user), bounded by per-user activity, the
+    same adjudication as the funnel entries.  The struct max carries
+    (ts, event_id) so the argmax needs no window or second join."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    att = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (
+                (F.col("c_ts") < F.col("p_ts"))
+                | (
+                    (F.col("c_ts") == F.col("p_ts"))
+                    & (F.col("c_id") < F.col("purchase_id"))
+                )
+            ),
+        )
+        .groupBy("purchase_id")
+        .agg(F.max(F.struct(F.col("c_ts"), F.col("c_id"))).alias("lc"))
+        .select(
+            F.col("purchase_id").alias("a_pid"),
+            F.col("lc.c_id").alias("click_id"),
+            F.col("lc.c_ts").alias("c_ts"),
+        )
+    )
+    return (
+        p.join(att, p.purchase_id == att.a_pid, "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "p_ts",
+            "click_id",
+            (
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            ).alias("lag_us"),
+            F.col("a_pid").isNotNull().cast("long").alias("attributed"),
+        )
+        .orderBy("purchase_id")
+    )
