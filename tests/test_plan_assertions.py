@@ -689,3 +689,24 @@ def test_word_entropy_aggregates_partially(spark):
     plan = plan_of(spark, "ta_word_entropy")
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 aggs
     assert "Generate explode" in plan or "Generate posexplode" in plan or "Expand" in plan or "explode" in plan.lower(), plan
+
+
+def test_attribution_single_join_pass_no_window(spark):
+    """ev_attribution_last_touch's argmax must ride the max-struct
+    aggregate inside the one keyed join pass — no Window operator, no
+    cartesian fallback (the time predicate must stay attached to the
+    user_id equi-join, not degrade the join into a nested loop)."""
+    plan = plan_of(spark, "ev_attribution_last_touch")
+    assert "Window" not in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, (bad, plan)
+
+
+def test_hll_union_reuses_group_sketches(spark):
+    """agg_hll_union_mergeable's union row must merge the CACHED group
+    sketches (InMemoryRelation in the plan), not rebuild sketches from a
+    second scan of lineitem on the union side."""
+    plan = plan_of(spark, "agg_hll_union_mergeable")
+    assert "InMemoryTableScan" in plan, plan
+    # exactly one union-side hll_union_agg aggregation over the cache
+    assert "hll_union_agg" in plan.lower() or "HllUnionAgg".lower() in plan.lower(), plan
