@@ -210,3 +210,92 @@ def test_skyline_ranged_equivalence_under_scattered_partitioning(spark):
                 assert got == want, f"width {width}"
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+from hypothesis import given, settings, strategies as st
+
+_sky_row = st.tuples(
+    st.sampled_from(["A", "B", "C"]),        # brand
+    st.integers(min_value=1, max_value=12),  # price in whole units
+    st.integers(min_value=1, max_value=8),   # size
+)
+
+
+@given(rows=st.lists(_sky_row, min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_skyline_property_matches_naive(spark, rows):
+    """Fuzz both skyline forms against the quadratic dominance filter —
+    tiny value domains force dense ties (equal price, equal size, and
+    full (price, size) duplicates) where frame-boundary bugs live."""
+    import tempfile
+
+    from tts_data_pipeline_spark.plans.analytics import (
+        agg_skyline_pareto,
+        agg_skyline_pareto_ranged,
+    )
+
+    pdf = pd.DataFrame(
+        [(b, i, p * 100, s) for i, (b, p, s) in enumerate(rows)],
+        columns=["p_brand", "p_partkey", "price_cents", "p_size"],
+    )
+    part = pdf.assign(
+        p_retailprice=pdf["price_cents"] / 100.0, p_name="x", p_type="y"
+    )[["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]]
+    want = _naive_skyline(pdf)
+    key = lambda df: set(zip(df["p_brand"], df["p_partkey"]))
+    with tempfile.TemporaryDirectory() as td:
+        part.to_parquet(f"{td}/part.parquet")
+        assert key(agg_skyline_pareto(spark, td).toPandas()) == want
+        assert key(agg_skyline_pareto_ranged(spark, td).toPandas()) == want
+
+
+_ev_row = st.tuples(
+    st.integers(min_value=1, max_value=4),          # user
+    st.integers(min_value=0, max_value=20),         # ts offset seconds
+    st.sampled_from(["click", "purchase", "view"]),
+)
+
+
+@given(rows=st.lists(_ev_row, min_size=1, max_size=30, unique_by=lambda r: r))
+@settings(max_examples=15, deadline=None)
+def test_attribution_property_matches_reference(spark, rows):
+    """Fuzz last-touch attribution against a plain-Python reference —
+    few users and a tiny clock range force equal-timestamp races, the
+    exact case the (ts, event_id) total order must settle identically."""
+    import tempfile
+
+    from tts_data_pipeline_spark.plans.analytics import (
+        ev_attribution_last_touch,
+    )
+
+    base = pd.Timestamp("2024-01-01", tz=None)
+    ev = pd.DataFrame(
+        [
+            (i, base + pd.Timedelta(seconds=off), u, t, 1.0, "{}")
+            for i, (u, off, t) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+    # reference: for each purchase, max (ts, event_id) among clicks of
+    # the same user strictly before it in the total order
+    want = {}
+    for _, p in ev[ev.event_type == "purchase"].iterrows():
+        best = None
+        for _, c in ev[
+            (ev.event_type == "click") & (ev.user_id == p.user_id)
+        ].iterrows():
+            if (c.ts, c.event_id) < (p.ts, p.event_id):
+                k = (c.ts, c.event_id)
+                best = k if best is None or k > best else best
+        want[p.event_id] = None if best is None else best[1]
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.to_parquet(f"{td}/events.parquet")
+        got_df = ev_attribution_last_touch(spark, td).toPandas()
+    got = {
+        r.purchase_id: (None if pd.isna(r.click_id) else int(r.click_id))
+        for r in got_df.itertuples()
+    }
+    assert got == want
+    assert (got_df["attributed"] == got_df["click_id"].notna().astype(int)).all()
