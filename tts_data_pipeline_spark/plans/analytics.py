@@ -2095,3 +2095,83 @@ def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "ev_attribution_touchpoints",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), att AS (
+      SELECT p.event_id AS purchase_id,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             MIN(struct_pack(ts := c.ts, eid := c.event_id)).eid
+               AS first_click_id,
+             MAX(struct_pack(ts := c.ts, eid := c.event_id)).eid
+               AS last_click_id
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      GROUP BY 1
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COALESCE(a.n_touches, 0) AS n_touches,
+           a.first_click_id, a.last_click_id
+    FROM p LEFT JOIN att a ON a.purchase_id = p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def ev_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution summary: per purchase, the size of its
+    prior-click journey plus the FIRST- and LAST-touch credits (min- and
+    max-struct argmins over the same (ts, event_id) total order as
+    ``ev_attribution_last_touch``) — the inputs to linear / U-shaped
+    credit models, computed in the SAME single join+aggregate pass (no
+    extra scan per credit scheme: position credit is arithmetic over
+    n_touches downstream)."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    att = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (
+                (F.col("c_ts") < F.col("p_ts"))
+                | (
+                    (F.col("c_ts") == F.col("p_ts"))
+                    & (F.col("c_id") < F.col("purchase_id"))
+                )
+            ),
+        )
+        .groupBy(F.col("purchase_id").alias("a_pid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("a_n"),
+            F.min(F.struct(F.col("c_ts"), F.col("c_id")))["c_id"].alias(
+                "first_click_id"
+            ),
+            F.max(F.struct(F.col("c_ts"), F.col("c_id")))["c_id"].alias(
+                "last_click_id"
+            ),
+        )
+    )
+    return (
+        p.join(att, p.purchase_id == att.a_pid, "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("a_n"), F.lit(0)).alias("n_touches"),
+            "first_click_id",
+            "last_click_id",
+        )
+        .orderBy("purchase_id")
+    )
