@@ -206,6 +206,13 @@ HEADLINE = [
     # five r14 additions (skyline pair, word entropy, hard/uniform
     # negatives) all sit well under the bar
     "graph_kcore_decompose",
+    # r14 tail-audit re-run: drifted to ~2.4 s warm — the cost is the
+    # EXACT-percentile verification harness (buffers every value per
+    # partial) at input-split parallelism (3 splits at sf0.1); the
+    # production path is the sketch alone.  Kept under watch here
+    # rather than "fixed" with a pre-agg repartition, which would add
+    # a full-table shuffle that is exactly wrong at real scale.
+    "agg_percentiles_sketch",
 ]
 
 
