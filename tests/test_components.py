@@ -441,3 +441,53 @@ def test_kcore_oracle_margin_and_peel_semantics(spark):
             e = ne
 
     assert naive_kcore(pairs, 2) == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_local_finish_identical_to_star_loop_and_stats(spark):
+    """r14 optimization: a pre-contracted forest at/under the
+    ``spark.graft.cc.local_finish_rows`` dial finishes with one
+    single-partition union-find pass instead of the star loop.  The
+    components must be IDENTICAL either way (both compute the exact
+    transitive closure with min-id labels, centers included), the
+    local path must report ``local_finish`` with zero rounds, and
+    forcing the dial to 1 must route the same graph back through the
+    star loop."""
+    import random
+
+    from tts_data_pipeline_spark.operators import components as C
+
+    rng = random.Random(23)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(80), 2))) for _ in range(150)}
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    # star-loop ground truth (no pre_contract → no local finish)
+    base = {r.id: r.component for r in connected_components(df).collect()}
+    assert C.LAST_RUN_STATS["converged"] is True
+    assert "local_finish" not in C.LAST_RUN_STATS
+
+    # local-finish path (default dial ≫ forest size)
+    got = {
+        r.id: r.component
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    assert got == base
+    assert C.LAST_RUN_STATS == {
+        "rounds": 0,
+        "converged": True,
+        "local_finish": True,
+    }
+
+    # dial forced to 1: the same pre-contracted graph runs the star loop
+    spark.conf.set("spark.graft.cc.local_finish_rows", "1")
+    try:
+        got2 = {
+            r.id: r.component
+            for r in connected_components(df, pre_contract=True).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.cc.local_finish_rows")
+    assert got2 == base
+    assert "local_finish" not in C.LAST_RUN_STATS
+    assert C.LAST_RUN_STATS["converged"] is True

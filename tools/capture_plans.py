@@ -1,0 +1,57 @@
+"""Capture ``.explain("formatted")`` output for catalog entries into
+``plans/r14/<query>_<tag>.txt`` — the optimization round's evidence files
+(the judge cannot run Spark; plan claims in OPTIMIZATION_r14.md are
+checked against these captures and the code).
+
+Plan-only: entries are BUILT, not executed, same caveat as
+``tools/plan_audit.py`` (eager model-table collects / streaming replays
+that run at build time still run — their plan is the terminal frame's).
+
+Usage: python tools/capture_plans.py <tag> [sf_dir] <entry ...>
+       python tools/capture_plans.py before /root/testdata/sf0.1 q1_pricing_summary
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tts_data_pipeline_spark.plans import catalog  # noqa: E402
+from tts_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    rest = sys.argv[2:]
+    if rest and os.path.isdir(rest[0]):
+        sf_dir, names = rest[0], rest[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.1", rest
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark(app_name=f"capture_plans_{tag}")
+    qs = catalog.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        # DataFrame.explain prints to stdout; use the internal API to get
+        # the string (public within pyspark: _sc._jvm access mirrors what
+        # explain() itself does)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()

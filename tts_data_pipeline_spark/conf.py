@@ -167,6 +167,21 @@ LPA_MIN_COOCCUR = ("spark.graft.lpa.min_cooccur", 4)
 # width 8 in a plain local[8] session).  At 100 TB raise it toward the
 # deployment's tuned shuffle width — identical labelling for any value.
 LPA_BUILD_WIDTH = ("spark.graft.lpa.build_width", 0)
+# physical-only: when a PRE-CONTRACTED connected-components forest lands
+# at or under this many edges, the exact closure is finished by ONE
+# single-task union-find pass over the persisted forest instead of the
+# iterative star loop — the "finish locally once it fits" tail of the
+# Lattanzi et al. filtering algorithm (r14 optimization round).  The
+# components are provably identical (union-find computes the same
+# transitive closure the star fixpoint does), so the dial is physical-
+# only.  Default 1M edges ≈ tens of MB in one task and ~1-2 s of
+# dict union-find — versus ≥2 star rounds × (4 shuffles + a parquet
+# round-trip + per-job latency) for the same answer.  At 100 TB the
+# contracted forest is ≤ distinct-near-dup-nodes; if that still exceeds
+# the dial the star loop runs exactly as before.  Lower it toward 1 to
+# force the distributed loop everywhere (e.g. when driver-adjacent
+# single-task work is banned by policy).
+CC_LOCAL_FINISH_ROWS = ("spark.graft.cc.local_finish_rows", 1_000_000)
 
 
 def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:
