@@ -710,3 +710,63 @@ def test_hll_union_reuses_group_sketches(spark):
     assert "InMemoryTableScan" in plan, plan
     # exactly one union-side hll_union_agg aggregation over the cache
     assert "hll_union_agg" in plan.lower() or "HllUnionAgg".lower() in plan.lower(), plan
+
+
+def _zipf_docs_dir(tmp_path, n_docs=120, seed=99):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from gen_scale_data import _DOC_SCHEMA, zipf_documents
+
+    pq.write_table(
+        pa.table(zipf_documents(n_docs, seed), schema=_DOC_SCHEMA),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_bpe_local_learn_matches_distributed(spark, tmp_path):
+    """r14 optimization contract: when the vocabulary fits the
+    local-learn dial the BPE merge selection runs in the driver — the
+    merge table must be BIT-IDENTICAL to the distributed loop's (same
+    seed, same (cnt DESC, pair ASC) argmax, same double-space replace
+    application), pinned here by running both paths on the same
+    Zipf corpus (richer vocabulary than the driver fixture) and
+    requiring row-for-row equality."""
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB
+    from tts_data_pipeline_spark.plans.corpus import learn_bpe_merges
+
+    sf_dir = _zipf_docs_dir(tmp_path)
+    local = learn_bpe_merges(spark, sf_dir, rounds=12).collect()
+    key = TOKENIZER_LOCAL_LEARN_VOCAB[0]
+    spark.conf.set(key, "1")  # vocab (>1 word) exceeds the cap -> distributed
+    try:
+        dist = learn_bpe_merges(spark, sf_dir, rounds=12).collect()
+    finally:
+        spark.conf.unset(key)
+    assert len(local) == 12
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_wordpiece_local_learn_matches_distributed(spark, tmp_path):
+    """Same contract for the WordPiece likelihood argmax: identical
+    merges, counts AND scores (the raw score is the same IEEE
+    double/double division in both paths — the local loop floats the
+    count product before dividing — then both engine-side round to
+    9dp)."""
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB
+    from tts_data_pipeline_spark.plans.corpus import learn_wordpiece_merges
+
+    sf_dir = _zipf_docs_dir(tmp_path)
+    local = learn_wordpiece_merges(spark, sf_dir, rounds=12).collect()
+    key = TOKENIZER_LOCAL_LEARN_VOCAB[0]
+    spark.conf.set(key, "1")
+    try:
+        dist = learn_wordpiece_merges(spark, sf_dir, rounds=12).collect()
+    finally:
+        spark.conf.unset(key)
+    assert len(local) == 12
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]

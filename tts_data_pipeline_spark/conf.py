@@ -182,6 +182,21 @@ LPA_BUILD_WIDTH = ("spark.graft.lpa.build_width", 0)
 # force the distributed loop everywhere (e.g. when driver-adjacent
 # single-task work is banned by policy).
 CC_LOCAL_FINISH_ROWS = ("spark.graft.cc.local_finish_rows", 1_000_000)
+# physical-only: tokenizer-trainer crossover (r14 optimization round) —
+# when the DISTINCT-WORD state of a BPE/WordPiece learn loop fits this
+# many rows, merge selection collects the state once and runs the
+# R-round argmax loop in the driver (exactly what single-machine
+# tokenizer trainers do; the state is model-sized, never the corpus),
+# instead of one driver-coordinated Spark job per round.  The merge
+# tables are bit-identical (same seeds, same argmax order, same replace
+# semantics — pinned by dedicated equivalence tests AND the unchanged
+# DuckDB oracles); past the dial the distributed loop runs as before.
+# Default 1M words ≈ tens of MB collected and ~1 s/round of Python —
+# versus ~0.5 s of job scheduling per round regardless of size.
+TOKENIZER_LOCAL_LEARN_VOCAB = (
+    "spark.graft.tokenizer.local_learn_vocab",
+    1_000_000,
+)
 
 
 def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:

@@ -14,6 +14,8 @@ normalize → numbers → currency → dates → digit-words → collapse/lower.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -203,6 +205,30 @@ def vi_cardinal(col: Column) -> Column:
             F.concat_ws(" ", F.concat(_group3(th), F.lit(" nghìn")), rem_part)
         )
     )
+
+
+@_lru_cache(maxsize=64)
+def vi_cardinal_named(name: str) -> Column:
+    """Memoized :func:`vi_cardinal` over a NAMED input column (r14
+    optimization round).  The cardinal Column tree is thousands of
+    Py4J-constructed expression nodes — measured ~1.6 s of pure
+    driver-side Python↔JVM construction per plan build at c17b, re-paid
+    on EVERY invocation — while planning and execution of the built tree
+    are cheap (0.06 s / 0.34 s warm).  An unresolved Column is an
+    immutable expression template, reusable across plans and sessions in
+    the same process, so memoizing by input column name removes the
+    rebuild without touching what the query computes (the driver still
+    evaluates the identical expression from the parquet inputs on every
+    run)."""
+    return vi_cardinal(F.col(name))
+
+
+@_lru_cache(maxsize=16)
+def date_to_vi_cardinal_named(day: str, month: str, year: str) -> Column:
+    """Memoized :func:`date_to_vi_cardinal` over named columns — see
+    :func:`vi_cardinal_named` for the rationale (3× the cardinal tree,
+    the single most expensive Column build in the catalog)."""
+    return date_to_vi_cardinal(F.col(day), F.col(month), F.col(year))
 
 
 def numbers_to_vi_cardinal(col: Column) -> Column:

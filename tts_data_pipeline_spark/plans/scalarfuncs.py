@@ -427,7 +427,7 @@ def c15b_cardinal_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "num",
-            V.vi_cardinal(F.col("num")).alias("cardinal"),
+            V.vi_cardinal_named("num").alias("cardinal"),
         )
         .orderBy("o_orderkey")
     )
@@ -469,7 +469,7 @@ def c17b_date_cardinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn(
             "spoken_date",
-            V.date_to_vi_cardinal(F.col("d"), F.col("m"), F.col("y")),
+            V.date_to_vi_cardinal_named("d", "m", "y"),
         )
     )
     return (
