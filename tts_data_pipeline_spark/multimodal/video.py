@@ -19,8 +19,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from tts_data_pipeline_spark.multimodal.image import fake_decode_image
-
 FRAME_SCHEMA = (
     "path string, frame_idx int, t_sec double, height int, width int, "
     "channels int, pixels array<int>"
@@ -71,26 +69,47 @@ def decode_sampled_frames(
     keyframes — never decode-everything-then-filter."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14 optimization (guide §4.2): the salt is elementwise, so
+        # salt-then-tile == tile-then-salt — tile the payload ONCE per
+        # video and salt ALL sampled frames in one broadcasted numpy op,
+        # replacing the per-frame per-byte Python loop (the old
+        # ``bytes((b + idx) % 256 for b in payload)`` dominated the
+        # decode task).  Values are bit-identical; pinned by
+        # tests/test_multimodal_image_video.py and the entry's oracle.
+        need = height * width * 3
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                fps = float(r[fps_col]) or 1.0
-                for idx in sample_frame_indices(int(r[n_frames_col]), every_k):
-                    # deterministic per-frame payload: frame index salts bytes
-                    salted = bytes((b + idx) % 256 for b in (r[payload_col] or b"\0"))
-                    img = fake_decode_image(salted, height, width)
-                    rows.append(
-                        {
-                            "path": r[path_col],
-                            "frame_idx": idx,
-                            "t_sec": round(idx / fps, 4),
-                            "height": height,
-                            "width": width,
-                            "channels": 3,
-                            "pixels": img.reshape(-1).astype(np.int32),
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            paths: list = []
+            idxs: list[int] = []
+            tsecs: list[float] = []
+            pixels: list[np.ndarray] = []
+            for path, payload, fps, n_frames in zip(
+                pdf[path_col], pdf[payload_col], pdf[fps_col], pdf[n_frames_col]
+            ):
+                fps = float(fps) or 1.0
+                sample = sample_frame_indices(int(n_frames), every_k)
+                b = np.frombuffer(payload or b"\0", dtype=np.uint8)
+                reps = -(-need // len(b))  # ceil
+                base = np.tile(b, reps)[:need].astype(np.int32)
+                salted = (
+                    base[None, :]
+                    + np.asarray(sample, dtype=np.int32)[:, None]
+                ) % 256
+                paths.extend([path] * len(sample))
+                idxs.extend(sample)
+                tsecs.extend(round(i / fps, 4) for i in sample)
+                pixels.extend(list(salted))
+            n = len(paths)
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "frame_idx": idxs,
+                    "t_sec": tsecs,
+                    "height": [height] * n,
+                    "width": [width] * n,
+                    "channels": [3] * n,
+                    "pixels": pixels,
+                }
+            )
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
 
