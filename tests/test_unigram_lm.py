@@ -206,3 +206,34 @@ def test_unigram_lm_higher_rounds_register_per_round_frames(spark):
         "ta_unigram_lm_v4",
         "ta_unigram_lm_words",
     ], keys
+
+
+def test_unigram_local_entries_match_distributed(spark, tmp_path):
+    """r14 optimization contract: under the local-learn dial the three
+    unigram entries run their model induction in the driver — output
+    must be BIT-identical (including every logp double and every EM
+    micro-count) to the distributed codegen-fold path, pinned on a Zipf
+    corpus with a much richer vocabulary than the driver fixture."""
+    from tests.test_plan_assertions import _zipf_docs_dir
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB
+    from tts_data_pipeline_spark.plans.corpus import (
+        ta_unigram_lm_encode,
+        ta_unigram_lm_learn,
+        ta_unigram_lm_learn_em,
+    )
+
+    sf_dir = _zipf_docs_dir(tmp_path)
+    key = TOKENIZER_LOCAL_LEARN_VOCAB[0]
+    for entry in (
+        ta_unigram_lm_learn,
+        ta_unigram_lm_learn_em,
+        ta_unigram_lm_encode,
+    ):
+        local = [tuple(r) for r in entry(spark, sf_dir).collect()]
+        spark.conf.set(key, "1")  # vocab exceeds cap -> distributed
+        try:
+            dist = [tuple(r) for r in entry(spark, sf_dir).collect()]
+        finally:
+            spark.conf.unset(key)
+        assert len(local) > 30, entry.__name__
+        assert local == dist, entry.__name__

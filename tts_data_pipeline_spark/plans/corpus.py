@@ -2385,6 +2385,177 @@ def _uni_soft_expected(words: DataFrame, spans: DataFrame, v: DataFrame) -> Data
     )
 
 
+def _round_half_up6(x: float) -> float:
+    """Replicate Spark's ``ROUND(double, 6)`` bit-for-bit: Java quantizes
+    the SHORTEST decimal representation of the double
+    (``BigDecimal.valueOf`` == ``Double.toString`` == Python ``repr``)
+    with HALF_UP.  Python's builtin ``round()`` rounds the exact binary
+    value half-even — a third rounding semantics the local-learn paths
+    must not introduce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _uni_local_spans(word: str):
+    """Python twin of :func:`_uni_spans` for one word — (j, i, piece)."""
+    for j in range(len(word)):
+        for pl in range(1, _UNI_PIECE_LEN + 1):
+            if j + pl <= len(word):
+                yield j, j + pl, word[j : j + pl]
+
+
+def _uni_local_logp(vocab: dict) -> dict:
+    """round(ln(cnt/tot), 6) with the Spark rounding semantics — the
+    division is the same double/double IEEE op (`cnt` floats exactly for
+    realistic counts, and Spark casts the bigint the same way)."""
+    import math
+
+    tot = float(sum(vocab.values()))
+    return {p: _round_half_up6(math.log(c / tot)) for p, c in vocab.items()}
+
+
+def _uni_viterbi_local_word(word: str, lp: dict):
+    """Python twin of one word's :func:`_uni_viterbi` fold — the exact
+    total order (negscore ASC = score DESC, k ASC, path ASC); float
+    accumulation is ``prev_neg - logp`` in the same sequence, and Python
+    tuple-min == Spark struct ``array_min`` (str ordering = code-point
+    ordering = UTF8String byte ordering for valid UTF-8)."""
+    best = [(0.0, 0, "")]
+    for i in range(1, len(word) + 1):
+        cands = []
+        for j in range(max(0, i - _UNI_PIECE_LEN), i):
+            p = word[j:i]
+            lpp = lp.get(p)
+            if lpp is not None:
+                b = best[j]
+                cands.append(
+                    (
+                        b[0] - lpp,
+                        b[1] + 1,
+                        p if b[2] == "" else b[2] + " " + p,
+                    )
+                )
+        best.append(min(cands))
+    return best[len(word)]
+
+
+def _uni_learn_local(rows, rounds: int):
+    """Driver-local unigram-LM hard-EM — bit-identical to
+    :func:`_uni_piece_table`'s distributed loop (same seeding, same
+    Viterbi total order, same integer recounts, same rounded logp), run
+    over the collected vocabulary state when it fits the
+    ``spark.graft.tokenizer.local_learn_vocab`` dial.  Equivalence is
+    pinned by ``test_unigram_local_entries_match_distributed`` and the
+    unchanged DuckDB oracles.  Returns (words_freq, vocab, logp)."""
+    words_freq = {r["word"]: r["freq"] for r in rows}
+    seed: dict = {}
+    for w, f in words_freq.items():
+        for _, _, p in _uni_local_spans(w):
+            seed[p] = seed.get(p, 0) + f
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:_UNI_SEED_MULTI]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+    lp = _uni_local_logp(vocab)
+    for _ in range(rounds):
+        ecnt: dict = {}
+        for w, f in words_freq.items():
+            _, _, path = _uni_viterbi_local_word(w, lp)
+            for p in path.split(" "):
+                ecnt[p] = ecnt.get(p, 0) + f
+        vocab = {p: max(ecnt.get(p, 0), 1) for p in chars}
+        vocab.update({p: c for p, c in ecnt.items() if len(p) >= 2})
+        lp = _uni_local_logp(vocab)
+    return words_freq, vocab, lp
+
+
+def _uni_em_local(rows):
+    """Driver-local twin of one soft-EM E-step over the seed inventory —
+    the :func:`_uni_soft_expected` float folds replayed in the same
+    deterministic span order (sorted (i, j); piece is determined by the
+    pair) with the same IEEE op sequence: ``α_i += α_j·p`` ascending
+    (j, piece) within a level, ``β`` by distance-from-end, per-span
+    ``em = floor(freq·((α_j·p)·β/α_n)·1e6 + 0.5)`` integerization, then
+    exact integer rollups.  Returns [(piece, cnt_milli, logp)]."""
+    import math
+
+    words_freq = {r["word"]: r["freq"] for r in rows}
+    seed: dict = {}
+    for w, f in words_freq.items():
+        for _, _, p in _uni_local_spans(w):
+            seed[p] = seed.get(p, 0) + f
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:_UNI_SEED_MULTI]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+    tot = float(sum(vocab.values()))
+    pp = {p: c / tot for p, c in vocab.items()}
+    ems: dict = {}
+    for w, f in words_freq.items():
+        spans = sorted(
+            (
+                (i, j, p)
+                for j, i, p in _uni_local_spans(w)
+                if p in pp
+            ),
+        )
+        n = len(w)
+        alpha = [1.0]
+        for i in range(1, n + 1):
+            a = 0.0
+            for si, sj, sp in spans:
+                if si == i:
+                    a = a + alpha[sj] * pp[sp]
+            alpha.append(a)
+        beta_rev = [1.0]
+        for d in range(1, n + 1):
+            b = 0.0
+            for si, sj, sp in spans:
+                if sj == n - d:
+                    b = b + pp[sp] * beta_rev[n - si]
+            beta_rev.append(b)
+        atot = alpha[n]
+        for si, sj, sp in spans:
+            g = alpha[sj] * pp[sp] * beta_rev[n - si] / atot
+            em = math.floor(f * g * 1e6 + 0.5)
+            ems[sp] = ems.get(sp, 0) + em
+    base = {p: max(ems.get(p, 0), 1_000_000) for p in chars}
+    base.update(
+        {p: c for p, c in ems.items() if len(p) >= 2 and c > 0}
+    )
+    totm = float(sum(base.values()))
+    return [
+        (p, c, _round_half_up6(math.log(c / totm)))
+        for p, c in base.items()
+    ]
+
+
+def _uni_local_head(spark: SparkSession, sf_dir: str):
+    """One limit-probe action over the cached distinct-word frame: the
+    collected vocabulary state when it fits the local-learn dial, else
+    ``None`` (same crossover as :func:`learn_bpe_merges`)."""
+    from tts_data_pipeline_spark.conf import (
+        TOKENIZER_LOCAL_LEARN_VOCAB,
+        dial,
+    )
+
+    return _local_vocab_rows(
+        _uni_word_table(spark, sf_dir),
+        dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB),
+    )
+
+
 def _uni_cte_chain(rounds: int, with_encode: bool) -> list:
     """Shared DuckDB-CTE builder for the unigram-LM oracles: seed counts,
     then per round an unrolled per-position Viterbi DP (positions
@@ -2619,6 +2790,19 @@ def ta_unigram_lm_learn_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins, and the α/β folds are per-word whole-stage-codegen
     ``F.aggregate`` expressions (no UDF, no collect, probabilities as
     plain ratios so the E-step needs no transcendentals)."""
+    # r14 optimization: the E-step is model induction over the
+    # vocabulary-sized lattice — same local crossover as the BPE/
+    # WordPiece/hard-EM learners (see _uni_em_local for the bit-exact
+    # float-fold argument; equivalence test + unchanged oracle)
+    head = _uni_local_head(spark, sf_dir)
+    if head is not None:
+        return (
+            spark.createDataFrame(
+                _uni_em_local(head),
+                "piece string, cnt_milli bigint, logp double",
+            )
+            .orderBy(F.desc("cnt_milli"), "piece")
+        )
     words = _uni_word_table(spark, sf_dir)
     spans = _uni_spans(words)
     v0 = _uni_piece_table(spark, sf_dir, 0)
@@ -2672,6 +2856,17 @@ def ta_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no tokenizer trainer; this is
     part of the driver-mandated LLM-pipeline surface (cf.
     ``ta_bpe_learn_merges``)."""
+    # r14 optimization: local-learn crossover (see _uni_learn_local)
+    head = _uni_local_head(spark, sf_dir)
+    if head is not None:
+        _, vocab, lp = _uni_learn_local(head, _UNI_ROUNDS)
+        return (
+            spark.createDataFrame(
+                [(p, vocab[p], lp[p]) for p in vocab],
+                "piece string, cnt bigint, logp double",
+            )
+            .orderBy(F.desc("cnt"), "piece")
+        )
     v = _uni_piece_table(spark, sf_dir, _UNI_ROUNDS)
     return v.select("piece", "cnt", "logp").orderBy(F.desc("cnt"), "piece")
 
@@ -2688,11 +2883,28 @@ def ta_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame broadcast-joins back onto the corpus word stream — per-doc work
     is one posexplode and one rollup; the Heaps'-law amortization
     ``ta_bpe_encode`` documents applies verbatim."""
-    v = _uni_piece_table(spark, sf_dir, _UNI_ROUNDS)
-    words = _uni_word_table(spark, sf_dir)
-    seg = _uni_viterbi(words, _uni_spans(words), v).select(
-        "word", "k", "path"
-    )
+    # r14 optimization: the learn AND the distinct-word segmentation are
+    # vocabulary-sized model work — under the local-learn dial both run
+    # in the driver and the (word → pieces) frame arrives as a local
+    # relation; the corpus-sized explode/rollup below is unchanged
+    head = _uni_local_head(spark, sf_dir)
+    if head is not None:
+        wf, _, lp = _uni_learn_local(head, _UNI_ROUNDS)
+        seg = spark.createDataFrame(
+            [
+                (w, best[1], best[2])
+                for w, best in (
+                    (w, _uni_viterbi_local_word(w, lp)) for w in wf
+                )
+            ],
+            "word string, k int, path string",
+        )
+    else:
+        v = _uni_piece_table(spark, sf_dir, _UNI_ROUNDS)
+        words = _uni_word_table(spark, sf_dir)
+        seg = _uni_viterbi(words, _uni_spans(words), v).select(
+            "word", "k", "path"
+        )
     d = (
         spread(table(spark, sf_dir, "documents"))
         .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, w)")
