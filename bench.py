@@ -18,6 +18,21 @@ per-entry ratios vs the committed idle-host ``BENCH_BASELINE.json``
 as a per-entry outlier against a flat median.  Re-pin with
 ``python bench.py --record-baseline`` ONLY on an idle host (loadavg < 1
 before, spread_median ~ 0.1; see PLANS.md for the reference point).
+
+TIMED-REGION POLICY (r15, closing r14 verdict #1/#5 — written down once):
+each timed pass contains the entry's WHOLE computation from the parquet
+inputs — plan build, every job, every operator-internal persist/scratch
+round-trip — materialized through the noop sink.  Excluded, uniformly and
+for every pass alike: (a) session/JVM/Python-worker pool startup (warmed
+above), (b) the one-time derivation of the three streaming replays' staged
+micro-batch input files (``prestage_replays`` below, BEFORE pass 1 — in
+production that source simply exists; the streaming query, its state
+machinery and its per-batch commits are fully inside the timed region every
+pass), and (c) nothing else.  Same-plan relation reuse inside an entry
+(``cachereg``) is part of the entry's own warm-session semantics and stays
+timed.  No result or intermediate keyed on the corpus may persist ACROSS
+invocations in a way that changes what a later pass computes — the staged
+replay files are inputs, not results, and are byte-identical every pass.
 """
 
 from __future__ import annotations
@@ -249,6 +264,15 @@ def main() -> None:
         F.sum(_warm(F.col("id")))
     ).collect()
 
+    # Replay staging OUT of the timed region, uniformly (r14 verdict #1
+    # — see TIMED-REGION POLICY in the module docstring): build the three
+    # streaming replays' staged input files once, before ANY timed pass,
+    # so pass 1 and pass N time the same thing (the streaming query, not
+    # the one-time input derivation the r14 memo made pass-1-only).
+    from tts_data_pipeline_spark.streaming.events import prestage_replays
+
+    prestage_replays(spark, sf_dir)
+
     # Three passes, min per query: intermittent external load on the bench
     # host inflates single-shot numbers by 5-10× for whichever queries it
     # overlaps (measured: the same query 2.6 s and 29.5 s in one session,
@@ -353,6 +377,7 @@ def main() -> None:
                 "sf": sf,
                 "host_load": host_load,
                 "baseline": baseline,
+                "replays_prestaged": True,
             }
         )
     )
@@ -366,6 +391,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "host_load": host_load,
                 "baseline": baseline,
+                "replays_prestaged": True,
             }
         )
     )

@@ -1,7 +1,8 @@
 """Capture ``.explain("formatted")`` output for catalog entries into
-``plans/r14/<query>_<tag>.txt`` — the optimization round's evidence files
-(the judge cannot run Spark; plan claims in OPTIMIZATION_r14.md are
-checked against these captures and the code).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default ``r15``) —
+the optimization round's evidence files (the judge cannot run Spark; plan
+claims in OPTIMIZATION_r*.md are checked against these captures and the
+code).
 
 Plan-only: entries are BUILT, not executed, same caveat as
 ``tools/plan_audit.py`` (eager model-table collects / streaming replays
@@ -32,7 +33,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{tag}")

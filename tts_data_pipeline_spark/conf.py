@@ -197,6 +197,26 @@ TOKENIZER_LOCAL_LEARN_VOCAB = (
     "spark.graft.tokenizer.local_learn_vocab",
     1_000_000,
 )
+# physical-only: range-partition width for the interpreted Vietnamese
+# cardinal projection (c15b) — the expression tree exceeds the codegen
+# splitting threshold and evaluates interpreted, so the projection's
+# parallelism IS this width (AQE's small-output coalescing otherwise
+# folds the tiny local frame to ONE partition and serializes it).
+# 0 = auto (defaultParallelism — cores-wide on any cluster); the r14
+# literal 32 baked the local core count into the plan, capping the
+# projection at 32 tasks at scale (r14 verdict #2).  Identical rows for
+# any value — pure partitioning.
+CARDINAL_RANGE_WIDTH = ("spark.graft.cardinal.range_width", 0)
+
+
+def width_dial(spark: SparkSession, key_default: tuple[str, int]) -> int:
+    """Read a parallelism-width dial where 0 means auto (cores —
+    ``defaultParallelism``).  The ``dial()`` helper's ≥ 1 contract can't
+    express auto, so width dials resolve through this one (the
+    ``_lpa_build_width`` pattern, generalized in r15)."""
+    key, default = key_default
+    raw = int(spark.conf.get(key, str(default)))
+    return raw if raw >= 1 else spark.sparkContext.defaultParallelism
 
 
 def dial(spark: SparkSession, key_default: tuple[str, int]) -> int:

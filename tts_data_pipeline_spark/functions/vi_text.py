@@ -208,6 +208,10 @@ def vi_cardinal(col: Column) -> Column:
 
 
 @_lru_cache(maxsize=64)
+def _vi_cardinal_named(token: int, name: str) -> Column:
+    return vi_cardinal(F.col(name))
+
+
 def vi_cardinal_named(name: str) -> Column:
     """Memoized :func:`vi_cardinal` over a NAMED input column (r14
     optimization round).  The cardinal Column tree is thousands of
@@ -215,20 +219,33 @@ def vi_cardinal_named(name: str) -> Column:
     driver-side Python↔JVM construction per plan build at c17b, re-paid
     on EVERY invocation — while planning and execution of the built tree
     are cheap (0.06 s / 0.34 s warm).  An unresolved Column is an
-    immutable expression template, reusable across plans and sessions in
-    the same process, so memoizing by input column name removes the
-    rebuild without touching what the query computes (the driver still
-    evaluates the identical expression from the parquet inputs on every
-    run)."""
-    return vi_cardinal(F.col(name))
+    immutable expression template, reusable across plans in the same
+    process WHILE the backing JVM gateway lives, so the memo keys on the
+    active SparkContext identity (``session.gateway_token`` — r14
+    ADVICE #1: a stopped-and-recreated context must miss the cache, or a
+    stale Py4J ref could silently resolve to a different JVM object).
+    Nothing about the computation is cached: the driver still evaluates
+    the identical expression from the parquet inputs on every run."""
+    from tts_data_pipeline_spark.session import gateway_token
+
+    return _vi_cardinal_named(gateway_token(), name)
 
 
 @_lru_cache(maxsize=16)
+def _date_to_vi_cardinal_named(
+    token: int, day: str, month: str, year: str
+) -> Column:
+    return date_to_vi_cardinal(F.col(day), F.col(month), F.col(year))
+
+
 def date_to_vi_cardinal_named(day: str, month: str, year: str) -> Column:
     """Memoized :func:`date_to_vi_cardinal` over named columns — see
     :func:`vi_cardinal_named` for the rationale (3× the cardinal tree,
-    the single most expensive Column build in the catalog)."""
-    return date_to_vi_cardinal(F.col(day), F.col(month), F.col(year))
+    the single most expensive Column build in the catalog) and for the
+    gateway-identity cache key."""
+    from tts_data_pipeline_spark.session import gateway_token
+
+    return _date_to_vi_cardinal_named(gateway_token(), day, month, year)
 
 
 def numbers_to_vi_cardinal(col: Column) -> Column:

@@ -30,13 +30,27 @@ DECODED_IMAGE_SCHEMA = (
 )
 
 
+def tile_payload(payload: bytes | None, need: int) -> np.ndarray:
+    """Vectorized fake-codec core: tile payload bytes to ``need`` uint8
+    values (zeros for an empty payload).  This is THE codec seam shared
+    by image decode (:func:`fake_decode_image`) and video frame decode
+    (``multimodal/video.py::decode_sampled_frames`` tiles once per video
+    through this helper, then salts per frame) — a real-codec swap must
+    replace BOTH by swapping here / at the two decode hooks together
+    (r14 ADVICE #3: the tiling was duplicated inline in video.py, so the
+    documented seam no longer covered video)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(need, dtype=np.uint8)
+    b = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-need // len(b))  # ceil
+    return np.tile(b, reps)[:need]
+
+
 def fake_decode_image(payload: bytes, height: int = 32, width: int = 32):
     """Deterministic fake codec: payload bytes tile a h×w×3 uint8 grid."""
-    if payload is None or len(payload) == 0:
-        return np.zeros((height, width, 3), dtype=np.uint8)
-    b = np.frombuffer(payload, dtype=np.uint8)
-    reps = -(-(height * width * 3) // len(b))  # ceil
-    return np.tile(b, reps)[: height * width * 3].reshape(height, width, 3)
+    return tile_payload(payload, height * width * 3).reshape(
+        height, width, 3
+    )
 
 
 def real_decode_image(payload: bytes):  # pragma: no cover - needs PIL/cv2
@@ -99,12 +113,34 @@ def resize_images(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                img = np.asarray(r["pixels"], dtype=np.uint8).reshape(
-                    r["height"], r["width"], r["channels"]
-                )
-                out.append(resize_nearest(img, out_h, out_w).reshape(-1).astype(np.int32))
+            if len(pdf) == 0:
+                continue
+            h = pdf["height"].to_numpy()
+            w = pdf["width"].to_numpy()
+            c = pdf["channels"].to_numpy()
+            if (h == h[0]).all() and (w == w[0]).all() and (c == c[0]).all():
+                # uniform shapes (the decode stage's fixed grid): one
+                # stacked fancy-index resize for the whole batch (§4.2);
+                # pure integer indexing — values identical to per-row
+                n, h0, w0, c0 = len(pdf), int(h[0]), int(w[0]), int(c[0])
+                cube = np.stack(pdf["pixels"].to_numpy()).astype(
+                    np.uint8
+                ).reshape(n, h0, w0, c0)
+                ri = (np.arange(out_h) * h0 // out_h).clip(0, h0 - 1)
+                ci = (np.arange(out_w) * w0 // out_w).clip(0, w0 - 1)
+                res = cube[:, ri][:, :, ci].reshape(n, -1).astype(np.int32)
+                out = list(res)
+            else:
+                out = []
+                for _, r in pdf.iterrows():  # mixed shapes: per-image
+                    img = np.asarray(r["pixels"], dtype=np.uint8).reshape(
+                        r["height"], r["width"], r["channels"]
+                    )
+                    out.append(
+                        resize_nearest(img, out_h, out_w)
+                        .reshape(-1)
+                        .astype(np.int32)
+                    )
             yield pd.DataFrame(
                 {
                     "path": pdf["path"].values,
@@ -125,8 +161,45 @@ def image_features(decoded: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = pdf["height"].to_numpy()
+            w = pdf["width"].to_numpy()
+            c = pdf["channels"].to_numpy()
+            if (h == h[0]).all() and (w == w[0]).all() and (c == c[0]).all():
+                # r15 optimization (guide §4.2): images in a batch share
+                # one shape (the decode stage emits a fixed grid), so the
+                # whole batch stacks to ONE (n, h·w, c) float64 cube and
+                # the per-channel mean/std and brightness reduce in three
+                # vectorized numpy ops instead of a per-row ``iterrows``
+                # loop.  Bit-identical to the per-image path: every value
+                # is a small integer, so each partial sum / squared
+                # deviation is exactly representable in float64 (the same
+                # exactness argument the mm_image_features oracle relies
+                # on) — reduction ORDER cannot change a single bit.  The
+                # final 4dp round stays Python ``round`` (decimal
+                # nearest-even; np.round is a different semantics).
+                cube = np.stack(pdf["pixels"].to_numpy()).astype(
+                    np.float64
+                ).reshape(len(pdf), int(h[0]) * int(w[0]), int(c[0]))
+                means = cube.mean(axis=1)
+                stds = cube.std(axis=1)
+                bright = cube.mean(axis=(1, 2))
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"].values,
+                        "mean_rgb": [
+                            [round(float(x), 4) for x in row] for row in means
+                        ],
+                        "std_rgb": [
+                            [round(float(x), 4) for x in row] for row in stds
+                        ],
+                        "brightness": [round(float(x), 4) for x in bright],
+                    }
+                )
+                continue
             rows = []
-            for _, r in pdf.iterrows():
+            for _, r in pdf.iterrows():  # mixed shapes: per-image fallback
                 img = np.asarray(r["pixels"], dtype=np.float64).reshape(
                     r["height"], r["width"], r["channels"]
                 )

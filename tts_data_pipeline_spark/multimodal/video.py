@@ -76,6 +76,11 @@ def decode_sampled_frames(
         # ``bytes((b + idx) % 256 for b in payload)`` dominated the
         # decode task).  Values are bit-identical; pinned by
         # tests/test_multimodal_image_video.py and the entry's oracle.
+        # The tile itself routes through image.tile_payload — the shared
+        # codec seam (r14 ADVICE #3): a real-codec swap replaces the
+        # tile at that one hook for BOTH image and video decode.
+        from tts_data_pipeline_spark.multimodal.image import tile_payload
+
         need = height * width * 3
         for pdf in batches:
             paths: list = []
@@ -87,9 +92,7 @@ def decode_sampled_frames(
             ):
                 fps = float(fps) or 1.0
                 sample = sample_frame_indices(int(n_frames), every_k)
-                b = np.frombuffer(payload or b"\0", dtype=np.uint8)
-                reps = -(-need // len(b))  # ceil
-                base = np.tile(b, reps)[:need].astype(np.int32)
+                base = tile_payload(payload, need).astype(np.int32)
                 salted = (
                     base[None, :]
                     + np.asarray(sample, dtype=np.int32)[:, None]

@@ -1198,14 +1198,31 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
     return "".join(parts)
 
 
-def _local_vocab_rows(words: DataFrame, cap: int):
+def _local_vocab_rows(words: DataFrame, cap: int, persist: bool = False):
     """ONE action that both sizes and (when small enough) fetches the
     vocabulary state: ``limit(cap + 1).collect()``.  Returns the rows if
     the vocabulary fits the local-learn cap, else ``None`` (the
     distributed loop re-uses the ``words`` frame; the probe cost is
-    bounded by the cap either way)."""
+    bounded by the cap either way).
+
+    ``persist=True`` (the BPE/WordPiece learns — r14 ADVICE #2) caches
+    ``words`` around the probe so that PAST the dial — the 100 TB case —
+    the distributed loop's initial state write reuses the probe's
+    aggregation (the shared InMemoryRelation keeps the rollup's
+    shuffle-map output; only reduce partitions the limit never computed
+    are completed) instead of re-running the whole corpus pass the probe
+    just paid.  On the local path the persist is released before
+    returning; on the distributed path the CALLER unpersists once its
+    initial state is materialized.  (The unigram family's word table is
+    cachereg-cached already and probes with the default.)"""
+    if persist:
+        words.persist()
     head = words.limit(cap + 1).collect()
-    return head if len(head) <= cap else None
+    if len(head) <= cap:
+        if persist:
+            words.unpersist()
+        return head
+    return None
 
 
 def _bpe_learn_local(rows, rounds: int) -> list:
@@ -1311,7 +1328,7 @@ def learn_bpe_merges(
     # (measured: learn(6) 2.9 s warm → ~0.4 s at sf0.1's 31-word vocab).
     if on_round is None:
         head = _local_vocab_rows(
-            words, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB)
+            words, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB), persist=True
         )
         if head is not None:
             return spark.createDataFrame(
@@ -1333,6 +1350,9 @@ def learn_bpe_merges(
         _STATE = "word string, freq bigint, s string"
         state_path = _os.path.join(workdir, "state_0")
         cur.write.mode("overwrite").parquet(state_path)
+        # probe persist released now the initial state is materialized
+        # (no-op when the probe never ran / never persisted)
+        words.unpersist()
         # pinned schema: skips the per-read footer inference job
         cur = spark.read.schema(_STATE).parquet(state_path)
         if on_round is not None:
@@ -1799,7 +1819,9 @@ def learn_wordpiece_merges(
     # IEEE division in both paths, rounded engine-side below either way)
     from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB, dial
 
-    head = _local_vocab_rows(words, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB))
+    head = _local_vocab_rows(
+        words, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB), persist=True
+    )
     if head is not None:
         return (
             spark.createDataFrame(
@@ -1827,6 +1849,8 @@ def learn_wordpiece_merges(
         _STATE = "word string, freq bigint, s string"
         state_path = _os.path.join(workdir, "state_0")
         cur.write.mode("overwrite").parquet(state_path)
+        # probe persist released now the initial state is materialized
+        words.unpersist()
         cur = spark.read.schema(_STATE).parquet(state_path)
         for k in range(1, rounds + 1):
             toks = F.split(F.trim("s"), " ")
@@ -3279,14 +3303,8 @@ def _jl_planes():
 _JL_PLANES = _jl_planes()
 
 
-@_lru_cache(maxsize=1)
-def _jl_proj_cols() -> tuple:
-    """Memoized projection Columns over input column ``v`` (r14
-    optimization): 16 dot-folds × 64 literal plane entries ≈ a thousand
-    Py4J expression constructions, re-paid per plan build (~0.9 s
-    measured) while the unresolved tree is an immutable template —
-    build once per process.  Same convention as
-    ``functions.vi_text.vi_cardinal_named``."""
+@_lru_cache(maxsize=2)
+def _jl_proj_cols_for(token: int) -> tuple:
     from tts_data_pipeline_spark.operators.similarity import dot, l2_norm
 
     return tuple(
@@ -3295,6 +3313,19 @@ def _jl_proj_cols() -> tuple:
         ).alias(f"p{j:02d}")
         for j, row in enumerate(_JL_PLANES)
     ) + (l2_norm(F.col("v")).alias("nrm_v"),)
+
+
+def _jl_proj_cols() -> tuple:
+    """Memoized projection Columns over input column ``v`` (r14
+    optimization): 16 dot-folds × 64 literal plane entries ≈ a thousand
+    Py4J expression constructions, re-paid per plan build (~0.9 s
+    measured) while the unresolved tree is an immutable template —
+    build once per gateway.  Same convention (and the same
+    gateway-identity cache key, r14 ADVICE #1) as
+    ``functions.vi_text.vi_cardinal_named``."""
+    from tts_data_pipeline_spark.session import gateway_token
+
+    return _jl_proj_cols_for(gateway_token())
 
 
 def _jl_oracle() -> str:
@@ -3381,11 +3412,8 @@ def _jl_rerank_planes():
 _JL_RERANK_PLANES = _jl_rerank_planes()
 
 
-@_lru_cache(maxsize=1)
-def _jl_rerank_p_col():
-    """Memoized 32-fold projected-sketch Column over input ``v`` — see
-    ``_jl_proj_cols`` (this one is ~2k literal constructions, the
-    biggest single Column build in the similarity family)."""
+@_lru_cache(maxsize=2)
+def _jl_rerank_p_col_for(token: int):
     from tts_data_pipeline_spark.operators.similarity import dot
 
     return F.array(
@@ -3394,6 +3422,16 @@ def _jl_rerank_p_col():
             for row in _JL_RERANK_PLANES
         ]
     ).alias("p")
+
+
+def _jl_rerank_p_col():
+    """Memoized 32-fold projected-sketch Column over input ``v`` — see
+    ``_jl_proj_cols`` (this one is ~2k literal constructions, the
+    biggest single Column build in the similarity family; same
+    gateway-identity cache key)."""
+    from tts_data_pipeline_spark.session import gateway_token
+
+    return _jl_rerank_p_col_for(gateway_token())
 
 
 def _jl_rerank_oracle() -> str:

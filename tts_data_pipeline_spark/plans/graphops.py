@@ -341,10 +341,11 @@ from tts_data_pipeline_spark.conf import (  # noqa: E402
 def _lpa_build_width(spark: SparkSession) -> int:
     """Resolve the converged-LPA build width: the dial if set (≥ 1),
     else cores (``defaultParallelism``) — the dial's 0 default means
-    auto, which ``conf.dial``'s ≥ 1 contract can't express."""
-    key, default = LPA_BUILD_WIDTH
-    raw = int(spark.conf.get(key, str(default)))
-    return raw if raw >= 1 else spark.sparkContext.defaultParallelism
+    auto, which ``conf.dial``'s ≥ 1 contract can't express.  Delegates
+    to :func:`conf.width_dial` (the pattern, generalized in r15)."""
+    from tts_data_pipeline_spark.conf import width_dial
+
+    return width_dial(spark, LPA_BUILD_WIDTH)
 
 # SEMANTIC dial default (spark.graft.lpa.min_cooccur): the shipped
 # oracle pins this value; the Spark side reads the dial at plan build

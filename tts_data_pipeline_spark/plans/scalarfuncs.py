@@ -410,20 +410,25 @@ def c15b_cardinal_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (r14, 2.2 s → 0.7 s warm at sf0.1): the num spread is
     ~|orders| distinct, so C17b's codebook trick doesn't apply — instead
-    the fact side is ``repartitionByRange(32, key)`` FIRST, then the big
-    (interpreted — it exceeds the codegen splitting threshold) cardinal
-    tree projects over 32 range partitions in parallel, and the terminal
-    ``orderBy`` on the same key is satisfied by the existing range
-    partitioning (sort-within-partitions only, no second exchange, and
-    the range sampler never sees the expensive projection).  The
-    explicit partition count bypasses AQE's small-output coalescing,
-    which otherwise folds the tiny sf0.1 frame to ONE partition and
-    serializes the interpreted eval."""
+    the fact side is ``repartitionByRange(width, key)`` FIRST, then the
+    big (interpreted — it exceeds the codegen splitting threshold)
+    cardinal tree projects over the range partitions in parallel, and
+    the terminal ``orderBy`` on the same key is satisfied by the
+    existing range partitioning (sort-within-partitions only, no second
+    exchange, and the range sampler never sees the expensive
+    projection).  The explicit partition count bypasses AQE's
+    small-output coalescing, which otherwise folds the tiny sf0.1 frame
+    to ONE partition and serializes the interpreted eval.  Width is the
+    ``spark.graft.cardinal.range_width`` dial, 0 = auto (cores) — the
+    r14 literal 32 capped the projection at 32 tasks on any cluster
+    (r14 verdict #3); rows identical for any width."""
+    from tts_data_pipeline_spark.conf import CARDINAL_RANGE_WIDTH, width_dial
+
     o = table(spark, sf_dir, "orders")
     num = (F.col("o_orderkey") * 37) % 1000000
     return (
         o.select("o_orderkey", num.alias("num"))
-        .repartitionByRange(32, "o_orderkey")
+        .repartitionByRange(width_dial(spark, CARDINAL_RANGE_WIDTH), "o_orderkey")
         .select(
             "o_orderkey",
             "num",

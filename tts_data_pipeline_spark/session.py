@@ -58,6 +58,28 @@ def get_spark(
     return spark
 
 
+def gateway_token() -> int:
+    """Identity token of the live SparkContext backing Column construction.
+
+    Memoized unresolved Columns (``vi_cardinal_named``, the JL projection
+    templates) wrap Py4J JavaObject refs bound to the CURRENT JVM gateway;
+    if the SparkContext is stopped and recreated in the same process a
+    cached Column would silently hold a dead ref — or, because Py4J
+    reuses object ids, resolve to a DIFFERENT JVM object.  Every Column
+    memo keys on this token so a recreated context misses the cache and
+    rebuilds (r14 ADVICE #1).  ``id()`` of the active context is enough:
+    a stopped context cannot be reactivated, so a new gateway always
+    means a new Python ``SparkContext`` object (held alive by the memo's
+    key tuple? no — ints are copied, so we also keep the startTime to
+    disambiguate id reuse after GC)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return 0
+    return hash((id(sc), getattr(sc, "startTime", 0)))
+
+
 def ensure_utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone to UTC (runtime-settable).
 

@@ -428,6 +428,102 @@ def _replay_staging_cached(
     )
 
 
+def _wm_dedup_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Staged 4-batch replay files for the watermarked-dedup entry —
+    factored out of :func:`run_stream_dedup_watermarked` so
+    :func:`prestage_replays` can build them outside a bench's timed
+    region (r14 verdict #1)."""
+    import os
+
+    def build(staging: str) -> None:
+        if _events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn("ts", F.expr("ts div 1000"))
+        else:
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        # key on (user, type, hour) so per-key representative times
+        # SPREAD across the event range — with the bare (user, type)
+        # key every per-key min lands at the start of the range and
+        # the late-drop / absorb / re-emit sets go degenerate
+        # (all-or-nothing).
+        # Cached: the four staged batch files below are all filters of
+        # this one aggregate — without the persist each write would
+        # redo the raw scan + groupBy shuffle (4× the work for a
+        # ≤100 k-row replay frame; measured part of the bench fixed
+        # cost).
+        keyed = (
+            raw.groupBy(
+                "user_id",
+                "event_type",
+                F.expr(
+                    "unix_micros(date_trunc('hour', timestamp_micros(ts)))"
+                ).alias("hr"),
+            )
+            .agg(F.min("ts").alias("ts"))
+            .persist()
+        )
+        # T (the global max key time) is derived INSIDE the first
+        # staged write via an Observation above the parity filter — no
+        # separate agg(max).collect() scan (round-5 advice #6).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        even = keyed.filter(F.col("user_id") % 2 == 0)
+        odd = keyed.filter(F.col("user_id") % 2 == 1)
+        _stage_replay_file(
+            keyed.observe(obs, F.max("ts").alias("t_max")).filter(
+                F.col("user_id") % 2 == 0
+            ),
+            staging,
+            0,
+        )
+        t_max = obs.get["t_max"]
+        probes = even.select(
+            "user_id", "event_type", "hr", F.lit(t_max).alias("ts")
+        )
+        spacer = probes.orderBy("user_id", "event_type", "hr").limit(1)
+        _stage_replay_partitions(
+            spacer.withColumn("b", F.lit(1))
+            .unionByName(odd.withColumn("b", F.lit(2)))
+            .unionByName(probes.withColumn("b", F.lit(3))),
+            staging,
+            "b",
+            [1, 2, 3],
+        )
+        keyed.unpersist()
+
+    # staged batches are delay-independent (parity/probe splits of the
+    # keyed frame), so the cache key is the corpus alone
+    return _staged_replay_cached("wm_dedup_stream", sf_dir, 4, build)
+
+
+def prestage_replays(spark: SparkSession, sf_dir: str) -> None:
+    """Build every deterministic replay's staged micro-batch files for
+    ``sf_dir`` — the setup a bench hoists OUT of its timed region and
+    declares (r14 verdict #1).
+
+    Timed-region policy for the streaming replay entries: the thing
+    under test is the STREAMING QUERY — source discovery, watermark and
+    state machinery, per-micro-batch commits — not the one-time
+    derivation of the replay's input files from the immutable events
+    table (in production that source simply exists; here it is staged
+    from the batch table as a pure function of (corpus, replay
+    parameters)).  The r14 memo made re-invocations skip staging, which
+    meant pass 1 of a min-of-N bench paid it and later passes did not —
+    a timed region that silently differed between passes.  Calling this
+    before ANY timed pass makes every pass measure the same thing, for
+    all three staged replays uniformly (timeout sessionizer, late-data
+    policy, watermarked dedup; the other streaming entries read
+    ``events.parquet`` directly and stage nothing)."""
+    _replay_staging_cached(spark, sf_dir, n_slices=2)
+    _late_replay_staging(spark, sf_dir)
+    _wm_dedup_staging(spark, sf_dir)
+
+
 def run_stateful_sessions_timeout_to_memory(
     spark: SparkSession,
     sf_dir: str,
@@ -1003,6 +1099,57 @@ def _stage_replay_partitions(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _late_replay_staging(
+    spark: SparkSession, sf_dir: str, delay: str = "30 minutes"
+) -> str:
+    """Staged 3-batch replay files for the late-data policy entry —
+    factored out of :func:`run_late_data_stream` so
+    :func:`prestage_replays` can build them outside a bench's timed
+    region (r14 verdict #1)."""
+    import os
+
+    def build(staging: str) -> None:
+        # Stage the replay files in a canonical long-micros ts column
+        # so the staged stream has one imposed schema regardless of
+        # whether the source parquet is TIMESTAMP(NANOS) or MICROS.
+        if _events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            raw = raw.withColumn("ts", F.expr("ts div 1000"))
+        else:
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            # micros parquet reads as TIMESTAMP_NTZ; session is pinned
+            # UTC so the cast to TIMESTAMP is identity before
+            # extracting micros
+            raw = raw.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        # The replay cutoff (max event time − delay) is derived INSIDE
+        # the first staged write via an Observation — the observe node
+        # sits above the parity filter so it sees every row, and the
+        # metric comes back as a side effect of the write job.  No
+        # separate agg(max).collect() scan (round-5 advice #6).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        even = F.col("user_id") % 2 == 0
+        delay_us = 30 * 60 * 1_000_000  # matches the default delay
+        _stage_replay_file(
+            raw.observe(obs, F.max("ts").alias("max_us")).filter(even),
+            staging,
+            0,
+        )
+        cutoff = obs.get["max_us"] - delay_us
+        _stage_replay_file(
+            raw.filter(~even & (F.col("ts") > cutoff)), staging, 1
+        )
+        _stage_replay_file(
+            raw.filter(~even & (F.col("ts") <= cutoff)), staging, 2
+        )
+
+    return _staged_replay_cached("late_stream", sf_dir, 3, build, (delay,))
+
+
 def run_late_data_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -1031,55 +1178,12 @@ def run_late_data_stream(
 
     Both W and the parity/recency split are scalar-derivable from the input,
     so the catalog oracle replays the whole policy in DuckDB."""
-    import os
-
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(_state_partitions(spark))
     )
     try:
-        def build(staging: str) -> None:
-            # Stage the replay files in a canonical long-micros ts column
-            # so the staged stream has one imposed schema regardless of
-            # whether the source parquet is TIMESTAMP(NANOS) or MICROS.
-            if _events_ts_unit(sf_dir) == "ns":
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-                raw = raw.withColumn("ts", F.expr("ts div 1000"))
-            else:
-                raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-                # micros parquet reads as TIMESTAMP_NTZ; session is pinned
-                # UTC so the cast to TIMESTAMP is identity before
-                # extracting micros
-                raw = raw.withColumn(
-                    "ts", F.unix_micros(F.col("ts").cast("timestamp"))
-                )
-            # The replay cutoff (max event time − delay) is derived INSIDE
-            # the first staged write via an Observation — the observe node
-            # sits above the parity filter so it sees every row, and the
-            # metric comes back as a side effect of the write job.  No
-            # separate agg(max).collect() scan (round-5 advice #6).
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            even = F.col("user_id") % 2 == 0
-            delay_us = 30 * 60 * 1_000_000  # matches the default delay
-            _stage_replay_file(
-                raw.observe(obs, F.max("ts").alias("max_us")).filter(even),
-                staging,
-                0,
-            )
-            cutoff = obs.get["max_us"] - delay_us
-            _stage_replay_file(
-                raw.filter(~even & (F.col("ts") > cutoff)), staging, 1
-            )
-            _stage_replay_file(
-                raw.filter(~even & (F.col("ts") <= cutoff)), staging, 2
-            )
-
-        staging = _staged_replay_cached(
-            "late_stream", sf_dir, 3, build, (delay,)
-        )
+        staging = _late_replay_staging(spark, sf_dir, delay)
 
         from pyspark.sql import types as T
 
@@ -1314,8 +1418,6 @@ def run_stream_dedup_watermarked(
 
     Every set above is a scalar-derivable function of the input, so the
     catalog oracle replays the full policy in DuckDB."""
-    import os
-
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(_state_partitions(spark))
@@ -1330,74 +1432,7 @@ def run_stream_dedup_watermarked(
     )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        def build(staging: str) -> None:
-            if _events_ts_unit(sf_dir) == "ns":
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                raw = spark.read.parquet(
-                    os.path.join(sf_dir, "events.parquet")
-                )
-                raw = raw.withColumn("ts", F.expr("ts div 1000"))
-            else:
-                raw = spark.read.parquet(
-                    os.path.join(sf_dir, "events.parquet")
-                )
-                raw = raw.withColumn(
-                    "ts", F.unix_micros(F.col("ts").cast("timestamp"))
-                )
-            # key on (user, type, hour) so per-key representative times
-            # SPREAD across the event range — with the bare (user, type)
-            # key every per-key min lands at the start of the range and
-            # the late-drop / absorb / re-emit sets go degenerate
-            # (all-or-nothing).
-            # Cached: the four staged batch files below are all filters of
-            # this one aggregate — without the persist each write would
-            # redo the raw scan + groupBy shuffle (4× the work for a
-            # ≤100 k-row replay frame; measured part of the bench fixed
-            # cost).
-            keyed = (
-                raw.groupBy(
-                    "user_id",
-                    "event_type",
-                    F.expr(
-                        "unix_micros(date_trunc('hour', timestamp_micros(ts)))"
-                    ).alias("hr"),
-                )
-                .agg(F.min("ts").alias("ts"))
-                .persist()
-            )
-            # T (the global max key time) is derived INSIDE the first
-            # staged write via an Observation above the parity filter — no
-            # separate agg(max).collect() scan (round-5 advice #6).
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            even = keyed.filter(F.col("user_id") % 2 == 0)
-            odd = keyed.filter(F.col("user_id") % 2 == 1)
-            _stage_replay_file(
-                keyed.observe(obs, F.max("ts").alias("t_max")).filter(
-                    F.col("user_id") % 2 == 0
-                ),
-                staging,
-                0,
-            )
-            t_max = obs.get["t_max"]
-            probes = even.select(
-                "user_id", "event_type", "hr", F.lit(t_max).alias("ts")
-            )
-            spacer = probes.orderBy("user_id", "event_type", "hr").limit(1)
-            _stage_replay_partitions(
-                spacer.withColumn("b", F.lit(1))
-                .unionByName(odd.withColumn("b", F.lit(2)))
-                .unionByName(probes.withColumn("b", F.lit(3))),
-                staging,
-                "b",
-                [1, 2, 3],
-            )
-            keyed.unpersist()
-
-        # staged batches are delay-independent (parity/probe splits of the
-        # keyed frame), so the cache key is the corpus alone
-        staging = _staged_replay_cached("wm_dedup_stream", sf_dir, 4, build)
+        staging = _wm_dedup_staging(spark, sf_dir)
 
         from pyspark.sql import types as T
 
