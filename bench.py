@@ -395,6 +395,57 @@ def main() -> None:
             }
         )
     )
+    _scale_bench(spark, queries)
+
+
+# Opt-in scale point (r14 verdict #8): the sf0.1 bench is fixed-overhead
+# bound at local core counts (8-core beat 32-core on total in the r14
+# driver runs), so parallel scaling cannot be certified from it.  With
+# SPARK_GRAFT_SCALE_DIR pointing at a larger generated tile
+# (tools/gen_scale_data.py, e.g. /tmp/scaledata/sf1), the bench ADDS one
+# JSON line timing a compute-heavy HEADLINE subset there — the sf0.1
+# contract above is unchanged, the line is strictly additive, and the
+# committed BENCH_r15_scale_*.json files carry the measured 8c/32c
+# ratios.  Entries chosen for data-proportional compute (scan-heavy
+# aggregation, joins, text, dedup, graph) rather than fixed-round floors.
+SCALE_HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "j1_equi_join_fact",
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
+    "ta_tfidf_topterms",
+    "c15b_cardinal_words",
+    "agg_distinct_approx",
+    "graph_label_propagation",
+]
+
+
+def _scale_bench(spark, queries) -> None:
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "")
+    if not scale_dir or not os.path.isdir(scale_dir):
+        return
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in SCALE_HEADLINE:
+            t0 = time.perf_counter()
+            _materialize(queries[name](spark, scale_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
+            print(f"  scale {name}: {dt:.3f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "scale_dir": scale_dir,
+                "cpus": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
 
 
 def _retime(

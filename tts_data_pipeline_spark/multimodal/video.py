@@ -121,32 +121,74 @@ def frame_motion_features(frames: DataFrame) -> DataFrame:
     """Per-video motion proxy (real math): mean absolute pixel delta between
     consecutive sampled frames — the cheap scene-change / static-video signal
     curation filters on.  Keyed aggregation per video; frame order restored
-    inside the group."""
+    inside the group.
+
+    r15 shape (guide §4.2 — the per-key ``applyInPandas`` fold paid one
+    Python invocation PER VIDEO, ~5k group calls dominating the entry's
+    wall, and shipped every frame's pixel array back across the Arrow
+    boundary): the consecutive-frame |delta| sums now fold INSIDE the JVM
+    — one window ``lead`` pairs each frame with its successor and a
+    codegen'd ``zip_with``/``aggregate`` accumulates the exact BIGINT
+    per-pair sum — and only the final 4dp rounding crosses to Python, as
+    ONE vectorized pandas UDF over the per-video aggregate rows (Python
+    ``round`` is correctly-rounded decimal HALF_EVEN on the exact binary
+    value; Spark's ``round``/``bround`` are a different, shortest-string
+    semantics — the r14 adjudication that kept this fold in Python now
+    protects only the 2 scalar divisions per video, not the frame data).
+    All accumulation is integer-exact, so the values are bit-identical to
+    the old per-key numpy fold (same ints divided by the same ints in the
+    same order; pinned by the entry's DuckDB oracle and
+    tests/test_multimodal_image_video.py)."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        # integer-exact accumulation: per-pair |delta| sums stay BIGINT and
-        # divide once at the end, so the reported motion is a pure function
-        # of the pixel ints — reproducible in SQL (the mm_video_motion
-        # oracle) where a float mean-of-means would drift by ulps
-        pdf = pdf.sort_values("frame_idx")
-        imgs = [np.asarray(p, dtype=np.int64) for p in pdf["pixels"]]
-        sums = [int(np.abs(a - b).sum()) for a, b in zip(imgs[1:], imgs[:-1])]
-        npx = len(imgs[0]) if imgs else 1
-        n = len(sums)
-        return pd.DataFrame(
-            {
-                "path": [pdf["path"].iloc[0]],
-                "n_frames_sampled": [len(imgs)],
-                "mean_motion": [
-                    round(sum(sums) / (npx * n), 4) if n else 0.0
-                ],
-                "max_motion": [round(max(sums) / npx, 4) if n else 0.0],
-            }
+    w = Window.partitionBy("path").orderBy("frame_idx")
+    d = F.when(
+        F.col("_nxt").isNotNull(),
+        F.aggregate(
+            F.zip_with("pixels", "_nxt", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ),
+    )
+    agg = (
+        frames.select("path", "frame_idx", "pixels")
+        .withColumn("_nxt", F.lead("pixels").over(w))
+        .withColumn("_d", d)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.count("_d").alias("_n_pairs"),
+            F.sum("_d").alias("_tot"),
+            F.max("_d").alias("_mx"),
+            F.max(F.size("pixels")).alias("_npx"),
         )
+    )
 
-    return frames.groupBy(F.col("path")).applyInPandas(
-        fold,
-        "path string, n_frames_sampled long, mean_motion double, "
-        "max_motion double",
+    # lambda form: this module's `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf signature inference
+    # rejects (same workaround as bench.py's warmup UDF).  Python round
+    # semantics on the exact int/int division; den == 0 (single-frame
+    # videos: no pairs) reports 0.0 like the old fold.
+    _round4_ratio = F.pandas_udf(
+        lambda num, den: pd.Series(
+            [
+                round(int(n) / int(d), 4) if d else 0.0
+                for n, d in zip(num, den)
+            ],
+            dtype="float64",
+        ),
+        "double",
+    )
+
+    return agg.select(
+        "path",
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+        _round4_ratio(
+            F.coalesce("_tot", F.lit(0)), F.col("_npx") * F.col("_n_pairs")
+        ).alias("mean_motion"),
+        _round4_ratio(
+            F.coalesce("_mx", F.lit(0)),
+            F.when(F.col("_n_pairs") > 0, F.col("_npx")).otherwise(F.lit(0)),
+        ).alias("max_motion"),
     )

@@ -351,18 +351,22 @@ def ngram_jaccard_pairs(
         # nondeterminism was cost-only — but a planner probe should be
         # reproducible).  Cost: one pass over the cached base, which the
         # chosen path materializes immediately after anyway.
-        sample = (
+        # ONE action sizes the sample and its vocabulary together (r15,
+        # §1 job-count hygiene — the cache + two counts paid two
+        # driver-coordinated jobs per invocation); explode_outer keeps
+        # empty-tokset docs in the countDistinct(_id) = old sample.count()
+        probe = (
             base.select("_id", "_tokset")
             .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
             .limit(1024)
-            .select("_tokset")
-            .cache()
+            .select("_id", F.explode_outer("_tokset").alias("_t"))
+            .agg(
+                F.countDistinct("_id").alias("d"),
+                F.countDistinct("_t").alias("v"),
+            )
+            .first()
         )
-        n_docs = sample.count()
-        n_vocab = (
-            sample.select(F.explode("_tokset").alias("_t")).distinct().count()
-        )
-        sample.unpersist()
+        n_docs, n_vocab = probe["d"], probe["v"]
         prefix_filter = n_vocab * 4 >= n_docs
         LAST_JACCARD_PLAN.clear()
         LAST_JACCARD_PLAN.update(
@@ -553,18 +557,24 @@ def shingle_containment_pairs(
         ),
     )
     if prefix_filter is None:
-        sample = (
+        # ONE action sizes the sample and its shingle vocabulary together
+        # (r15, §1 job-count hygiene: the cache + two counts paid two
+        # driver-coordinated jobs per invocation, ~0.4-0.5 s of the
+        # entry's warm wall; countDistinct(_id) over the exploded sample
+        # equals the old sample.count() because ``base`` keeps only
+        # non-empty token sets)
+        probe = (
             base.select("_id", "_tokset")
             .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
             .limit(1024)
-            .select("_tokset")
-            .cache()
+            .select("_id", F.explode_outer("_tokset").alias("_t"))
+            .agg(
+                F.countDistinct("_id").alias("d"),
+                F.countDistinct("_t").alias("v"),
+            )
+            .first()
         )
-        n_docs = sample.count()
-        n_vocab = (
-            sample.select(F.explode("_tokset").alias("_t")).distinct().count()
-        )
-        sample.unpersist()
+        n_docs, n_vocab = probe["d"], probe["v"]
         prefix_filter = n_vocab * 4 >= n_docs
         LAST_CONTAINMENT_PLAN.clear()
         LAST_CONTAINMENT_PLAN.update(

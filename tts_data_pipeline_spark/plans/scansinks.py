@@ -331,14 +331,27 @@ def k4_audio_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     original payload (the fake codec pair is an exact float32-lossless
     inverse, so any corruption in the encode UDF, the binary sink, or the
     read-back flips ``payload_matches``).  A real encoder slots into the
-    same ``encode_audio`` seam."""
+    same ``encode_audio`` seam.
+
+    Plan note (r15, guide §2/§6): the documents parquet is ONE row group,
+    so without an exchange the decode → encode → parquet write chain ran
+    as a SINGLE task (measured ~3.5 s of the entry's ~3.9 s wall at
+    sf0.1).  ``spread`` round-robins the payload rows to cores first —
+    the same treatment every other Python-codec entry's ``_payloads``
+    already gets — so the codec stages and the sink write run
+    cluster-wide (the write becomes one file per partition, also the
+    correct output shape at scale; the read-back byte comparison is
+    row-wise and unchanged)."""
     from tts_data_pipeline_spark.multimodal.audio import (
         decode_audio,
         encode_audio,
     )
+    from tts_data_pipeline_spark.sources.readers import spread
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("content")
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("content")
+        )
     )
     decoded = decode_audio(d, payload_col="content")
     encoded = encode_audio(decoded).select("doc_id", "payload")

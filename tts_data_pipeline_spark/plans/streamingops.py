@@ -584,7 +584,17 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 day")["start"].alias("win_start"), "user_id"
     )
     pu = ev.groupBy("win_start", "user_id").agg(F.count("*").alias("c"))
-    tot = pu.groupBy("win_start").agg(F.sum("c").alias("n"))
+    # window totals FROM THE SKETCH (r15, §2.4 remove a shuffle branch):
+    # every event contributes exactly one count to each of the d rows, so
+    # Σ cell over the buckets of any fixed row j IS the window's event
+    # count — identical to re-aggregating pu (the oracle's tot), without
+    # the second pass over the per-user rollup.  cells is the d·w-bounded
+    # memory-sink table, so this branch is sketch-sized, not data-sized.
+    tot = (
+        cells.filter(F.col("j") == 0)
+        .groupBy("win_start")
+        .agg(F.sum("cell").alias("n"))
+    )
     hr = pu.select(
         "win_start",
         "user_id",
