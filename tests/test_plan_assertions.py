@@ -770,3 +770,50 @@ def test_wordpiece_local_learn_matches_distributed(spark, tmp_path):
         spark.conf.unset(key)
     assert len(local) == 12
     assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_bpe_encode_local_matches_distributed(spark, tmp_path):
+    """r15 encode-crossover contract: when the vocabulary fits the
+    local-learn dial, the CHUNKED BPE encode computes the merges and the
+    per-word piece counts in the driver (same argmax, same double-space
+    replace chain applied to the seed segmentation) and broadcasts the
+    vocabulary back as a local relation — per-doc budgets must be
+    row-for-row identical to the distributed chunked chain (which also
+    exercises the between-chunk persist discipline)."""
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB
+    from tts_data_pipeline_spark.plans.corpus import bpe_encode_corpus
+
+    sf_dir = _zipf_docs_dir(tmp_path)
+    local = bpe_encode_corpus(
+        spark, sf_dir, rounds=6, chunk_size=2
+    ).collect()
+    key = TOKENIZER_LOCAL_LEARN_VOCAB[0]
+    spark.conf.set(key, "1")
+    try:
+        dist = bpe_encode_corpus(
+            spark, sf_dir, rounds=6, chunk_size=2
+        ).collect()
+    finally:
+        spark.conf.unset(key)
+    assert len(local) == 120
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_wordpiece_encode_local_matches_distributed(spark, tmp_path):
+    """Same contract for the WordPiece greedy longest-match encode: the
+    driver-side walk over the locally-built vocabulary must reproduce
+    the relational jump-table walk's per-doc (n_words, n_pieces,
+    n_unk_words) exactly — pure integer/string logic, no floats."""
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB
+    from tts_data_pipeline_spark.plans.corpus import ta_wordpiece_encode
+
+    sf_dir = _zipf_docs_dir(tmp_path)
+    local = ta_wordpiece_encode(spark, sf_dir).collect()
+    key = TOKENIZER_LOCAL_LEARN_VOCAB[0]
+    spark.conf.set(key, "1")
+    try:
+        dist = ta_wordpiece_encode(spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(key)
+    assert len(local) == 120
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]

@@ -1466,6 +1466,23 @@ def _bpe_apply_merges(expr, merge_rows):
     return expr
 
 
+def _bpe_apply_all_local(s: str, merges) -> str:
+    """Apply EVERY learned merge to one seed segmentation string — the
+    Python replay of :func:`_bpe_apply_merges`'s double-space replace
+    chain (``str.replace`` and ``F.replace`` are both leftmost
+    non-overlapping; the identity is what the local-learn equivalence
+    tests pin)."""
+    for row in merges:
+        a_b, merged = row[1], row[2]
+        doubled = " " + a_b.replace(" ", "  ") + " "
+        s = (
+            s.replace(" ", "  ")
+            .replace(doubled, " " + merged + " ")
+            .replace("  ", " ")
+        )
+    return s
+
+
 def bpe_encode_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -1488,11 +1505,67 @@ def bpe_encode_corpus(
 
     from tts_data_pipeline_spark.scratch import scratch_mkdtemp
 
-    mrows = learn_bpe_merges(spark, sf_dir, rounds=rounds).collect()
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB, dial
+
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
+    # r15 encode crossover (same dial + same argument as the r14 learn
+    # crossover): segmentation of the DISTINCT-WORD vocabulary is
+    # model-sized work — when it fits the dial, ONE probe action fetches
+    # the (word, freq) state, the merges AND the per-word piece counts
+    # compute in the driver (bit-identical: _bpe_learn_local's argmax +
+    # the same double-space replace chain, pinned by
+    # test_bpe_encode_local_matches_distributed and the unchanged
+    # oracles), and the vocabulary arrives back as a LOCAL relation under
+    # the same broadcast join — the unigram encode's r14 pattern.  What
+    # disappears is the learner's separate corpus pass, the encode's own
+    # distinct-word scan and the per-chunk parquet round-trips (the
+    # chunked entry paid 2 corpus scans + R/chunk write/read jobs per
+    # invocation for a vocabulary of model size).  Past the dial the
+    # distributed chain below — including the chunked persist discipline,
+    # which is ABOUT surviving production merge counts — runs unchanged;
+    # the probe's persist is reused by the learner's own probe (identical
+    # logical plan) and released there.
+    words_probe = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    head = _local_vocab_rows(
+        words_probe, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB), persist=True
+    )
+    if head is not None:
+        merges = _bpe_learn_local(head, rounds)
+        pieces = spark.createDataFrame(
+            [
+                (
+                    r["word"],
+                    len(
+                        _bpe_apply_all_local(
+                            " " + " ".join(r["word"]) + " ", merges
+                        )
+                        .strip()
+                        .split(" ")
+                    ),
+                )
+                for r in head
+            ],
+            "w string, pieces long",
+        )
+        return (
+            toks.join(F.broadcast(pieces), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("pieces").cast("bigint").alias("n_pieces"),
+            )
+            .orderBy("doc_id")
+        )
+    mrows = learn_bpe_merges(spark, sf_dir, rounds=rounds).collect()
+    words_probe.unpersist()
     chars = F.transform(
         F.sequence(F.lit(0), F.length("w") - 1),
         lambda i: F.col("w").substr(i + 1, F.lit(1)),
@@ -1998,16 +2071,19 @@ def ta_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode and the per-doc rollup.  The vocabulary is model state
     (alphabet + R merge rows through the same bounded driver channel the
     BPE merge table uses); the candidate explode is bounded by
-    Σ len(word)·max_piece_len over DISTINCT words."""
-    merges = learn_wordpiece_merges(spark, sf_dir, rounds=3).collect()
-    merged_pieces = [r["merged"] for r in merges]
-    max_jump = max(
-        [1]
-        + [
-            len(p) - 2 if p.startswith("##") else len(p)
-            for p in merged_pieces
-        ]
-    )
+    Σ len(word)·max_piece_len over DISTINCT words.
+
+    r15 encode crossover (the BPE encode's treatment, same dial): when
+    the distinct-word state fits ``spark.graft.tokenizer.
+    local_learn_vocab``, one probe action fetches it and the learn, the
+    vocabulary build AND the greedy longest-match walk all run in the
+    driver — pure integer/string logic, so the per-word piece counts are
+    exactly the jump-table walk's (pinned by
+    ``test_wordpiece_encode_local_matches_distributed`` and the
+    unchanged oracle) — and the (word → n_pieces) frame arrives as a
+    local relation under the same broadcast join.  Past the dial the
+    relational jump-table build below runs unchanged."""
+    from tts_data_pipeline_spark.conf import TOKENIZER_LOCAL_LEARN_VOCAB, dial
 
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     words = (
@@ -2015,6 +2091,72 @@ def ta_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    head = _local_vocab_rows(
+        words, dial(spark, TOKENIZER_LOCAL_LEARN_VOCAB), persist=True
+    )
+    if head is not None:
+        lmerges = _wp_learn_local(head, 3)
+        merged_local = [m[2] for m in lmerges]
+        vocab = set(merged_local)
+        for r in head:
+            w = r["word"]
+            for i, c in enumerate(w):
+                vocab.add(c if i == 0 else "##" + c)
+        mj = max(
+            [1]
+            + [
+                len(p) - 2 if p.startswith("##") else len(p)
+                for p in merged_local
+            ]
+        )
+
+        def _walk(w: str):
+            pos, cnt, n = 0, 0, len(w)
+            while pos < n:
+                best = 0
+                for ln in range(1, min(mj, n - pos) + 1):
+                    piece = (
+                        w[pos : pos + ln]
+                        if pos == 0
+                        else "##" + w[pos : pos + ln]
+                    )
+                    if piece in vocab:
+                        best = ln
+                if best == 0:
+                    return None  # [UNK]: walk stalled
+                pos += best
+                cnt += 1
+            return cnt
+
+        per_word_local = spark.createDataFrame(
+            [(r["word"], _walk(r["word"])) for r in head],
+            "w string, n_pieces long",
+        )
+        doctok_l = d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+        return (
+            doctok_l.join(F.broadcast(per_word_local), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+                F.sum(F.col("n_pieces").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_unk_words"),
+            )
+            .orderBy("doc_id")
+        )
+    merges = learn_wordpiece_merges(spark, sf_dir, rounds=3).collect()
+    words.unpersist()
+    merged_pieces = [r["merged"] for r in merges]
+    max_jump = max(
+        [1]
+        + [
+            len(p) - 2 if p.startswith("##") else len(p)
+            for p in merged_pieces
+        ]
     )
     marked = F.transform(
         F.sequence(F.lit(0), F.length("word") - 1),
