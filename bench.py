@@ -242,6 +242,11 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    # ambient host-load marker captured BEFORE any of our own work
+    # (session build, warmup, replay prestaging) — r15: the prestage jobs
+    # otherwise inflate the 1-min loadavg and make an idle host look
+    # busy to the idle-pin policy
+    load_before = os.getloadavg()
     spark = get_spark(app_name="bench")
     queries = catalog.queries()
 
@@ -286,7 +291,6 @@ def main() -> None:
     # legitimately slower (operator caches warming), but passes 2-3 hit
     # the same warm state, so on an idle host the two best times agree
     # within a few percent; a big median spread = external load.
-    load_before = os.getloadavg()
     all_passes: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for _ in range(3):
