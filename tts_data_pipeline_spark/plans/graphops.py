@@ -819,9 +819,18 @@ def conv_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`graph_label_propagation_converged` for semantics and the
     grid-block rationale."""
     pairs = cooccur_pairs(spark, sf_dir)
+    # both directions via ONE explode (r15, §2.4 — the plain entry's
+    # treatment): the self-union referenced the grid-join pair subtree
+    # twice; the explode evaluates it once by construction.  Measured
+    # 2.5–3.3 → 1.6–2.0 s per materialization at sf0.1, identical rows.
     edges = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # one self-loop per node: the node's own label joins every vote
     return edges.unionAll(
         edges.select("src").distinct().select("src", F.col("src").alias("dst"))
